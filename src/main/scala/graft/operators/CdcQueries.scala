@@ -1,0 +1,232 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.CdcFunctions._
+
+/** The reference's CDC dataflow (SURVEY.md §2 Part A) re-expressed as
+  * batch DataFrame queries over the driver's `events` table, which stands
+  * in for the TigerBeetle change-event stream (FIXTURES.md role mapping:
+  * ts ↔ event timestamp, event_type ↔ change-event type, user_id ↔
+  * ledger/routing key, props ↔ payload).
+  *
+  * Scale notes: every query here is a single scan with narrow projections
+  * — no shuffle except where the operator semantically requires one
+  * (groupBy/window). The JSON envelope is built with codegen'd `concat`
+  * expressions, so the whole pipeline runs inside one WholeStageCodegen
+  * stage per partition, embarrassingly parallel at any scale.
+  */
+object CdcQueries {
+
+  private val SubjectPrefix = "tigerbeetle.cdc"
+  private val ClusterId = "graft"
+
+  /** Portable-encoded epoch-microsecond timestamp, the `events` analog of
+    * the reference's u64 cluster timestamp.
+    */
+  private def tsMicros = unix_micros(col("ts"))
+
+  /** A9+A10+A11+A12 composed: the full per-event publish envelope
+    * (msg_id, subject, headers, canonical JSON body). The body is built
+    * by string concat with the portable-number rule so the DuckDB oracle
+    * can construct the identical bytes.
+    */
+  def envelope(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val cents = round(col("value") * 100).cast("long")
+    val k = coalesce(get_json_object(col("props"), "$.k"), lit("null"))
+    val body = concat(
+      lit("{\"ts\":"), portableU64Json(tsMicros),
+      lit(",\"type\":\""), col("event_type"),
+      lit("\",\"ledger\":"), col("user_id").cast("string"),
+      lit(",\"value_cents\":"), cents.cast("string"),
+      lit(",\"k\":"), k,
+      lit("}"))
+    ev.select(
+      col("event_id"),
+      msgId(ClusterId, tsMicros).as("msg_id"),
+      subjectFor(SubjectPrefix, col("user_id"), col("event_type")).as("subject"),
+      col("event_type").as("h_event_type"),
+      col("user_id").cast("string").as("h_ledger"),
+      body.as("body")
+    ).orderBy("event_id")
+  }
+
+  /** Oracle SQL for [[envelope]] (same string assembly in DuckDB). */
+  val envelopeSql: String =
+    """SELECT event_id,
+      |  'graft/' || CAST(epoch_us(ts) AS VARCHAR) AS msg_id,
+      |  'tigerbeetle.cdc.' || CAST(user_id AS VARCHAR) || '.' || event_type AS subject,
+      |  event_type AS h_event_type,
+      |  CAST(user_id AS VARCHAR) AS h_ledger,
+      |  '{"ts":' ||
+      |    (CASE WHEN epoch_us(ts) <= 9007199254740991 THEN CAST(epoch_us(ts) AS VARCHAR)
+      |          ELSE '"' || CAST(epoch_us(ts) AS VARCHAR) || '"' END) ||
+      |  ',"type":"' || event_type ||
+      |  '","ledger":' || CAST(user_id AS VARCHAR) ||
+      |  ',"value_cents":' || CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR) ||
+      |  ',"k":' || COALESCE(json_extract_string(props, '$.k'), 'null') ||
+      |  '}' AS body
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** A2/A3: resume from a checkpointed high-water mark. The HWM is the
+    * max timestamp of the already-relayed prefix (here: the first half of
+    * the stream by event_id, a deterministic stand-in for "what the
+    * progress record says"); strict `>` matches reference
+    * runner.go:726-736. At scale this is a parquet min/max-pruned range
+    * scan: the predicate pushes down to row-group stats.
+    */
+  def resume(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val n = ev.count() / 2
+    val hwmRow = ev.filter(col("event_id") < n).agg(max(col("ts"))).head()
+    val hwm = hwmRow.getTimestamp(0)
+    ev.filter(col("ts") > lit(hwm))
+      .select(col("event_id"), col("ts"), col("event_type"))
+      .orderBy("event_id")
+  }
+
+  val resumeSql: String =
+    """SELECT event_id, ts, event_type FROM events
+      |WHERE ts > (SELECT max(ts) FROM events
+      |            WHERE event_id < (SELECT count(*) // 2 FROM events))
+      |ORDER BY event_id""".stripMargin
+
+  /** A8/B4: event-type dispatch — CASE chain mapping the type vocabulary
+    * to numeric codes (inverse of the reference enum decode), then a
+    * partial-aggregatable count per code.
+    */
+  def dispatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val code = when(col("event_type") === "signup", 1)
+      .when(col("event_type") === "click", 2)
+      .when(col("event_type") === "view", 3)
+      .when(col("event_type") === "purchase", 4)
+      .when(col("event_type") === "error", 5)
+      .otherwise(0)
+    ev.select(code.as("type_code"), col("event_type"))
+      .groupBy("type_code", "event_type").agg(count(lit(1)).as("n"))
+      .orderBy("type_code")
+  }
+
+  val dispatchSql: String =
+    """SELECT CASE event_type WHEN 'signup' THEN 1 WHEN 'click' THEN 2
+      |  WHEN 'view' THEN 3 WHEN 'purchase' THEN 4 WHEN 'error' THEN 5
+      |  ELSE 0 END AS type_code,
+      |  event_type, count(*) AS n
+      |FROM events GROUP BY 1, 2 ORDER BY type_code""".stripMargin
+
+  /** A6/A7/B5: the portable-number rule exercised across the 2^53
+    * boundary: synthesize u64-scale values from event_id so some fall on
+    * each side, and emit the encoded JSON fragment plus a boolean.
+    */
+  def portable(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val big = col("event_id") * lit(1234567890123L) + col("user_id")
+    ev.select(
+      col("event_id"),
+      big.as("v"),
+      (big <= lit(9007199254740991L)).as("is_safe"),
+      portableU64Json(big).as("encoded")
+    ).orderBy("event_id")
+  }
+
+  val portableSql: String =
+    """SELECT event_id,
+      |  event_id * 1234567890123 + user_id AS v,
+      |  (event_id * 1234567890123 + user_id) <= 9007199254740991 AS is_safe,
+      |  CASE WHEN (event_id * 1234567890123 + user_id) <= 9007199254740991
+      |       THEN CAST(event_id * 1234567890123 + user_id AS VARCHAR)
+      |       ELSE '"' || CAST(event_id * 1234567890123 + user_id AS VARCHAR) || '"'
+      |  END AS encoded
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** A10/B8: routing-key derivation + per-subject fan-out counts — the
+    * partition-planning query a relay operator runs to size its sink.
+    * One hash-aggregate shuffle on the derived key; partial aggregation
+    * map-side keeps shuffled bytes ~ |distinct subjects|.
+    */
+  def routing(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    ev.select(subjectFor(SubjectPrefix, col("user_id"), col("event_type")).as("subject"))
+      .groupBy("subject").agg(count(lit(1)).as("n"))
+      .orderBy("subject")
+  }
+
+  val routingSql: String =
+    """SELECT 'tigerbeetle.cdc.' || CAST(user_id AS VARCHAR) || '.' || event_type AS subject,
+      |  count(*) AS n
+      |FROM events GROUP BY 1 ORDER BY subject""".stripMargin
+
+  /** A12/A13/B9: exact keyed dedup — keep the first event (by ts, then
+    * event_id) per (user_id, event_type) dedup key. Expressed as a
+    * ranking window rather than dropDuplicates so the kept row is
+    * deterministic in both engines.
+    */
+  def dedupExact(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts"), col("event_id"))
+    ev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
+      .orderBy("user_id", "event_type")
+  }
+
+  val dedupExactSql: String =
+    """SELECT user_id, event_type, event_id, ts FROM (
+      |  SELECT user_id, event_type, event_id, ts,
+      |    row_number() OVER (PARTITION BY user_id, event_type
+      |                       ORDER BY ts, event_id) AS rn
+      |  FROM events) WHERE rn = 1
+      |ORDER BY user_id, event_type""".stripMargin
+
+  /** A13/B10: windowed dedup — the batch analog of
+    * `dropDuplicatesWithinWatermark`: first event per key within each
+    * 1-hour bucket. State per (key, bucket) only, exactly like the
+    * streaming state store's watermark-bounded map.
+    */
+  def dedupWindowed(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val bucket = date_trunc("hour", col("ts"))
+    val w = Window.partitionBy(col("user_id"), col("event_type"), bucket)
+      .orderBy(col("ts"), col("event_id"))
+    ev.withColumn("bucket", bucket)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("bucket"),
+        col("event_id"), col("ts"))
+      .orderBy("user_id", "event_type", "bucket")
+  }
+
+  val dedupWindowedSql: String =
+    """SELECT user_id, event_type, bucket, event_id, ts FROM (
+      |  SELECT user_id, event_type, date_trunc('hour', ts) AS bucket,
+      |    event_id, ts,
+      |    row_number() OVER (PARTITION BY user_id, event_type, date_trunc('hour', ts)
+      |                       ORDER BY ts, event_id) AS rn
+      |  FROM events) WHERE rn = 1
+      |ORDER BY user_id, event_type, bucket""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_envelope" -> (envelope _),
+    "cdc_resume" -> (resume _),
+    "cdc_dispatch" -> (dispatch _),
+    "cdc_portable" -> (portable _),
+    "cdc_routing" -> (routing _),
+    "cdc_dedup_exact" -> (dedupExact _),
+    "cdc_dedup_windowed" -> (dedupWindowed _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "cdc_envelope" -> envelopeSql,
+    "cdc_resume" -> resumeSql,
+    "cdc_dispatch" -> dispatchSql,
+    "cdc_portable" -> portableSql,
+    "cdc_routing" -> routingSql,
+    "cdc_dedup_exact" -> dedupExactSql,
+    "cdc_dedup_windowed" -> dedupWindowedSql
+  )
+}

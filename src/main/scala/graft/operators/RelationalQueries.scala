@@ -1,0 +1,572 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** SURVEY.md §2 Part B relational inventory (B1-B27) over the TPC-H-ish
+  * driver tables. Everything is declarative DataFrame API so Catalyst
+  * keeps pushdown/pruning/join-selection; scale notes per query.
+  *
+  * Float determinism: all double aggregation goes through exact
+  * Decimal(18,2) (or bigint cents) partial sums — associative and
+  * order-independent — then casts back to double at the end, so Spark and
+  * DuckDB produce bit-identical results at any parallelism.
+  */
+object RelationalQueries {
+
+  /** Exact decimal sum of a 2-decimal double column, surfaced as double. */
+  private def dsum(c: Column): Column =
+    sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** Exact decimal average: decimal sum / count via IEEE double division. */
+  private def davg(c: Column): Column =
+    (sum(c.cast("decimal(18,2)")).cast("double") / count(lit(1)))
+
+  // -------------------------------------------------------------------
+  // B1: scan + projection + filter pushdown. At 100 TB this is the
+  // bread-and-butter: predicate + projection reach the parquet reader
+  // (PushedFilters / ReadSchema), so only 4 of 11 columns are read and
+  // row groups outside the shipdate range are skipped by min/max stats.
+  // -------------------------------------------------------------------
+  def scanPushdown(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1995-01-01") &&
+        col("l_shipdate") < lit("1995-04-01") && col("l_quantity") < 10)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val scanPushdownSql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1995-04-01'
+      |  AND l_quantity < 10
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // -------------------------------------------------------------------
+  // B2: ordered scan + limit (top-K). Spark plans TakeOrderedAndProject:
+  // per-partition heaps + driver merge of K rows — no global sort, no
+  // full shuffle, O(K) driver memory at any scale.
+  // -------------------------------------------------------------------
+  def topK(s: SparkSession, d: String): DataFrame =
+    events(s, d).orderBy(col("ts").desc, col("event_id").desc).limit(100)
+      .select("event_id", "ts", "user_id", "event_type")
+
+  val topKSql: String =
+    """SELECT event_id, ts, user_id, event_type FROM events
+      |ORDER BY ts DESC, event_id DESC LIMIT 100""".stripMargin
+
+  // -------------------------------------------------------------------
+  // B11: hash aggregation, TPC-H Q1 shape. Partial (map-side) aggregation
+  // shrinks the shuffle to |groups| rows per task before the exchange.
+  // -------------------------------------------------------------------
+  def aggPricing(s: SparkSession, d: String): DataFrame = {
+    val one = lit(1).cast("decimal(3,2)")
+    val disc = col("l_discount").cast("decimal(3,2)")
+    val price = col("l_extendedprice").cast("decimal(18,2)")
+    lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(price * (one - disc)).cast("double").as("sum_disc_price"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val aggPricingSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+      |  CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // -------------------------------------------------------------------
+  // B7: 3-way join (the reference's upstream denormalization shape,
+  // SURVEY.md §1.3). customer is a dimension → explicit broadcast: the
+  // fact table never shuffles for that join. lineitem⋈orders is the big
+  // equi-join; AQE picks SMJ/shuffled-hash and handles skew.
+  // -------------------------------------------------------------------
+  def join3(s: SparkSession, d: String): DataFrame = {
+    val one = lit(1).cast("decimal(3,2)")
+    val revenue = col("l_extendedprice").cast("decimal(18,2)") *
+      (one - col("l_discount").cast("decimal(3,2)"))
+    lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), year(col("o_orderdate")).as("order_year"))
+      .agg(sum(revenue).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("c_mktsegment", "order_year")
+  }
+
+  val join3Sql: String =
+    """SELECT c_mktsegment, CAST(year(o_orderdate) AS INT) AS order_year,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1, 2 ORDER BY c_mktsegment, order_year""".stripMargin
+
+  // -------------------------------------------------------------------
+  // B13: rollup. Labels coalesced so no NULL ordering divergence between
+  // engines; one shuffle, Expand feeds the same partial-agg pipeline.
+  // -------------------------------------------------------------------
+  def rollupAgg(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("n"))
+      .orderBy("returnflag", "linestatus")
+
+  val rollupAggSql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+      |  coalesce(l_linestatus, 'ALL') AS linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY returnflag, linestatus""".stripMargin
+
+  // -------------------------------------------------------------------
+  // B14: ranking window functions — top-3 customers by balance per
+  // nation. Single shuffle on the partition key; rank ties are
+  // deterministic (same value both engines), row selection is pinned by
+  // the row_number tiebreaker.
+  // -------------------------------------------------------------------
+  def rankWindow(s: SparkSession, d: String): DataFrame = {
+    val byBal = Window.partitionBy("c_nationkey")
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    val byBalOnly = Window.partitionBy("c_nationkey")
+      .orderBy(col("c_acctbal").desc)
+    customer(s, d)
+      .withColumn("rn", row_number().over(byBal))
+      .withColumn("rnk", rank().over(byBalOnly))
+      .withColumn("drnk", dense_rank().over(byBalOnly))
+      .filter(col("rn") <= 3)
+      .select("c_nationkey", "rn", "rnk", "drnk", "c_custkey", "c_acctbal")
+      .orderBy("c_nationkey", "rn")
+  }
+
+  val rankWindowSql: String =
+    """SELECT c_nationkey, rn, rnk, drnk, c_custkey, c_acctbal FROM (
+      |  SELECT c_nationkey, c_custkey, c_acctbal,
+      |    row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn,
+      |    rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS rnk,
+      |    dense_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS drnk
+      |  FROM customer) WHERE rn <= 3
+      |ORDER BY c_nationkey, rn""".stripMargin
+
+  // -------------------------------------------------------------------
+  // B15: analytic window functions — lag/lead + running sum per user in
+  // exact bigint cents. One shuffle on user_id; frames run inside the
+  // sorted partition with no extra exchange.
+  // -------------------------------------------------------------------
+  def analyticWindow(s: SparkSession, d: String): DataFrame = {
+    val cents = round(col("value") * 100).cast("long")
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .withColumn("cents", cents)
+      .select(col("user_id"), col("event_id"), col("ts"), col("cents"),
+        lag(col("cents"), 1).over(w).as("prev_cents"),
+        lead(col("cents"), 1).over(w).as("next_cents"),
+        sum(col("cents")).over(wsum).as("running_cents"))
+      .orderBy("user_id", "ts", "event_id")
+  }
+
+  val analyticWindowSql: String =
+    """SELECT user_id, event_id, ts,
+      |  CAST(round(value * 100) AS BIGINT) AS cents,
+      |  lag(CAST(round(value * 100) AS BIGINT), 1) OVER w AS prev_cents,
+      |  lead(CAST(round(value * 100) AS BIGINT), 1) OVER w AS next_cents,
+      |  sum(CAST(round(value * 100) AS BIGINT)) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, ts, event_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // B16: tumbling time windows (1 hour) — the batch form of a windowed
+  // streaming aggregation. date_trunc keeps the column a plain group key
+  // so partial aggregation applies.
+  // -------------------------------------------------------------------
+  def timeWindow(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+      .orderBy("hour", "event_type")
+
+  val timeWindowSql: String =
+    """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+      |  sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+      |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
+
+  // -------------------------------------------------------------------
+  // B17: session windows via gaps-and-islands: a new session starts
+  // after a >30-minute silence per user. Two window passes over the same
+  // (user_id, ts) sort — Spark reuses the single exchange+sort.
+  // -------------------------------------------------------------------
+  def sessionWindow(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gap = unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
+    val isNew = when(gap.isNull || gap > lit(1800000000L), 1L).otherwise(0L)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .withColumn("session_id", sum(isNew).over(wRun))
+      .groupBy("user_id", "session_id")
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id", "session_id")
+  }
+
+  val sessionWindowSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sessions AS (
+      |  SELECT user_id, ts,
+      |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged)
+      |SELECT user_id, session_id, min(ts) AS session_start,
+      |  max(ts) AS session_end, count(*) AS n_events
+      |FROM sessions GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // B18: broadcast-hash join — part is a dimension; the hint guarantees
+  // the fact side never shuffles regardless of stats quality.
+  // -------------------------------------------------------------------
+  def joinBroadcast(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy("p_brand")
+
+  val joinBroadcastSql: String =
+    """SELECT p_brand,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  count(*) AS n
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  // -------------------------------------------------------------------
+  // B19: semi and anti joins. Semi: nations ranked by customers that
+  // have orders. Anti: customers with no orders. Left-semi/anti never
+  // materialize the probe side's payload — minimal shuffle width.
+  // -------------------------------------------------------------------
+  def semiJoin(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy("c_nationkey").agg(count(lit(1)).as("n_active_customers"))
+      .orderBy("c_nationkey")
+
+  val semiJoinSql: String =
+    """SELECT c_nationkey, count(*) AS n_active_customers
+      |FROM customer WHERE EXISTS
+      |  (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
+  def antiJoin(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_nationkey", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  val antiJoinSql: String =
+    """SELECT c_custkey, c_nationkey, c_mktsegment
+      |FROM customer WHERE NOT EXISTS
+      |  (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  // -------------------------------------------------------------------
+  // B20: as-of join — for each purchase, the user's most recent earlier
+  // click. Equi-join on user_id + range predicate, then keep latest via
+  // row_number. Spark executes the equi-part as a hash/SMJ join on
+  // user_id (co-partitioned), so the quadratic blowup is bounded per
+  // user, not global; at scale add a time-bucket band to the key.
+  // -------------------------------------------------------------------
+  def asofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val joined = p.join(c,
+      col("p_user") === col("c_user") && col("click_ts") < col("purchase_ts"),
+      "left")
+    val w = Window.partitionBy("purchase_id")
+      .orderBy(col("click_ts").desc_nulls_last, col("click_id").desc_nulls_last)
+    joined.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("purchase_ts"), col("click_id"), col("click_ts"))
+      .orderBy("purchase_id")
+  }
+
+  val asofJoinSql: String =
+    """SELECT purchase_id, user_id, purchase_ts, click_id, click_ts FROM (
+      |  SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+      |    p.ts AS purchase_ts, c.event_id AS click_id, c.ts AS click_ts,
+      |    row_number() OVER (PARTITION BY p.event_id
+      |      ORDER BY c.ts DESC NULLS LAST, c.event_id DESC NULLS LAST) AS rn
+      |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |    ON c.user_id = p.user_id AND c.ts < p.ts)
+      |WHERE rn = 1 ORDER BY purchase_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // B21: set operations over user-id sets from different event slices.
+  // -------------------------------------------------------------------
+  def setOps(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    def users(t: String) =
+      ev.filter(col("event_type") === t).select("user_id").distinct()
+    val both = users("click").intersect(users("purchase"))
+      .withColumn("tag", lit("click_and_purchase"))
+    val clickOnly = users("click").except(users("purchase"))
+      .withColumn("tag", lit("click_only"))
+    val any = users("signup").union(users("error")).distinct()
+      .withColumn("tag", lit("signup_or_error"))
+    both.union(clickOnly).union(any)
+      .select("tag", "user_id").orderBy("tag", "user_id")
+  }
+
+  val setOpsSql: String =
+    """SELECT 'click_and_purchase' AS tag, user_id FROM (
+      |  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+      |  INTERSECT SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+      |UNION ALL
+      |SELECT 'click_only' AS tag, user_id FROM (
+      |  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+      |  EXCEPT SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+      |UNION ALL
+      |SELECT 'signup_or_error' AS tag, user_id FROM (
+      |  SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'
+      |  UNION SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+      |ORDER BY tag, user_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // B22: string function battery over customer names.
+  // -------------------------------------------------------------------
+  def stringFns(s: SparkSession, d: String): DataFrame =
+    customer(s, d).select(
+      col("c_custkey"),
+      upper(col("c_name")).as("uname"),
+      length(col("c_name")).as("name_len"),
+      substring(col("c_name"), 1, 8).as("prefix"),
+      regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"),
+      concat_ws("-", col("c_mktsegment"), col("c_nationkey").cast("string")).as("seg_key"),
+      split(col("c_name"), "#").getItem(1).as("id_part")
+    ).orderBy("c_custkey")
+
+  val stringFnsSql: String =
+    """SELECT c_custkey, upper(c_name) AS uname,
+      |  CAST(length(c_name) AS INT) AS name_len,
+      |  substr(c_name, 1, 8) AS prefix,
+      |  regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+      |  c_mktsegment || '-' || CAST(c_nationkey AS VARCHAR) AS seg_key,
+      |  split_part(c_name, '#', 2) AS id_part
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  // -------------------------------------------------------------------
+  // B23: date/time functions — extraction, truncation, interval math.
+  // dayofweek normalized to DuckDB's 0=Sunday convention.
+  // -------------------------------------------------------------------
+  def dateTimeFns(s: SparkSession, d: String): DataFrame =
+    orders(s, d).select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).as("y"),
+      month(col("o_orderdate")).as("m"),
+      dayofmonth(col("o_orderdate")).as("dom"),
+      (dayofweek(col("o_orderdate")) - 1).as("dow"),
+      date_trunc("month", col("o_orderdate")).as("month_start"),
+      (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("due_date"),
+      date_format(col("o_orderdate"), "yyyy-MM").as("ym")
+    ).orderBy("o_orderkey")
+
+  val dateTimeFnsSql: String =
+    """SELECT o_orderkey,
+      |  CAST(year(o_orderdate) AS INT) AS y,
+      |  CAST(month(o_orderdate) AS INT) AS m,
+      |  CAST(day(o_orderdate) AS INT) AS dom,
+      |  CAST(dayofweek(o_orderdate) AS INT) AS dow,
+      |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+      |  o_orderdate + INTERVAL 30 DAY AS due_date,
+      |  strftime(o_orderdate, '%Y-%m') AS ym
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  // -------------------------------------------------------------------
+  // B24: u64-scale exact integer arithmetic — the balance-sum shape from
+  // the reference's account fields (§1.2), in bigint cents.
+  // -------------------------------------------------------------------
+  def decimalMath(s: SparkSession, d: String): DataFrame = {
+    val cents = round(col("l_extendedprice") * 100).cast("long")
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(sum(cents).as("sum_cents"), max(cents).as("max_cents"),
+        min(cents).as("min_cents"), count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  val decimalMathSql: String =
+    """SELECT l_returnflag,
+      |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_cents,
+      |  max(CAST(round(l_extendedprice * 100) AS BIGINT)) AS max_cents,
+      |  min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS min_cents,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // -------------------------------------------------------------------
+  // B25: array functions over the embeddings table (no float
+  // arithmetic — element access and ordering compare exactly).
+  // -------------------------------------------------------------------
+  def arrayFns(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).select(
+      col("vec_id"),
+      size(col("embedding")).as("dim"),
+      element_at(col("embedding"), 1).as("first_val"),
+      array_min(col("embedding")).as("min_val"),
+      array_max(col("embedding")).as("max_val"),
+      col("label")
+    ).orderBy("vec_id")
+
+  val arrayFnsSql: String =
+    """SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
+      |  embedding[1] AS first_val,
+      |  list_min(embedding) AS min_val,
+      |  list_max(embedding) AS max_val,
+      |  label
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // B26: map functions — the header map from the CDC envelope (A11),
+  // built then queried; the oracle computes the same scalars directly.
+  // -------------------------------------------------------------------
+  def mapFns(s: SparkSession, d: String): DataFrame = {
+    val headers = map(
+      lit("event_type"), col("event_type"),
+      lit("ledger"), col("user_id").cast("string"),
+      lit("k"), coalesce(get_json_object(col("props"), "$.k"), lit("")))
+    events(s, d)
+      .withColumn("headers", headers)
+      .select(
+        col("event_id"),
+        element_at(col("headers"), "event_type").as("h_type"),
+        element_at(col("headers"), "ledger").as("h_ledger"),
+        element_at(col("headers"), "k").as("h_k"),
+        size(col("headers")).as("n_headers"),
+        concat_ws(",", map_keys(col("headers"))).as("key_list"))
+      .orderBy("event_id")
+  }
+
+  val mapFnsSql: String =
+    """SELECT event_id,
+      |  event_type AS h_type,
+      |  CAST(user_id AS VARCHAR) AS h_ledger,
+      |  coalesce(json_extract_string(props, '$.k'), '') AS h_k,
+      |  3 AS n_headers,
+      |  'event_type,ledger,k' AS key_list
+      |FROM events ORDER BY event_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // B27: JSON functions — parse events.props, extract + aggregate.
+  // -------------------------------------------------------------------
+  def jsonFns(s: SparkSession, d: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("int")
+    events(s, d)
+      .withColumn("k", k)
+      .groupBy((col("k") % 10).as("k_mod"))
+      .agg(count(lit(1)).as("n"), min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy("k_mod")
+  }
+
+  val jsonFnsSql: String =
+    """SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod,
+      |  count(*) AS n,
+      |  min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+      |  max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+      |FROM events GROUP BY 1 ORDER BY k_mod""".stripMargin
+
+  // -------------------------------------------------------------------
+  // B12: exact distinct counts (approx variant lives in rows-only
+  // queries — approximation has no deterministic oracle).
+  // -------------------------------------------------------------------
+  def distinctCounts(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
+  val distinctCountsSql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS n_users,
+      |  count(*) AS n_events
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_scan_pushdown" -> (scanPushdown _),
+    "rel_topk" -> (topK _),
+    "rel_agg_pricing" -> (aggPricing _),
+    "rel_join3" -> (join3 _),
+    "rel_rollup" -> (rollupAgg _),
+    "rel_rank_window" -> (rankWindow _),
+    "rel_analytic_window" -> (analyticWindow _),
+    "rel_time_window" -> (timeWindow _),
+    "rel_session_window" -> (sessionWindow _),
+    "rel_join_broadcast" -> (joinBroadcast _),
+    "rel_semi_join" -> (semiJoin _),
+    "rel_anti_join" -> (antiJoin _),
+    "rel_asof_join" -> (asofJoin _),
+    "rel_set_ops" -> (setOps _),
+    "rel_string_fns" -> (stringFns _),
+    "rel_datetime_fns" -> (dateTimeFns _),
+    "rel_decimal_math" -> (decimalMath _),
+    "rel_array_fns" -> (arrayFns _),
+    "rel_map_fns" -> (mapFns _),
+    "rel_json_fns" -> (jsonFns _),
+    "rel_distinct" -> (distinctCounts _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "rel_scan_pushdown" -> scanPushdownSql,
+    "rel_topk" -> topKSql,
+    "rel_agg_pricing" -> aggPricingSql,
+    "rel_join3" -> join3Sql,
+    "rel_rollup" -> rollupAggSql,
+    "rel_rank_window" -> rankWindowSql,
+    "rel_analytic_window" -> analyticWindowSql,
+    "rel_time_window" -> timeWindowSql,
+    "rel_session_window" -> sessionWindowSql,
+    "rel_join_broadcast" -> joinBroadcastSql,
+    "rel_semi_join" -> semiJoinSql,
+    "rel_anti_join" -> antiJoinSql,
+    "rel_asof_join" -> asofJoinSql,
+    "rel_set_ops" -> setOpsSql,
+    "rel_string_fns" -> stringFnsSql,
+    "rel_datetime_fns" -> dateTimeFnsSql,
+    "rel_decimal_math" -> decimalMathSql,
+    "rel_array_fns" -> arrayFnsSql,
+    "rel_map_fns" -> mapFnsSql,
+    "rel_json_fns" -> jsonFnsSql,
+    "rel_distinct" -> distinctCountsSql
+  )
+}

@@ -1,0 +1,311 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Text-analysis + deduplication operators for LLM-data pipelines
+  * (SURVEY.md §2 Part B: B28/B30 and the charter's dedup family) over the
+  * `documents` table.
+  *
+  * Cross-engine deterministic hashing: both Spark and DuckDB expose md5
+  * as a lowercase hex string, so `bigint(conv(substr(md5(x),1,15),16,10))`
+  * (Spark) == `('0x'||substr(md5(x),1,15))::BIGINT` (DuckDB) — a 60-bit
+  * positive hash both engines agree on exactly. All MinHash/SimHash/
+  * fingerprint math is built on it, which is what makes these operators
+  * oracle-checkable.
+  *
+  * Scale design: every per-document operator is a narrow projection over
+  * one scan (embarrassingly parallel); MinHash-LSH turns the quadratic
+  * near-dup problem into group-by-bucket + per-bucket joins, the standard
+  * 100 TB-safe shape.
+  */
+object TextQueries {
+
+  /** Tokenize on single spaces (the corpus is space-separated words). */
+  private def toks: Column = split(col("text"), " ")
+
+  /** 60-bit cross-engine hash of a string column (see object doc). */
+  private def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  private def h60Sql(e: String): String =
+    s"CAST(('0x' || substr(md5($e), 1, 15)) AS BIGINT)"
+
+  // -------------------------------------------------------------------
+  // B28a: corpus top terms — explode + count + top-K by (count, term).
+  // Partial aggregation makes the shuffle |vocabulary|-sized, and the
+  // final top-K is TakeOrderedAndProject (no global sort).
+  // -------------------------------------------------------------------
+  def topTerms(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(explode(toks).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term")).limit(50)
+
+  val topTermsSql: String =
+    """SELECT term, count(*) AS n FROM (
+      |  SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+      |WHERE term <> '' GROUP BY term
+      |ORDER BY n DESC, term LIMIT 50""".stripMargin
+
+  // -------------------------------------------------------------------
+  // B28b: per-document text statistics — token counting, unique-token
+  // counting, average token length, stopword ratio, and a stopword-based
+  // language-ID heuristic. Pure per-row map work, no shuffle at all.
+  // -------------------------------------------------------------------
+  private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+  private val stopList = Stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  def textStats(s: SparkSession, d: String): DataFrame = {
+    val nTok = size(toks)
+    val nUniq = size(array_distinct(toks))
+    val nStop = size(expr(s"filter(split(text, ' '), x -> x IN $stopList)"))
+    val sumLen = expr("aggregate(split(text, ' '), 0L, (acc, x) -> acc + length(x))")
+    documents(s, d).select(
+      col("doc_id"),
+      col("lang"),
+      nTok.as("n_tokens"),
+      nUniq.as("n_unique"),
+      (nUniq.cast("double") / nTok).as("uniq_ratio"),
+      (sumLen.cast("double") / nTok).as("avg_token_len"),
+      (nStop.cast("double") / nTok).as("stopword_ratio"),
+      when(nStop.cast("double") / nTok > 0.12, lit("en"))
+        .otherwise(lit("other")).as("lang_guess"),
+      col("n_chars")
+    ).orderBy("doc_id")
+  }
+
+  val textStatsSql: String =
+    s"""SELECT doc_id, lang,
+       |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+       |  CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_unique,
+       |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')) AS uniq_ratio,
+       |  CAST(list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS DOUBLE) / len(string_split(text, ' ')) AS avg_token_len,
+       |  CAST(len(list_filter(string_split(text, ' '), x -> x IN $stopList)) AS DOUBLE) / len(string_split(text, ' ')) AS stopword_ratio,
+       |  CASE WHEN CAST(len(list_filter(string_split(text, ' '), x -> x IN $stopList)) AS DOUBLE) / len(string_split(text, ' ')) > 0.12
+       |       THEN 'en' ELSE 'other' END AS lang_guess,
+       |  n_chars
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // B28c: document fingerprinting — order-independent aggregates (min /
+  // bit_xor / sum) of per-token hashes. A content fingerprint computable
+  // with one pass and mergeable across partitions.
+  // -------------------------------------------------------------------
+  def fingerprint(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col("doc_id"), h60(col("tok")).as("h"))
+      .groupBy("doc_id")
+      .agg(min(col("h")).as("min_hash"),
+        expr("bit_xor(h)").as("xor_hash"),
+        // modular sum in exact decimal so the 60-bit hashes can't
+        // overflow a long under ANSI mode, in either engine
+        (sum(col("h").cast("decimal(38,0)")) % lit(1152921504606846976L))
+          .cast("long").as("sum_hash"),
+        count(lit(1)).as("n_tokens"))
+      .orderBy("doc_id")
+
+  val fingerprintSql: String = {
+    val h = h60Sql("tok")
+    s"""SELECT doc_id, min($h) AS min_hash, bit_xor($h) AS xor_hash,
+       |  CAST(sum(CAST($h AS HUGEINT)) % 1152921504606846976 AS BIGINT) AS sum_hash,
+       |  count(*) AS n_tokens
+       |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+       |WHERE tok <> '' GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // Dedup 1 (exact): hash-groupBy on full text — the canonical exact
+  // dedup at scale (shuffle on md5, not on the text payload itself).
+  // Emits one canonical doc per distinct text plus the duplicate count.
+  // -------------------------------------------------------------------
+  def dedupExactText(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy(md5(col("text")).as("text_md5"))
+      .agg(min(col("doc_id")).as("canonical_doc"), count(lit(1)).as("n_copies"))
+      .orderBy("canonical_doc")
+
+  val dedupExactTextSql: String =
+    """SELECT md5(text) AS text_md5, min(doc_id) AS canonical_doc,
+      |  count(*) AS n_copies
+      |FROM documents GROUP BY md5(text) ORDER BY canonical_doc""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Dedup 2 (MinHash over 3-gram shingles): word unigrams are
+  // non-discriminative (tiny shared vocabulary ⇒ every token-set
+  // Jaccard ≈ 1), so signatures hash word 3-gram shingles — order-
+  // sensitive, high-cardinality, the standard shingle→minhash→band
+  // pipeline. k=8 permutations simulated by seeded hashes; per-doc
+  // signature is 8 mins — one explode + one groupBy, mergeable partial
+  // mins, shuffle is |docs| × 8 longs.
+  // -------------------------------------------------------------------
+  private val MinhashSeeds = 0 until 8
+
+  /** Word 3-gram shingles of `text`, as an array column (empty if the
+    * document has fewer than 3 tokens).
+    */
+  private def shingles: Column = {
+    val sh = expr(
+      """transform(sequence(1, size(split(text, ' ')) - 2),
+        |  i -> concat(element_at(split(text, ' '), i), ' ',
+        |              element_at(split(text, ' '), i + 1), ' ',
+        |              element_at(split(text, ' '), i + 2)))""".stripMargin)
+    when(size(toks) >= 3, sh).otherwise(array().cast("array<string>"))
+  }
+
+  private val shinglesSql: String =
+    """list_transform(range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+      |    i -> string_split(text, ' ')[i] || ' ' ||
+      |         string_split(text, ' ')[i+1] || ' ' ||
+      |         string_split(text, ' ')[i+2])""".stripMargin
+
+  def minhashSignatures(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d)
+      .select(col("doc_id"), explode(shingles).as("sh"))
+    val aggs = MinhashSeeds.map { i =>
+      min(h60(concat(lit(s"mh$i:"), col("sh")))).as(s"sig_$i")
+    }
+    base.groupBy("doc_id").agg(aggs.head, aggs.tail: _*).orderBy("doc_id")
+  }
+
+  val minhashSignaturesSql: String = {
+    val sigs = MinhashSeeds.map { i =>
+      s"  min(${h60Sql(s"'mh$i:' || sh")}) AS sig_$i"
+    }.mkString(",\n")
+    s"""SELECT doc_id,
+       |$sigs
+       |FROM (SELECT doc_id, unnest($shinglesSql) AS sh FROM documents)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // Dedup 3 (MinHash-LSH near-dup pairs): band the 8-wide signature into
+  // 4 bands of 2, bucket-join within bands, then verify candidates with
+  // exact shingle-set Jaccard (B30). The LSH bucket join replaces the
+  // all-pairs cross join — candidate count scales with collisions, not
+  // |docs|². Jaccard verification joins exploded distinct shingles only
+  // for candidate pairs.
+  // -------------------------------------------------------------------
+  def neardupPairs(s: SparkSession, d: String): DataFrame = {
+    val sigs = minhashSignatures(s, d)
+    val bands = (0 until 4).map { b =>
+      sigs.select(col("doc_id"), lit(b).as("band"),
+        concat_ws("_", col(s"sig_${2 * b}"), col(s"sig_${2 * b + 1}")).as("bkey"))
+    }.reduce(_ union _)
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val dsh = documents(s, d)
+      .select(col("doc_id"), explode(array_distinct(shingles)).as("sh"))
+    val sizes = dsh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(dsh.as("ta"), col("doc_a") === col("ta.doc_id"))
+      .join(dsh.as("tb"), col("doc_b") === col("tb.doc_id") &&
+        col("ta.sh") === col("tb.sh"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        (col("n_common").cast("double") /
+          (col("sa.n") + col("sb.n") - col("n_common"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.4)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val neardupPairsSql: String = {
+    val sigsSql = minhashSignaturesSql.replace("ORDER BY doc_id", "")
+    s"""WITH sigs AS ($sigsSql),
+       |bands AS (
+       |  SELECT doc_id, 0 AS band, CAST(sig_0 AS VARCHAR) || '_' || CAST(sig_1 AS VARCHAR) AS bkey FROM sigs
+       |  UNION ALL SELECT doc_id, 1, CAST(sig_2 AS VARCHAR) || '_' || CAST(sig_3 AS VARCHAR) FROM sigs
+       |  UNION ALL SELECT doc_id, 2, CAST(sig_4 AS VARCHAR) || '_' || CAST(sig_5 AS VARCHAR) FROM sigs
+       |  UNION ALL SELECT doc_id, 3, CAST(sig_6 AS VARCHAR) || '_' || CAST(sig_7 AS VARCHAR) FROM sigs),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+       |dsh AS (
+       |  SELECT doc_id, unnest(list_distinct($shinglesSql)) AS sh
+       |  FROM documents),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT doc_a, doc_b, count(*) AS n_common
+       |  FROM cand
+       |  JOIN dsh ta ON ta.doc_id = doc_a
+       |  JOIN dsh tb ON tb.doc_id = doc_b AND tb.sh = ta.sh
+       |  GROUP BY doc_a, doc_b)
+       |SELECT doc_a, doc_b, n_common,
+       |  CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = doc_a
+       |JOIN sizes sb ON sb.doc_id = doc_b
+       |WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.4
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // Dedup 4 (SimHash): 16-bit simhash — per bit b, sign of
+  // sum(±1 over token hashes' bit b); fingerprint = Σ bit<<b. All
+  // order-independent integer aggregates → deterministic and mergeable.
+  // -------------------------------------------------------------------
+  private val SimhashBits = 16
+
+  def simhash(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d)
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col("doc_id"), h60(col("tok")).as("h"))
+    val bitAggs = (0 until SimhashBits).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+        .as(s"s_$b")
+    }
+    val agg = base.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+    val fp = (0 until SimhashBits).map { b =>
+      when(col(s"s_$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    agg.select(col("doc_id"), fp.as("simhash16")).orderBy("doc_id")
+  }
+
+  val simhashSql: String = {
+    val h = h60Sql("tok")
+    val sums = (0 until SimhashBits).map { b =>
+      s"  sum(CASE WHEN ($h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s_$b"
+    }.mkString(",\n")
+    val fp = (0 until SimhashBits).map { b =>
+      s"(CASE WHEN s_$b > 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH bits AS (
+       |  SELECT doc_id,
+       |$sums
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+       |  WHERE tok <> '' GROUP BY doc_id)
+       |SELECT doc_id, $fp AS simhash16 FROM bits ORDER BY doc_id""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_top_terms" -> (topTerms _),
+    "text_stats" -> (textStats _),
+    "text_fingerprint" -> (fingerprint _),
+    "dedup_exact_text" -> (dedupExactText _),
+    "dedup_minhash_sig" -> (minhashSignatures _),
+    "dedup_neardup_pairs" -> (neardupPairs _),
+    "dedup_simhash" -> (simhash _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "text_top_terms" -> topTermsSql,
+    "text_stats" -> textStatsSql,
+    "text_fingerprint" -> fingerprintSql,
+    "dedup_exact_text" -> dedupExactTextSql,
+    "dedup_minhash_sig" -> minhashSignaturesSql,
+    "dedup_neardup_pairs" -> neardupPairsSql,
+    "dedup_simhash" -> simhashSql
+  )
+}

@@ -1,0 +1,194 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Similarity search over the `embeddings` table (SURVEY.md §2 B29 + the
+  * charter's ANN requirement). dim = 64 (fixed by the corpus).
+  *
+  * Determinism across engines: dot products are generated as explicit
+  * 64-term left-associated sum expressions — `a[1]*b[1] + a[2]*b[2] + …`
+  * — in BOTH the Spark Column tree and the DuckDB oracle SQL, so the IEEE
+  * evaluation order is bit-identical. Similarities are additionally
+  * rounded to 6 decimals with vec_id tiebreaks before any top-K cut.
+  *
+  * Scale design: brute-force kNN is broadcast(Q) × scan(N) — linear in N,
+  * embarrassingly parallel, the right baseline below ~10^9 vectors; the
+  * LSH variant buckets by deterministic random-hyperplane signs so the
+  * search touches one bucket (candidate set ~ N / 2^planes), which is the
+  * 100 TB path. Top-K is TakeOrderedAndProject (per-partition heaps, no
+  * global sort).
+  */
+object VectorQueries {
+
+  private val Dim = 64
+  private val Planes = 8
+
+  /** Explicit dot product of two embedding columns, cast to double. */
+  private def dot(a: String, b: String): Column =
+    (1 to Dim).map { i =>
+      element_at(col(a), i).cast("double") * element_at(col(b), i).cast("double")
+    }.reduce(_ + _)
+
+  private def dotSql(a: String, b: String): String =
+    (1 to Dim).map(i => s"CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE)")
+      .mkString(" + ")
+
+  private def cosine(a: String, b: String): Column =
+    round(dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b))), 6)
+
+  private def cosineSql(a: String, b: String): String =
+    s"round((${dotSql(a, b)}) / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})), 6)"
+
+  /** Deterministic pseudo-random hyperplanes shared by Spark and the
+    * oracle: component (j,i) = (md5-hash mod 2001 - 1000), used as the
+    * integer numerator of m/1000.0. Computed here with MessageDigest —
+    * identical to the engines' md5 — and inlined as literals on both
+    * sides.
+    */
+  private[operators] lazy val planeNumerators: Array[Array[Long]] = {
+    val mdig = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(Planes, Dim) { (j, i) =>
+      val hex = mdig.digest(s"pl$j:$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16) % 2001L - 1000L
+    }
+  }
+
+  /** Signed projection of the embedding on plane j, as a Column. */
+  private def planeDot(j: Int): Column =
+    (0 until Dim).map { i =>
+      element_at(col("embedding"), i + 1).cast("double") *
+        (lit(planeNumerators(j)(i).toDouble) / lit(1000.0))
+    }.reduce(_ + _)
+
+  private def planeDotSql(j: Int): String =
+    (0 until Dim).map { i =>
+      s"CAST(embedding[${i + 1}] AS DOUBLE) * (${planeNumerators(j)(i)}.0/1000.0)"
+    }.mkString(" + ")
+
+  /** LSH bucket id: sign bit per hyperplane. */
+  private def bucket: Column =
+    (0 until Planes).map { j =>
+      when(planeDot(j) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  private def bucketSql: String =
+    (0 until Planes).map { j =>
+      s"(CASE WHEN (${planeDotSql(j)}) > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+
+  // -------------------------------------------------------------------
+  // B29a: brute-force cosine top-K for one query vector (vec_id = 0).
+  // -------------------------------------------------------------------
+  def knnBruteForce(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_embedding"))
+    e.filter(col("vec_id") > 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        cosine("embedding", "q_embedding").as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(20)
+  }
+
+  val knnBruteForceSql: String = {
+    val cos = cosineSql("a.embedding", "q.embedding")
+    s"""SELECT a.vec_id, a.label, $cos AS sim
+       |FROM embeddings a, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+       |WHERE a.vec_id > 0
+       |ORDER BY sim DESC, a.vec_id LIMIT 20""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // B29b: batched kNN — 5 query vectors against the corpus in one scan,
+  // top-10 each via a ranking window partitioned by query id. This is
+  // the production brute-force shape: broadcast the query batch, scan
+  // the corpus once.
+  // -------------------------------------------------------------------
+  def knnMulti(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding"))
+    val scored = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("label"),
+        cosine("embedding", "q_embedding").as("sim"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+      .select("q_id", "rn", "vec_id", "label", "sim")
+      .orderBy("q_id", "rn")
+  }
+
+  val knnMultiSql: String = {
+    val cos = cosineSql("a.embedding", "q.q_embedding")
+    s"""SELECT q_id, rn, vec_id, label, sim FROM (
+       |  SELECT q.q_id, a.vec_id, a.label, $cos AS sim,
+       |    row_number() OVER (PARTITION BY q.q_id ORDER BY $cos DESC, a.vec_id) AS rn
+       |  FROM embeddings a,
+       |    (SELECT vec_id AS q_id, embedding AS q_embedding
+       |     FROM embeddings WHERE vec_id < 5) q
+       |  WHERE a.vec_id <> q.q_id)
+       |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // B29c: LSH bucket histogram — the partitioning layer of the ANN
+  // index. Buckets are deterministic sign-hashes; the histogram is the
+  // query a planner runs to check index balance.
+  // -------------------------------------------------------------------
+  def lshBuckets(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(bucket.as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_vectors"))
+      .orderBy("bucket")
+
+  val lshBucketsSql: String =
+    s"""SELECT ($bucketSql) AS bucket, count(*) AS n_vectors
+       |FROM embeddings GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  // -------------------------------------------------------------------
+  // B29d: ANN search through the LSH index — candidates = vectors in the
+  // query's bucket, then exact cosine re-rank of candidates only. At
+  // scale the bucket column is a partition key, so this prunes the scan
+  // to ~N/2^planes rows.
+  // -------------------------------------------------------------------
+  def lshAnn(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d).withColumn("bucket", bucket)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_embedding"), col("bucket").as("q_bucket"))
+    e.filter(col("vec_id") > 0)
+      .join(broadcast(q), col("bucket") === col("q_bucket"))
+      .select(col("vec_id"), col("label"),
+        cosine("embedding", "q_embedding").as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  val lshAnnSql: String = {
+    val cos = cosineSql("a.embedding", "q.embedding")
+    s"""WITH be AS (SELECT vec_id, label, embedding, ($bucketSql) AS bucket
+       |            FROM embeddings),
+       |q AS (SELECT embedding, bucket FROM be WHERE vec_id = 0)
+       |SELECT a.vec_id, a.label, $cos AS sim
+       |FROM be a, q WHERE a.vec_id > 0 AND a.bucket = q.bucket
+       |ORDER BY sim DESC, a.vec_id LIMIT 10""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vec_knn_bruteforce" -> (knnBruteForce _),
+    "vec_knn_multi" -> (knnMulti _),
+    "vec_lsh_buckets" -> (lshBuckets _),
+    "vec_lsh_ann" -> (lshAnn _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "vec_knn_bruteforce" -> knnBruteForceSql,
+    "vec_knn_multi" -> knnMultiSql,
+    "vec_lsh_buckets" -> lshBucketsSql,
+    "vec_lsh_ann" -> lshAnnSql
+  )
+}
