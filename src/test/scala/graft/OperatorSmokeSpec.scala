@@ -1,0 +1,34 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Every registered operator runs on sf0.001 under the test session and
+  * yields a sane result (value correctness is the DuckDB oracle's job —
+  * this catches runtime regressions fast).
+  */
+class OperatorSmokeSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  // Queries whose correct result may legitimately be empty at sf0.001.
+  private val mayBeEmpty = Set("rel_anti_join", "dedup_neardup_pairs")
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"$name runs on sf0.001") {
+      val df = fn(spark, sf)
+      val n = df.count()
+      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("every query has an oracle or is knowingly rows-only") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // keep this list tiny and intentional
+    assert(missing.isEmpty, s"queries without oracle SQL: $missing")
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
