@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+import graft.functions.CdcFunctions._
+
+/** The reference's CDC relay (SURVEY.md §2 A1-A16, §3) as a Structured
+  * Streaming pipeline:
+  *
+  *   - A1/A2/A3 ordered scan + resume offset → file streaming source with
+  *     the checkpoint's file log as the progress record; a restart
+  *     resumes exactly where the last committed epoch left off.
+  *   - A4/A5 idle throttle + rate limit → trigger pacing +
+  *     `maxFilesPerTrigger`.
+  *   - A6-A12 encode/route → the same codegen'd column expressions as the
+  *     batch path (one code path, two execution modes).
+  *   - A13 broker dedup window → `dropDuplicatesWithinWatermark` keyed by
+  *     the deterministic msg-id, bounded by the same 2-minute default
+  *     (reference config.go:39).
+  *   - A14-A16 publish + ack barrier + chunked checkpoint → `foreachBatch`:
+  *     the batch write is the publish, its completion the ack barrier, and
+  *     the epoch commit the progress write. Crash between write and
+  *     commit ⇒ replay ⇒ at-least-once, deduped downstream — exactly the
+  *     reference's contract (README.md:55-61).
+  *
+  * The sink writes parquet rather than NATS (zero-egress environment —
+  * SURVEY.md §7.3); the envelope columns carry subject/headers/msg-id so
+  * a broker sink is a drop-in `foreachBatch` replacement.
+  */
+object CdcRelay {
+
+  /** Relay configuration (the Spark analog of reference config.go). */
+  final case class RelayConfig(
+      inputDir: String,
+      outputDir: String,
+      checkpointDir: String,
+      subjectPrefix: String = "tigerbeetle.cdc",
+      clusterId: String = "graft",
+      dedupeWindow: String = "2 minutes",
+      maxFilesPerTrigger: Int = 16)
+
+  /** Input schema — the `events` stream shape (FIXTURES.md §B). */
+  val inputSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** The per-event transform, shared with the batch envelope query. */
+  def transform(df: DataFrame, cfg: RelayConfig): DataFrame = {
+    val tsMicros = unix_micros(col("ts"))
+    val cents = round(col("value") * 100).cast("long")
+    val k = coalesce(get_json_object(col("props"), "$.k"), lit("null"))
+    val body = concat(
+      lit("{\"ts\":"), portableU64Json(tsMicros),
+      lit(",\"type\":\""), col("event_type"),
+      lit("\",\"ledger\":"), col("user_id").cast("string"),
+      lit(",\"value_cents\":"), cents.cast("string"),
+      lit(",\"k\":"), k,
+      lit("}"))
+    df.select(
+      col("event_id"), col("ts"),
+      msgId(cfg.clusterId, tsMicros).as("msg_id"),
+      subjectFor(cfg.subjectPrefix, col("user_id"), col("event_type")).as("subject"),
+      col("event_type").as("h_event_type"),
+      col("user_id").cast("string").as("h_ledger"),
+      body.as("body"))
+  }
+
+  /** Start the relay. `Trigger.AvailableNow` drains everything currently
+    * in the input dir and stops — the batch-mode analog of the
+    * reference's poll loop, and what the resume test uses; pass a
+    * processing-time trigger for a long-running relay.
+    */
+  def start(spark: SparkSession, cfg: RelayConfig,
+            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val in = spark.readStream
+      .schema(inputSchema)
+      .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
+      .parquet(cfg.inputDir)
+    val enveloped = transform(in, cfg)
+      .withWatermark("ts", cfg.dedupeWindow)
+      .dropDuplicatesWithinWatermark("msg_id")
+    enveloped.writeStream
+      .option("checkpointLocation", cfg.checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        // publish (write) → ack barrier (write completes) → progress
+        // (epoch commit, done by the engine after this returns)
+        batch.write.mode("append").parquet(cfg.outputDir)
+        ()
+      }
+      .start()
+  }
+}
