@@ -29,7 +29,8 @@ object SparkEntry {
     CdcQueries.queries ++
       RelationalQueries.queries ++
       TextQueries.queries ++
-      VectorQueries.queries
+      VectorQueries.queries ++
+      MultimodalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -37,5 +38,6 @@ object SparkEntry {
     CdcQueries.oracles ++
       RelationalQueries.oracles ++
       TextQueries.oracles ++
-      VectorQueries.oracles
+      VectorQueries.oracles ++
+      MultimodalQueries.oracles
 }

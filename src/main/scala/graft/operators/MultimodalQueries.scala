@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Multimodal-column operators (charter: treat image/audio/video as
+  * opaque `binary` columns with typed metadata; decode / feature-extract
+  * / frame-sample as batch-shaped pipelines).
+  *
+  * The container has no image/audio codecs, so the DECODE STEP IS A
+  * DETERMINISTIC STUB (md5-derived fake features, clearly marked below);
+  * everything around it — the binary column, the typed metadata struct,
+  * the typed-Dataset `mapPartitions` batch shape, the frame-sampling
+  * plumbing, partitioning — is real and oracle-tested. Swapping the stub
+  * for a JNI/codec call changes one function.
+  *
+  * The media "table" is synthesized deterministically from `documents`
+  * (content = UTF-8 bytes of the text, metadata derived from doc_id), so
+  * the DuckDB oracle can construct the identical inputs.
+  */
+object MultimodalQueries {
+
+  /** Typed rows for the Dataset API leg of the pipeline. */
+  final case class MediaIn(media_id: Long, format: String, content: Array[Byte],
+                           width: Int, height: Int, n_frames: Int)
+  final case class MediaFeatures(media_id: Long, format: String,
+                                 size_bytes: Long, f0: Double, f1: Double,
+                                 f2: Double, f3: Double)
+
+  /** The synthesized media table: binary content + typed metadata. */
+  def mediaTable(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("png"), lit("jpeg"), lit("wav")),
+        (col("doc_id") % 3 + 1).cast("int")).as("format"),
+      col("text").cast("binary").as("content"),
+      (lit(64) + (col("doc_id") % 8) * 16).cast("int").as("width"),
+      (lit(48) + (col("doc_id") % 5) * 16).cast("int").as("height"),
+      (lit(1) + col("doc_id") % 30).cast("int").as("n_frames"))
+
+  private val mediaSql: String =
+    """SELECT doc_id AS media_id,
+      |  (['png','jpeg','wav'])[(doc_id % 3 + 1)] AS format,
+      |  text AS content_text,
+      |  CAST(64 + (doc_id % 8) * 16 AS INT) AS width,
+      |  CAST(48 + (doc_id % 5) * 16 AS INT) AS height,
+      |  CAST(1 + doc_id % 30 AS INT) AS n_frames
+      |FROM documents""".stripMargin
+
+  // -------------------------------------------------------------------
+  // M1: metadata projection over binary content — size, checksum, and
+  // typed metadata, grouped per format. The scan reads only the needed
+  // columns; binary payloads stay opaque.
+  // -------------------------------------------------------------------
+  def mediaMetadata(s: SparkSession, d: String): DataFrame =
+    mediaTable(s, d)
+      .groupBy("format")
+      .agg(count(lit(1)).as("n_assets"),
+        sum(length(col("content")).cast("long")).as("total_bytes"),
+        max(col("width")).as("max_width"),
+        max(col("height")).as("max_height"),
+        countDistinct(md5(col("content"))).as("n_distinct_contents"))
+      .orderBy("format")
+
+  val mediaMetadataSql: String =
+    s"""WITH media AS ($mediaSql)
+       |SELECT format, count(*) AS n_assets,
+       |  sum(CAST(octet_length(encode(content_text)) AS BIGINT)) AS total_bytes,
+       |  max(width) AS max_width, max(height) AS max_height,
+       |  count(DISTINCT md5(content_text)) AS n_distinct_contents
+       |FROM media GROUP BY format ORDER BY format""".stripMargin
+
+  // -------------------------------------------------------------------
+  // M2: batch-shaped feature extraction via typed Dataset mapPartitions
+  // — the real plumbing an image/audio decoder plugs into: one partition
+  // = one decode batch, typed in/out schemas, no driver round-trip.
+  //
+  // >>> STUB DECODE <<< : features are md5-derived pseudo-activations
+  // (hex nibbles normalized to [0,1)); a real build replaces
+  // `decodeStub` with the codec call, signature unchanged.
+  // -------------------------------------------------------------------
+  private def decodeStub(m: MediaIn): MediaFeatures = {
+    val dig = java.security.MessageDigest.getInstance("MD5")
+      .digest(m.content).map("%02x".format(_)).mkString
+    def feat(i: Int): Double =
+      java.lang.Long.parseLong(dig.substring(8 * i, 8 * i + 8), 16)
+        .toDouble / 4294967296.0
+    MediaFeatures(m.media_id, m.format, m.content.length.toLong,
+      feat(0), feat(1), feat(2), feat(3))
+  }
+
+  def mediaFeatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, d).as[MediaIn]
+      .mapPartitions(_.map(decodeStub))
+      .toDF()
+      .orderBy("media_id")
+  }
+
+  val mediaFeaturesSql: String = {
+    def feat(i: Int) =
+      s"CAST(('0x' || substr(md5(content_text), ${8 * i + 1}, 8)) AS BIGINT) / 4294967296.0"
+    s"""WITH media AS ($mediaSql)
+       |SELECT media_id, format,
+       |  CAST(octet_length(encode(content_text)) AS BIGINT) AS size_bytes,
+       |  ${feat(0)} AS f0, ${feat(1)} AS f1, ${feat(2)} AS f2, ${feat(3)} AS f3
+       |FROM media ORDER BY media_id""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // M3: frame sampling — every 5th frame index per video-like asset,
+  // exploded into (asset, frame_no) rows with a synthetic frame
+  // timestamp. The explode is the fan-out a frame decoder consumes;
+  // at scale it is repartitioned by media_id so one asset's frames
+  // stay together.
+  // -------------------------------------------------------------------
+  def frameSample(s: SparkSession, d: String): DataFrame =
+    mediaTable(s, d)
+      .filter(col("format") === "wav")
+      .select(col("media_id"), col("n_frames"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(5))).as("frame_no"))
+      .withColumn("frame_ms", col("frame_no") * 40)
+      .orderBy("media_id", "frame_no")
+
+  val frameSampleSql: String =
+    s"""WITH media AS ($mediaSql)
+       |SELECT media_id, n_frames, CAST(frame_no AS INT) AS frame_no,
+       |  CAST(frame_no * 40 AS INT) AS frame_ms
+       |FROM media, unnest(range(0, CAST(n_frames AS BIGINT), 5)) AS t(frame_no)
+       |WHERE format = 'wav'
+       |ORDER BY media_id, frame_no""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "media_metadata" -> (mediaMetadata _),
+    "media_features" -> (mediaFeatures _),
+    "media_frame_sample" -> (frameSample _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "media_metadata" -> mediaMetadataSql,
+    "media_features" -> mediaFeaturesSql,
+    "media_frame_sample" -> frameSampleSql
+  )
+}
