@@ -210,7 +210,39 @@ object CdcQueries {
       |  FROM events) WHERE rn = 1
       |ORDER BY user_id, event_type, bucket""".stripMargin
 
+  /** B32/§7.4: u128-discipline balance sums via the [[graft.functions.U128Sum]]
+    * typed Aggregator. Each event synthesizes a ~2^90 "balance" as a
+    * decimal string from two cross-engine md5 hashes; the custom UDAF
+    * sums them in unbounded integers — past Decimal(38)'s reach for
+    * true u128 inputs — and returns the canonical decimal string.
+    * Partial aggregation still applies (Aggregator merge), so the
+    * shuffle carries one buffer per (group × partition).
+    */
+  def u128Sum(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val h1 = conv(substring(md5(concat(lit("b1:"), col("event_id"))), 1, 15), 16, 10)
+      .cast("decimal(38,0)")
+    val h2 = conv(substring(md5(concat(lit("b2:"), col("event_id"))), 1, 15), 16, 10)
+      .cast("decimal(38,0)")
+    val u128 = (h1 * lit(1073741824L) + h2).cast("decimal(38,0)").cast("string")
+    val sumCol = udaf(graft.functions.U128Sum).apply(col("u128v"))
+    ev.select(col("event_type"), u128.as("u128v"))
+      .groupBy("event_type")
+      .agg(sumCol.as("total_u128"), count(lit(1)).as("n"))
+      .orderBy("event_type")
+  }
+
+  val u128SumSql: String =
+    """SELECT event_type,
+      |  CAST(sum(
+      |    CAST(CAST(('0x' || substr(md5('b1:' || CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) AS HUGEINT) * 1073741824
+      |    + CAST(CAST(('0x' || substr(md5('b2:' || CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) AS HUGEINT)
+      |  ) AS VARCHAR) AS total_u128,
+      |  count(*) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_u128_sum" -> (u128Sum _),
     "cdc_envelope" -> (envelope _),
     "cdc_resume" -> (resume _),
     "cdc_dispatch" -> (dispatch _),
@@ -221,6 +253,7 @@ object CdcQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "cdc_u128_sum" -> u128SumSql,
     "cdc_envelope" -> envelopeSql,
     "cdc_resume" -> resumeSql,
     "cdc_dispatch" -> dispatchSql,

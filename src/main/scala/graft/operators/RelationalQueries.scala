@@ -334,19 +334,31 @@ object RelationalQueries {
 
   // -------------------------------------------------------------------
   // B21: set operations over user-id sets from different event slices.
+  // Implemented as ONE scan + one aggregation: per-user membership flags
+  // via conditional max, then the three set expressions as a tag array
+  // exploded into rows — semantically identical to
+  // intersect/except/union but 6× less I/O than the naive 6-scan plan
+  // (the shape that matters at 100 TB).
   // -------------------------------------------------------------------
   def setOps(s: SparkSession, d: String): DataFrame = {
     val ev = events(s, d)
-    def users(t: String) =
-      ev.filter(col("event_type") === t).select("user_id").distinct()
-    val both = users("click").intersect(users("purchase"))
-      .withColumn("tag", lit("click_and_purchase"))
-    val clickOnly = users("click").except(users("purchase"))
-      .withColumn("tag", lit("click_only"))
-    val any = users("signup").union(users("error")).distinct()
-      .withColumn("tag", lit("signup_or_error"))
-    both.union(clickOnly).union(any)
-      .select("tag", "user_id").orderBy("tag", "user_id")
+    def has(t: String) =
+      max(when(col("event_type") === t, 1).otherwise(0))
+    val flags = ev.groupBy("user_id").agg(
+      has("click").as("has_click"), has("purchase").as("has_purchase"),
+      has("signup").as("has_signup"), has("error").as("has_error"))
+    val tags = array(
+      when(col("has_click") === 1 && col("has_purchase") === 1,
+        lit("click_and_purchase")),
+      when(col("has_click") === 1 && col("has_purchase") === 0,
+        lit("click_only")),
+      when(col("has_signup") === 1 || col("has_error") === 1,
+        lit("signup_or_error")))
+    flags
+      .withColumn("tags", tags)
+      .select(explode(expr("filter(tags, x -> x IS NOT NULL)")).as("tag"),
+        col("user_id"))
+      .orderBy("tag", "user_id")
   }
 
   val setOpsSql: String =
@@ -522,7 +534,63 @@ object RelationalQueries {
       |  count(*) AS n_events
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // -------------------------------------------------------------------
+  // B16 (sliding): 1-hour windows sliding every 30 minutes via the
+  // native `window()` function — each event lands in exactly 2 windows;
+  // the oracle reconstructs them with an offset unnest.
+  // -------------------------------------------------------------------
+  def slidingWindow(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+      .select(col("window.start").as("w_start"), col("n"), col("sum_cents"))
+      .orderBy("w_start")
+
+  val slidingWindowSql: String =
+    """SELECT time_bucket(INTERVAL '30 minutes', ts) - off * INTERVAL '30 minutes' AS w_start,
+      |  count(*) AS n,
+      |  sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+      |FROM events, unnest([0, 1]) AS t(off)
+      |GROUP BY 1 ORDER BY w_start""".stripMargin
+
+  // -------------------------------------------------------------------
+  // B13 (cube): all 4 grouping sets over (returnflag, linestatus).
+  // -------------------------------------------------------------------
+  def cubeAgg(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(dsum(col("l_extendedprice")).as("sum_price"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_price"), col("n"))
+      .orderBy("returnflag", "linestatus")
+
+  val cubeAggSql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+      |  coalesce(l_linestatus, 'ALL') AS linestatus,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY returnflag, linestatus""".stripMargin
+
+  // -------------------------------------------------------------------
+  // B12 (approx): HyperLogLog distinct counts — no deterministic oracle
+  // exists for an approximation, so this is registered rows-only; the
+  // exact counterpart (rel_distinct) is the oracle-checked twin.
+  // -------------------------------------------------------------------
+  def approxDistinct(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_sliding_window" -> (slidingWindow _),
+    "rel_cube" -> (cubeAgg _),
+    "rel_approx_distinct" -> (approxDistinct _),
     "rel_scan_pushdown" -> (scanPushdown _),
     "rel_topk" -> (topK _),
     "rel_agg_pricing" -> (aggPricing _),
@@ -547,6 +615,9 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "rel_sliding_window" -> slidingWindowSql,
+    "rel_cube" -> cubeAggSql,
+    // rel_approx_distinct: intentionally no oracle (approximate result)
     "rel_scan_pushdown" -> scanPushdownSql,
     "rel_topk" -> topKSql,
     "rel_agg_pricing" -> aggPricingSql,

@@ -289,7 +289,34 @@ object TextQueries {
        |SELECT doc_id, $fp AS simhash16 FROM bits ORDER BY doc_id""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // B28d: BPE-ish regex token counting — letter runs, digit runs, and
+  // single punctuation marks as separate tokens (the pre-tokenizer
+  // shape BPE vocabularies are trained over), counted per document.
+  // Same RE2-compatible pattern on both engines.
+  // -------------------------------------------------------------------
+  private val BpePattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+  def tokenRegex(s: SparkSession, d: String): DataFrame = {
+    val pieces = expr(s"regexp_extract_all(text, '$BpePattern', 0)")
+    documents(s, d).select(
+      col("doc_id"),
+      size(pieces).as("n_pieces"),
+      size(array_distinct(pieces)).as("n_unique_pieces"),
+      (col("n_chars").cast("double") /
+        greatest(size(pieces), lit(1))).as("chars_per_piece")
+    ).orderBy("doc_id")
+  }
+
+  val tokenRegexSql: String =
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$BpePattern')) AS INT) AS n_pieces,
+       |  CAST(len(list_distinct(regexp_extract_all(text, '$BpePattern'))) AS INT) AS n_unique_pieces,
+       |  CAST(n_chars AS DOUBLE) / greatest(len(regexp_extract_all(text, '$BpePattern')), 1) AS chars_per_piece
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_token_regex" -> (tokenRegex _),
     "text_top_terms" -> (topTerms _),
     "text_stats" -> (textStats _),
     "text_fingerprint" -> (fingerprint _),
@@ -300,6 +327,7 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_token_regex" -> tokenRegexSql,
     "text_top_terms" -> topTermsSql,
     "text_stats" -> textStatsSql,
     "text_fingerprint" -> fingerprintSql,

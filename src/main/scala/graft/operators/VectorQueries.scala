@@ -178,7 +178,38 @@ object VectorQueries {
        |ORDER BY sim DESC, a.vec_id LIMIT 10""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // Charter dedup family: embedding-cosine near-duplicate detection.
+  // LSH buckets (same sign-hash) produce candidate pairs; exact cosine
+  // re-ranks them; pairs above 0.9 are near-dups. The bucket equi-join
+  // bounds the pair blowup to collisions — never |N|².
+  // -------------------------------------------------------------------
+  def cosineNeardup(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d).withColumn("bucket", bucket)
+    val a = e.select(col("vec_id").as("vec_a"),
+      col("embedding").as("emb_a"), col("bucket"))
+    val b = e.select(col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"), col("bucket").as("bucket_b"))
+    a.join(b, col("bucket") === col("bucket_b") && col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        cosine("emb_a", "emb_b").as("sim"))
+      .filter(col("sim") >= 0.9)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val cosineNeardupSql: String = {
+    val cos = cosineSql("a.emb_a", "b.emb_b")
+    s"""WITH be AS (SELECT vec_id, embedding, ($bucketSql) AS bucket FROM embeddings),
+       |a AS (SELECT vec_id AS vec_a, embedding AS emb_a, bucket FROM be),
+       |b AS (SELECT vec_id AS vec_b, embedding AS emb_b, bucket FROM be)
+       |SELECT vec_a, vec_b, $cos AS sim
+       |FROM a JOIN b ON a.bucket = b.bucket AND vec_a < vec_b
+       |WHERE $cos >= 0.9
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vec_cosine_neardup" -> (cosineNeardup _),
     "vec_knn_bruteforce" -> (knnBruteForce _),
     "vec_knn_multi" -> (knnMulti _),
     "vec_lsh_buckets" -> (lshBuckets _),
@@ -186,6 +217,7 @@ object VectorQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "vec_cosine_neardup" -> cosineNeardupSql,
     "vec_knn_bruteforce" -> knnBruteForceSql,
     "vec_knn_multi" -> knnMultiSql,
     "vec_lsh_buckets" -> lshBucketsSql,
