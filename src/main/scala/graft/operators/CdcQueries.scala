@@ -71,6 +71,33 @@ object CdcQueries {
       |  '}' AS body
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** [[envelope]] variant running the portable encode through the native
+    * Catalyst expressions (graft.plans.PortableU64Json, registered at
+    * runtime via GraftExtensions) instead of the when/concat column tree
+    * — same bytes, one codegen'd branch per value. Shares the oracle.
+    */
+  def envelopeNative(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.plans.GraftExtensions.register(spark)
+    val ev = Tables.events(spark, sfDir)
+    val cents = round(col("value") * 100).cast("long")
+    val k = coalesce(get_json_object(col("props"), "$.k"), lit("null"))
+    val body = concat(
+      lit("{\"ts\":"), call_function("portable_u64_json", tsMicros),
+      lit(",\"type\":\""), col("event_type"),
+      lit("\",\"ledger\":"), col("user_id").cast("string"),
+      lit(",\"value_cents\":"), cents.cast("string"),
+      lit(",\"k\":"), k,
+      lit("}"))
+    ev.select(
+      col("event_id"),
+      msgId(ClusterId, tsMicros).as("msg_id"),
+      subjectFor(SubjectPrefix, col("user_id"), col("event_type")).as("subject"),
+      col("event_type").as("h_event_type"),
+      col("user_id").cast("string").as("h_ledger"),
+      body.as("body")
+    ).orderBy("event_id")
+  }
+
   /** A2/A3: resume from a checkpointed high-water mark. The HWM is the
     * max timestamp of the already-relayed prefix (here: the first half of
     * the stream by event_id, a deterministic stand-in for "what the
@@ -243,6 +270,7 @@ object CdcQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_u128_sum" -> (u128Sum _),
+    "cdc_envelope_native" -> (envelopeNative _),
     "cdc_envelope" -> (envelope _),
     "cdc_resume" -> (resume _),
     "cdc_dispatch" -> (dispatch _),
@@ -254,6 +282,7 @@ object CdcQueries {
 
   val oracles: Map[String, String] = Map(
     "cdc_u128_sum" -> u128SumSql,
+    "cdc_envelope_native" -> envelopeSql,
     "cdc_envelope" -> envelopeSql,
     "cdc_resume" -> resumeSql,
     "cdc_dispatch" -> dispatchSql,

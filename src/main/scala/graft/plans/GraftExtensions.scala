@@ -1,0 +1,49 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extension registering the engine's native expressions as SQL
+  * functions. Two entry points:
+  *
+  *   - launch-time: `--conf spark.sql.extensions=graft.plans.GraftExtensions`
+  *   - runtime: `GraftExtensions.register(spark)` on an existing session
+  *     (used by the query inventory so it works under any driver-owned
+  *     session).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.definitions.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private type Builder = Seq[Expression] => Expression
+
+  private def one(name: String, f: Expression => Expression): Builder = {
+    case Seq(e) => f(e)
+    case exprs => throw new IllegalArgumentException(
+      s"$name expects exactly 1 argument, got ${exprs.length}")
+  }
+
+  val definitions: Seq[(String, ExpressionInfo, Builder)] = Seq(
+    ("portable_u64_json",
+      new ExpressionInfo(classOf[PortableU64Json].getName, "portable_u64_json"),
+      one("portable_u64_json", PortableU64Json)),
+    ("portable_u128_json",
+      new ExpressionInfo(classOf[PortableU128Json].getName, "portable_u128_json"),
+      one("portable_u128_json", PortableU128Json))
+  )
+
+  /** Idempotently register the functions on a live session. */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    definitions.foreach { case (name, info, builder) =>
+      registry.registerFunction(FunctionIdentifier(name), info, builder)
+    }
+  }
+}
