@@ -98,6 +98,35 @@ object CdcQueries {
     ).orderBy("event_id")
   }
 
+  /** B6: nested struct + `to_json` projection — the engine-native JSON
+    * path (vs the byte-controlled concat path of [[envelope]]). Output
+    * keeps to int/string fields, where Spark's and DuckDB's JSON
+    * serializers agree byte-for-byte; a round-trip extraction guards the
+    * parse direction too.
+    */
+  def structJson(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val cents = round(col("value") * 100).cast("long")
+    val doc = to_json(struct(
+      col("user_id").as("ledger"),
+      col("event_type").as("type"),
+      cents.as("cents")))
+    ev.select(
+      col("event_id"),
+      doc.as("doc"),
+      get_json_object(doc, "$.ledger").cast("long").as("ledger_rt"),
+      get_json_object(doc, "$.type").as("type_rt")
+    ).orderBy("event_id")
+  }
+
+  val structJsonSql: String =
+    """SELECT event_id,
+      |  CAST(to_json(struct_pack(ledger := user_id, type := event_type,
+      |    cents := CAST(round(value * 100) AS BIGINT))) AS VARCHAR) AS doc,
+      |  user_id AS ledger_rt,
+      |  event_type AS type_rt
+      |FROM events ORDER BY event_id""".stripMargin
+
   /** A2/A3: resume from a checkpointed high-water mark. The HWM is the
     * max timestamp of the already-relayed prefix (here: the first half of
     * the stream by event_id, a deterministic stand-in for "what the
@@ -271,6 +300,7 @@ object CdcQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_u128_sum" -> (u128Sum _),
     "cdc_envelope_native" -> (envelopeNative _),
+    "cdc_struct_json" -> (structJson _),
     "cdc_envelope" -> (envelope _),
     "cdc_resume" -> (resume _),
     "cdc_dispatch" -> (dispatch _),
@@ -283,6 +313,7 @@ object CdcQueries {
   val oracles: Map[String, String] = Map(
     "cdc_u128_sum" -> u128SumSql,
     "cdc_envelope_native" -> envelopeSql,
+    "cdc_struct_json" -> structJsonSql,
     "cdc_envelope" -> envelopeSql,
     "cdc_resume" -> resumeSql,
     "cdc_dispatch" -> dispatchSql,

@@ -315,7 +315,40 @@ object TextQueries {
        |  CAST(n_chars AS DOUBLE) / greatest(len(regexp_extract_all(text, '$BpePattern')), 1) AS chars_per_piece
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // B28e/B32: order-sensitive document fingerprint via a ROLLING hash —
+  // fold (h*31 + tokenHash) mod p over tokens in order — implemented as
+  // a Scala UDF (completing the UDF/UDAF/native-Expression extension
+  // surface; the oracle folds the identical arithmetic with
+  // list_reduce). Unlike text_fingerprint's min/xor/sum, this detects
+  // reordering, not just token-set changes.
+  // -------------------------------------------------------------------
+  private def h60Scala(s: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  def rollingFingerprint(s: SparkSession, d: String): DataFrame = {
+    val roll = udf { toks: Seq[String] =>
+      toks.map(t => h60Scala(t) % 1000000007L)
+        .reduceLeft((a, b) => (a * 31 + b) % 2147483647L)
+    }
+    documents(s, d)
+      .select(col("doc_id"), roll(toks).as("rolling_fp"))
+      .orderBy("doc_id")
+  }
+
+  val rollingFingerprintSql: String =
+    s"""SELECT doc_id,
+       |  list_reduce(
+       |    list_transform(string_split(text, ' '),
+       |      t -> ${h60Sql("t")} % 1000000007),
+       |    (a, b) -> (a * 31 + b) % 2147483647) AS rolling_fp
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_rolling_fp" -> (rollingFingerprint _),
     "text_token_regex" -> (tokenRegex _),
     "text_top_terms" -> (topTerms _),
     "text_stats" -> (textStats _),
@@ -327,6 +360,7 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_rolling_fp" -> rollingFingerprintSql,
     "text_token_regex" -> tokenRegexSql,
     "text_top_terms" -> topTermsSql,
     "text_stats" -> textStatsSql,
