@@ -223,11 +223,14 @@ object CdcQueries {
     */
   def dedupExact(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
-    val w = Window.partitionBy("user_id", "event_type")
-      .orderBy(col("ts"), col("event_id"))
-    ev.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
+    // min-of-struct instead of a row_number window: a hash aggregation
+    // with map-side partials and NO sort — at scale this shuffles one
+    // row per key instead of sorting every partition. Lexicographic
+    // struct ordering (ts, event_id) = the window's ORDER BY.
+    ev.groupBy("user_id", "event_type")
+      .agg(min(struct(col("ts"), col("event_id"))).as("first"))
+      .select(col("user_id"), col("event_type"),
+        col("first.event_id").as("event_id"), col("first.ts").as("ts"))
       .orderBy("user_id", "event_type")
   }
 
@@ -247,13 +250,13 @@ object CdcQueries {
   def dedupWindowed(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
     val bucket = date_trunc("hour", col("ts"))
-    val w = Window.partitionBy(col("user_id"), col("event_type"), bucket)
-      .orderBy(col("ts"), col("event_id"))
+    // same min-of-struct shape as dedupExact, keyed additionally by the
+    // time bucket — the state a watermark dedup would hold per window
     ev.withColumn("bucket", bucket)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+      .groupBy("user_id", "event_type", "bucket")
+      .agg(min(struct(col("ts"), col("event_id"))).as("first"))
       .select(col("user_id"), col("event_type"), col("bucket"),
-        col("event_id"), col("ts"))
+        col("first.event_id").as("event_id"), col("first.ts").as("ts"))
       .orderBy("user_id", "event_type", "bucket")
   }
 

@@ -59,11 +59,13 @@ object TextQueries {
   private val stopList = Stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
 
   def textStats(s: SparkSession, d: String): DataFrame = {
-    val nTok = size(toks)
-    val nUniq = size(array_distinct(toks))
-    val nStop = size(expr(s"filter(split(text, ' '), x -> x IN $stopList)"))
-    val sumLen = expr("aggregate(split(text, ' '), 0L, (acc, x) -> acc + length(x))")
-    documents(s, d).select(
+    // tokenize once into `t`; every statistic reads the materialized
+    // array instead of re-splitting the text
+    val nTok = size(col("t"))
+    val nUniq = size(array_distinct(col("t")))
+    val nStop = size(expr(s"filter(t, x -> x IN $stopList)"))
+    val sumLen = expr("aggregate(t, 0L, (acc, x) -> acc + length(x))")
+    documents(s, d).withColumn("t", toks).select(
       col("doc_id"),
       col("lang"),
       nTok.as("n_tokens"),
@@ -145,17 +147,25 @@ object TextQueries {
   // -------------------------------------------------------------------
   private val MinhashSeeds = 0 until 8
 
-  /** Word 3-gram shingles of `text`, as an array column (empty if the
-    * document has fewer than 3 tokens).
+  /** Word 3-gram shingles over a pre-materialized token-array column
+    * `t` (empty if fewer than 3 tokens). Tokenizing once into `t` and
+    * shingling from it avoids re-running `split` per array element —
+    * O(tokens) instead of O(tokens²) string splits per document.
     */
-  private def shingles: Column = {
+  private def shinglesOfT: Column = {
     val sh = expr(
-      """transform(sequence(1, size(split(text, ' ')) - 2),
-        |  i -> concat(element_at(split(text, ' '), i), ' ',
-        |              element_at(split(text, ' '), i + 1), ' ',
-        |              element_at(split(text, ' '), i + 2)))""".stripMargin)
-    when(size(toks) >= 3, sh).otherwise(array().cast("array<string>"))
+      """transform(sequence(1, size(t) - 2),
+        |  i -> concat(element_at(t, i), ' ',
+        |              element_at(t, i + 1), ' ',
+        |              element_at(t, i + 2)))""".stripMargin)
+    when(size(col("t")) >= 3, sh).otherwise(array().cast("array<string>"))
   }
+
+  /** documents with doc_id + exploded shingle column `sh`. */
+  private def docShingles(s: SparkSession, d: String) =
+    documents(s, d)
+      .withColumn("t", toks)
+      .select(col("doc_id"), explode(shinglesOfT).as("sh"))
 
   private val shinglesSql: String =
     """list_transform(range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
@@ -164,12 +174,11 @@ object TextQueries {
       |         string_split(text, ' ')[i+2])""".stripMargin
 
   def minhashSignatures(s: SparkSession, d: String): DataFrame = {
-    val base = documents(s, d)
-      .select(col("doc_id"), explode(shingles).as("sh"))
     val aggs = MinhashSeeds.map { i =>
       min(h60(concat(lit(s"mh$i:"), col("sh")))).as(s"sig_$i")
     }
-    base.groupBy("doc_id").agg(aggs.head, aggs.tail: _*).orderBy("doc_id")
+    docShingles(s, d).groupBy("doc_id")
+      .agg(aggs.head, aggs.tail: _*).orderBy("doc_id")
   }
 
   val minhashSignaturesSql: String = {
@@ -192,17 +201,21 @@ object TextQueries {
   // -------------------------------------------------------------------
   def neardupPairs(s: SparkSession, d: String): DataFrame = {
     val sigs = minhashSignatures(s, d)
-    val bands = (0 until 4).map { b =>
-      sigs.select(col("doc_id"), lit(b).as("band"),
-        concat_ws("_", col(s"sig_${2 * b}"), col(s"sig_${2 * b + 1}")).as("bkey"))
-    }.reduce(_ union _)
+    // posexplode of the 4 band keys: ONE evaluation of the signature
+    // subtree instead of a 4-way union that recomputes it per band
+    val bandKeys = array((0 until 4).map { b =>
+      concat_ws("_", col(s"sig_${2 * b}"), col(s"sig_${2 * b + 1}"))
+    }: _*)
+    val bands = sigs.select(col("doc_id"),
+      posexplode(bandKeys).as(Seq("band", "bkey")))
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     val dsh = documents(s, d)
-      .select(col("doc_id"), explode(array_distinct(shingles)).as("sh"))
+      .withColumn("t", toks)
+      .select(col("doc_id"), explode(array_distinct(shinglesOfT)).as("sh"))
     val sizes = dsh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cand
       .join(dsh.as("ta"), col("doc_a") === col("ta.doc_id"))
@@ -323,10 +336,19 @@ object TextQueries {
   // list_reduce). Unlike text_fingerprint's min/xor/sum, this detects
   // reordering, not just token-set changes.
   // -------------------------------------------------------------------
+  private val digestTL = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   private def h60Scala(s: String): Long = {
-    val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    val md = digestTL.get(); md.reset()
+    val dig = md.digest(s.getBytes("UTF-8"))
+    // first 15 hex chars = first 7 bytes + high nibble of the 8th
+    var h = 0L
+    var i = 0
+    while (i < 7) { h = (h << 8) | (dig(i) & 0xffL); i += 1 }
+    (h << 4) | ((dig(7) & 0xf0L) >> 4)
   }
 
   def rollingFingerprint(s: SparkSession, d: String): DataFrame = {

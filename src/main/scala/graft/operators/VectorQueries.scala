@@ -39,6 +39,15 @@ object VectorQueries {
   private def cosine(a: String, b: String): Column =
     round(dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b))), 6)
 
+  /** Cosine from a precomputed-norm pair — used by the pair-heavy
+    * queries so each vector's norm is evaluated once per ROW, not once
+    * per PAIR (same IEEE value either way, so oracles stay exact).
+    */
+  private def cosinePre(a: String, b: String, normA: Column, normB: Column): Column =
+    round(dot(a, b) / (normA * normB), 6)
+
+  private def norm(c: String): Column = sqrt(dot(c, c))
+
   private def cosineSql(a: String, b: String): String =
     s"round((${dotSql(a, b)}) / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})), 6)"
 
@@ -185,23 +194,28 @@ object VectorQueries {
   // bounds the pair blowup to collisions — never |N|².
   // -------------------------------------------------------------------
   def cosineNeardup(s: SparkSession, d: String): DataFrame = {
-    val e = embeddings(s, d).withColumn("bucket", bucket)
+    val e = embeddings(s, d)
+      .withColumn("bucket", bucket)
+      .withColumn("nrm", norm("embedding"))
     val a = e.select(col("vec_id").as("vec_a"),
-      col("embedding").as("emb_a"), col("bucket"))
+      col("embedding").as("emb_a"), col("bucket"), col("nrm").as("norm_a"))
     val b = e.select(col("vec_id").as("vec_b"),
-      col("embedding").as("emb_b"), col("bucket").as("bucket_b"))
+      col("embedding").as("emb_b"), col("bucket").as("bucket_b"),
+      col("nrm").as("norm_b"))
     a.join(b, col("bucket") === col("bucket_b") && col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        cosine("emb_a", "emb_b").as("sim"))
+        cosinePre("emb_a", "emb_b", col("norm_a"), col("norm_b")).as("sim"))
       .filter(col("sim") >= 0.9)
       .orderBy("vec_a", "vec_b")
   }
 
   val cosineNeardupSql: String = {
-    val cos = cosineSql("a.emb_a", "b.emb_b")
-    s"""WITH be AS (SELECT vec_id, embedding, ($bucketSql) AS bucket FROM embeddings),
-       |a AS (SELECT vec_id AS vec_a, embedding AS emb_a, bucket FROM be),
-       |b AS (SELECT vec_id AS vec_b, embedding AS emb_b, bucket FROM be)
+    val cos = s"round((${dotSql("a.emb_a", "b.emb_b")}) / (a.norm_a * b.norm_b), 6)"
+    s"""WITH be AS (SELECT vec_id, embedding, ($bucketSql) AS bucket,
+       |            sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |            FROM embeddings),
+       |a AS (SELECT vec_id AS vec_a, embedding AS emb_a, bucket, nrm AS norm_a FROM be),
+       |b AS (SELECT vec_id AS vec_b, embedding AS emb_b, bucket, nrm AS norm_b FROM be)
        |SELECT vec_a, vec_b, $cos AS sim
        |FROM a JOIN b ON a.bucket = b.bucket AND vec_a < vec_b
        |WHERE $cos >= 0.9
