@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -221,16 +221,28 @@ object CdcQueries {
     * ranking window rather than dropDuplicates so the kept row is
     * deterministic in both engines.
     */
+  /** (ts, event_id) packed into one Decimal(38,0) so keyed-min dedup
+    * stays a HASH aggregate: Spark can't hash-aggregate a struct min
+    * (it falls back to SortAggregate, sorting every partition), but a
+    * decimal min it can. event_id < 10^12 keeps the packing order-
+    * preserving and exactly reversible.
+    */
+  private val PackBase = 1000000000000L
+  private def packedTsId: Column =
+    unix_micros(col("ts")).cast("decimal(38,0)") * lit(PackBase) + col("event_id")
+  private def unpackTs(p: Column): Column =
+    timestamp_micros(((p - p % lit(PackBase)) / lit(PackBase)).cast("long"))
+  private def unpackId(p: Column): Column = (p % lit(PackBase)).cast("long")
+
   def dedupExact(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
-    // min-of-struct instead of a row_number window: a hash aggregation
-    // with map-side partials and NO sort — at scale this shuffles one
-    // row per key instead of sorting every partition. Lexicographic
-    // struct ordering (ts, event_id) = the window's ORDER BY.
+    // single hash aggregation with map-side partials — the shuffle
+    // carries one packed value per (key × partition), no sort anywhere
+    // except the final presentation ORDER BY
     ev.groupBy("user_id", "event_type")
-      .agg(min(struct(col("ts"), col("event_id"))).as("first"))
+      .agg(min(packedTsId).as("p"))
       .select(col("user_id"), col("event_type"),
-        col("first.event_id").as("event_id"), col("first.ts").as("ts"))
+        unpackId(col("p")).as("event_id"), unpackTs(col("p")).as("ts"))
       .orderBy("user_id", "event_type")
   }
 
@@ -250,13 +262,13 @@ object CdcQueries {
   def dedupWindowed(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
     val bucket = date_trunc("hour", col("ts"))
-    // same min-of-struct shape as dedupExact, keyed additionally by the
+    // same packed-min shape as dedupExact, keyed additionally by the
     // time bucket — the state a watermark dedup would hold per window
     ev.withColumn("bucket", bucket)
       .groupBy("user_id", "event_type", "bucket")
-      .agg(min(struct(col("ts"), col("event_id"))).as("first"))
+      .agg(min(packedTsId).as("p"))
       .select(col("user_id"), col("event_type"), col("bucket"),
-        col("first.event_id").as("event_id"), col("first.ts").as("ts"))
+        unpackId(col("p")).as("event_id"), unpackTs(col("p")).as("ts"))
       .orderBy("user_id", "event_type", "bucket")
   }
 

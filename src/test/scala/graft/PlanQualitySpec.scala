@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators._
+
+/** Physical-plan assertions: the properties that make these operators
+  * survive a 100×—1000× scale-up. Results are the oracle's job; THIS
+  * suite pins the plan shapes — pushdown reaching the scan, dimensions
+  * broadcast, partial aggregation before the exchange, bucketed joins
+  * running shuffle-free.
+  */
+class PlanQualitySpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def physical(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("scan pushdown: filters and pruned schema reach the parquet reader") {
+    val plan = physical(RelationalQueries.scanPushdown(spark, sf))
+    assert(plan.contains("PushedFilters: ["), plan)
+    assert(plan.contains("IsNotNull(l_shipdate)") || plan.contains("GreaterThanOrEqual(l_shipdate"), plan)
+    // projection pruning: only the 5 referenced columns in ReadSchema
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_tax"), readSchema)
+  }
+
+  test("3-way join broadcasts the customer dimension") {
+    val plan = physical(RelationalQueries.join3(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("aggregation is partial (map-side) before the exchange") {
+    val plan = physical(RelationalQueries.aggPricing(spark, sf))
+    // two HashAggregate nodes around one shuffle = partial + final
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+    assert(plan.contains("Exchange hashpartitioning"), plan)
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not a global sort") {
+    val plan = physical(RelationalQueries.topK(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("semi join stays a semi join (no payload materialization)") {
+    val plan = physical(RelationalQueries.semiJoin(spark, sf))
+    assert(plan.contains("LeftSemi"), plan)
+  }
+
+  test("bucketed co-located join runs without a shuffle exchange") {
+    val warehouse = java.nio.file.Files.createTempDirectory("wh").toString
+    val li = Tables.lineitem(spark, sf).limit(2000)
+    val os = Tables.orders(spark, sf).limit(1000)
+    li.write.mode("overwrite").bucketBy(8, "l_orderkey")
+      .sortBy("l_orderkey")
+      .option("path", s"$warehouse/li_b").saveAsTable("li_b")
+    os.write.mode("overwrite").bucketBy(8, "o_orderkey")
+      .sortBy("o_orderkey")
+      .option("path", s"$warehouse/os_b").saveAsTable("os_b")
+    // force the shuffle-sensitive path: with broadcast allowed, these
+    // tiny tables would BHJ and prove nothing about bucketing
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("li_b")
+        .join(spark.table("os_b"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus").count()
+      val plan = physical(joined)
+      assert(plan.contains("SortMergeJoin"), plan)
+      // the join reads both bucketed tables co-partitioned: no exchange
+      // may appear below the join
+      val joinSection = plan.substring(plan.indexOf("SortMergeJoin"))
+      assert(!joinSection.contains("Exchange hashpartitioning"), plan)
+      assert(joined.collect().nonEmpty)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+      spark.sql("DROP TABLE IF EXISTS li_b")
+      spark.sql("DROP TABLE IF EXISTS os_b")
+    }
+  }
+
+  test("exact dedup is a hash aggregate (no sort-based fallback)") {
+    val plan = physical(CdcQueries.dedupExact(spark, sf))
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("SortAggregate"), plan)
+    // partial aggregation runs before the exchange
+    assert(plan.contains("partial_min"), plan)
+  }
+}
