@@ -222,7 +222,80 @@ object VectorQueries {
        |ORDER BY vec_a, vec_b""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // B29e: IVF (inverted-file) ANN — the other scale path besides LSH.
+  // Coarse quantizer: the 16 seed vectors (vec_id < 16) stand in for
+  // k-means centroids (training is out of scope; the plumbing is the
+  // point). Assignment = argmax dot(v, centroid), deterministic via
+  // (rounded dot DESC, cid ASC) ranking. In production the trained
+  // centroids are broadcast (16 rows here, broadcast too) so the
+  // assignment pass is map-side except the ranking shuffle; search then
+  // touches ~N/16 rows — the query's list only.
+  // -------------------------------------------------------------------
+  private val IvfSeeds = 16
+
+  /** (vec_id, label, embedding, nrm, list_id) via seed-centroid argmax. */
+  private def ivfAssigned(s: SparkSession, d: String) = {
+    val e = embeddings(s, d).withColumn("nrm", norm("embedding"))
+    val cents = embeddings(s, d).filter(col("vec_id") < IvfSeeds)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
+    val scored = e.crossJoin(broadcast(cents))
+      .withColumn("d", round(dot("embedding", "c_emb"), 6))
+    val w = Window.partitionBy("vec_id").orderBy(col("d").desc, col("cid"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("embedding"), col("nrm"),
+        col("cid").as("list_id"))
+  }
+
+  private val ivfAssignedSql: String =
+    s"""SELECT vec_id, label, embedding, nrm, list_id FROM (
+       |  SELECT e.vec_id, e.label, e.embedding,
+       |    sqrt(${dotSql("e.embedding", "e.embedding")}) AS nrm,
+       |    c.cid AS list_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY round(${dotSql("e.embedding", "c.c_emb")}, 6) DESC, c.cid) AS rn
+       |  FROM embeddings e,
+       |    (SELECT vec_id AS cid, embedding AS c_emb FROM embeddings
+       |     WHERE vec_id < $IvfSeeds) c) WHERE rn = 1""".stripMargin
+
+  /** IVF list histogram — the index-balance view a planner checks. */
+  def ivfLists(s: SparkSession, d: String): DataFrame =
+    ivfAssigned(s, d)
+      .groupBy("list_id").agg(count(lit(1)).as("n_vectors"))
+      .orderBy("list_id")
+
+  val ivfListsSql: String =
+    s"""WITH assigned AS ($ivfAssignedSql)
+       |SELECT list_id, count(*) AS n_vectors FROM assigned
+       |GROUP BY list_id ORDER BY list_id""".stripMargin
+
+  /** IVF search: probe the query's list only, exact cosine re-rank. */
+  def ivfAnn(s: SparkSession, d: String): DataFrame = {
+    val assigned = ivfAssigned(s, d)
+    val q = assigned.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_embedding"), col("nrm").as("q_nrm"),
+        col("list_id").as("q_list"))
+    assigned.filter(col("vec_id") > 0)
+      .join(broadcast(q), col("list_id") === col("q_list"))
+      .select(col("vec_id"), col("label"),
+        cosinePre("embedding", "q_embedding", col("nrm"), col("q_nrm")).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  val ivfAnnSql: String = {
+    val cos = s"round((${dotSql("a.embedding", "q.q_embedding")}) / (a.nrm * q.q_nrm), 6)"
+    s"""WITH assigned AS ($ivfAssignedSql),
+       |q AS (SELECT embedding AS q_embedding, nrm AS q_nrm, list_id AS q_list
+       |      FROM assigned WHERE vec_id = 0)
+       |SELECT a.vec_id, a.label, $cos AS sim
+       |FROM assigned a, q WHERE a.vec_id > 0 AND a.list_id = q.q_list
+       |ORDER BY sim DESC, a.vec_id LIMIT 10""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vec_ivf_lists" -> (ivfLists _),
+    "vec_ivf_ann" -> (ivfAnn _),
     "vec_cosine_neardup" -> (cosineNeardup _),
     "vec_knn_bruteforce" -> (knnBruteForce _),
     "vec_knn_multi" -> (knnMulti _),
@@ -231,6 +304,8 @@ object VectorQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "vec_ivf_lists" -> ivfListsSql,
+    "vec_ivf_ann" -> ivfAnnSql,
     "vec_cosine_neardup" -> cosineNeardupSql,
     "vec_knn_bruteforce" -> knnBruteForceSql,
     "vec_knn_multi" -> knnMultiSql,
