@@ -39,7 +39,8 @@ object CdcRelay {
       subjectPrefix: String = "tigerbeetle.cdc",
       clusterId: String = "graft",
       dedupeWindow: String = "2 minutes",
-      maxFilesPerTrigger: Int = 16)
+      maxFilesPerTrigger: Int = 16,
+      provision: Boolean = true)
 
   /** Input schema — the `events` stream shape (FIXTURES.md §B). */
   val inputSchema: StructType = StructType(Seq(
@@ -76,8 +77,22 @@ object CdcRelay {
     * reference's poll loop, and what the resume test uses; pass a
     * processing-time trigger for a long-running relay.
     */
+  /** Envelope (output) schema, for sink provisioning/validation. */
+  val envelopeSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("msg_id", StringType),
+    StructField("subject", StringType),
+    StructField("h_event_type", StringType),
+    StructField("h_ledger", StringType),
+    StructField("body", StringType)))
+
   def start(spark: SparkSession, cfg: RelayConfig,
             trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    // A17 pre-flight: create-or-validate the sink before starting; a
+    // divergent sink aborts with the full mismatch list
+    SinkProvisioner.ensure(spark,
+      SinkProvisioner.SinkSpec(cfg.outputDir, envelopeSchema), cfg.provision)
     val in = spark.readStream
       .schema(inputSchema)
       .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
