@@ -587,7 +587,116 @@ object RelationalQueries {
         count(lit(1)).as("n_events"))
       .orderBy("event_type")
 
+  // -------------------------------------------------------------------
+  // B7+B18 composed: the TPC-H Q5 shape — a 6-table snowflake join.
+  // region/nation/supplier are dimensions (broadcast); lineitem⋈orders
+  // is the one big shuffle; customer-nation = supplier-nation enforces
+  // the local-supplier constraint.
+  // -------------------------------------------------------------------
+  def snowflakeJoin(s: SparkSession, d: String): DataFrame = {
+    val one = lit(1).cast("decimal(3,2)")
+    val revenue = col("l_extendedprice").cast("decimal(18,2)") *
+      (one - col("l_discount").cast("decimal(3,2)"))
+    lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier(s, d)),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(sum(revenue).cast("double").as("revenue"), count(lit(1)).as("n"))
+      .orderBy("r_name", "n_name")
+  }
+
+  val snowflakeJoinSql: String =
+    """SELECT r_name, n_name,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
+      |  count(*) AS n
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Scalar correlated subquery shape: customers above their nation's
+  // average balance — expressed as a window average (one shuffle)
+  // rather than a re-scanning correlated subquery.
+  // -------------------------------------------------------------------
+  def aboveAvgBalance(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("c_nationkey")
+    customer(s, d)
+      .withColumn("nation_avg",
+        (sum(col("c_acctbal").cast("decimal(18,2)")).over(w).cast("double") /
+          count(lit(1)).over(w)))
+      .filter(col("c_acctbal") > col("nation_avg"))
+      .select("c_custkey", "c_nationkey", "c_acctbal", "nation_avg")
+      .orderBy("c_custkey")
+  }
+
+  val aboveAvgBalanceSql: String =
+    """SELECT c_custkey, c_nationkey, c_acctbal, nation_avg FROM (
+      |  SELECT c_custkey, c_nationkey, c_acctbal,
+      |    CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) OVER w AS DOUBLE)
+      |      / count(*) OVER w AS nation_avg
+      |  FROM customer WINDOW w AS (PARTITION BY c_nationkey))
+      |WHERE c_acctbal > nation_avg ORDER BY c_custkey""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Pivot: event counts per user decile × event type. Spark's .pivot
+  // compiles to the same conditional aggregation the oracle spells out.
+  // -------------------------------------------------------------------
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  def pivotCounts(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("user_decile", (col("user_id") % 10).cast("int"))
+      .groupBy("user_decile")
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("user_decile")
+
+  val pivotCountsSql: String = {
+    val cols = EventTypes.map(t =>
+      s"""  count(*) FILTER (WHERE event_type = '$t') AS "$t"""").mkString(",\n")
+    s"""SELECT CAST(user_id % 10 AS INT) AS user_decile,
+       |$cols
+       |FROM events GROUP BY 1 ORDER BY user_decile""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // Skew-safe two-phase (salted) aggregation: phase 1 aggregates on
+  // (key, salt) so one hot key spreads over `Salt` reducers; phase 2
+  // merges the partials. Result is identical to a plain groupBy — the
+  // oracle IS the plain groupBy — so the pattern is oracle-verified.
+  // -------------------------------------------------------------------
+  private val Salt = 8
+
+  def saltedAgg(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("salt", pmod(col("event_id"), lit(Salt)))
+      .groupBy("user_id", "salt")
+      .agg(count(lit(1)).as("pc"),
+        sum(round(col("value") * 100).cast("long")).as("ps"))
+      .groupBy("user_id")
+      .agg(sum(col("pc")).as("n_events"), sum(col("ps")).as("sum_cents"))
+      .orderBy("user_id")
+
+  val saltedAggSql: String =
+    """SELECT user_id, count(*) AS n_events,
+      |  sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_snowflake_join" -> (snowflakeJoin _),
+    "rel_above_avg" -> (aboveAvgBalance _),
+    "rel_pivot" -> (pivotCounts _),
+    "rel_salted_agg" -> (saltedAgg _),
     "rel_sliding_window" -> (slidingWindow _),
     "rel_cube" -> (cubeAgg _),
     "rel_approx_distinct" -> (approxDistinct _),
@@ -615,6 +724,10 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "rel_snowflake_join" -> snowflakeJoinSql,
+    "rel_above_avg" -> aboveAvgBalanceSql,
+    "rel_pivot" -> pivotCountsSql,
+    "rel_salted_agg" -> saltedAggSql,
     "rel_sliding_window" -> slidingWindowSql,
     "rel_cube" -> cubeAggSql,
     // rel_approx_distinct: intentionally no oracle (approximate result)

@@ -69,6 +69,23 @@ class CdcRelaySpec extends AnyFunSuite {
     assert(r.getAs[String]("body").contains("\"type\":\"purchase\""))
   }
 
+  test("maxFilesPerTrigger paces the relay into multiple micro-batches") {
+    val root = Files.createTempDirectory("relay3").toString
+    val in = s"$root/in"; new java.io.File(in).mkdirs()
+    val cfg = RelayConfig(in, s"$root/out", s"$root/chk", maxFilesPerTrigger = 1)
+    val base = 1700000000000000L
+    (0 until 3).foreach { i =>
+      writeEvents(in, s"b$i.parquet",
+        Seq((i.toLong, base + i * 1000000L, 1L, "view")))
+    }
+    CdcRelay.start(spark, cfg).awaitTermination()
+    assert(spark.read.parquet(cfg.outputDir).count() == 3)
+    // one committed epoch per file: the commit log must hold >= 3 entries
+    val commits = new java.io.File(s"$root/chk/commits").listFiles()
+      .count(f => f.getName.forall(_.isDigit))
+    assert(commits >= 3, s"expected >=3 epochs, got $commits")
+  }
+
   test("restart with no new input produces no new output") {
     val root = Files.createTempDirectory("relay2").toString
     val in = s"$root/in"; new java.io.File(in).mkdirs()
