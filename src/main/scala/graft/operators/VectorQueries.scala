@@ -93,22 +93,24 @@ object VectorQueries {
   // B29a: brute-force cosine top-K for one query vector (vec_id = 0).
   // -------------------------------------------------------------------
   def knnBruteForce(s: SparkSession, d: String): DataFrame = {
-    val e = embeddings(s, d)
+    val e = embeddings(s, d).withColumn("nrm", norm("embedding"))
     val q = e.filter(col("vec_id") === 0)
-      .select(col("embedding").as("q_embedding"))
+      .select(col("embedding").as("q_embedding"), col("nrm").as("q_nrm"))
     e.filter(col("vec_id") > 0)
       .crossJoin(broadcast(q))
       .select(col("vec_id"), col("label"),
-        cosine("embedding", "q_embedding").as("sim"))
+        cosinePre("embedding", "q_embedding", col("nrm"), col("q_nrm")).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(20)
   }
 
   val knnBruteForceSql: String = {
-    val cos = cosineSql("a.embedding", "q.embedding")
-    s"""SELECT a.vec_id, a.label, $cos AS sim
-       |FROM embeddings a, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
-       |WHERE a.vec_id > 0
+    val cos = s"round((${dotSql("a.embedding", "q.q_embedding")}) / (a.nrm * q.q_nrm), 6)"
+    s"""WITH be AS (SELECT vec_id, label, embedding,
+       |            sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings),
+       |q AS (SELECT embedding AS q_embedding, nrm AS q_nrm FROM be WHERE vec_id = 0)
+       |SELECT a.vec_id, a.label, $cos AS sim
+       |FROM be a, q WHERE a.vec_id > 0
        |ORDER BY sim DESC, a.vec_id LIMIT 20""".stripMargin
   }
 
@@ -119,13 +121,14 @@ object VectorQueries {
   // the corpus once.
   // -------------------------------------------------------------------
   def knnMulti(s: SparkSession, d: String): DataFrame = {
-    val e = embeddings(s, d)
+    val e = embeddings(s, d).withColumn("nrm", norm("embedding"))
     val q = e.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding"),
+        col("nrm").as("q_nrm"))
     val scored = e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"), col("label"),
-        cosine("embedding", "q_embedding").as("sim"))
+        cosinePre("embedding", "q_embedding", col("nrm"), col("q_nrm")).as("sim"))
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
       .select("q_id", "rn", "vec_id", "label", "sim")
@@ -133,14 +136,15 @@ object VectorQueries {
   }
 
   val knnMultiSql: String = {
-    val cos = cosineSql("a.embedding", "q.q_embedding")
-    s"""SELECT q_id, rn, vec_id, label, sim FROM (
+    val cos = s"round((${dotSql("a.embedding", "q.q_embedding")}) / (a.nrm * q.q_nrm), 6)"
+    s"""WITH be AS (SELECT vec_id, label, embedding,
+       |            sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_embedding, nrm AS q_nrm
+       |      FROM be WHERE vec_id < 5)
+       |SELECT q_id, rn, vec_id, label, sim FROM (
        |  SELECT q.q_id, a.vec_id, a.label, $cos AS sim,
        |    row_number() OVER (PARTITION BY q.q_id ORDER BY $cos DESC, a.vec_id) AS rn
-       |  FROM embeddings a,
-       |    (SELECT vec_id AS q_id, embedding AS q_embedding
-       |     FROM embeddings WHERE vec_id < 5) q
-       |  WHERE a.vec_id <> q.q_id)
+       |  FROM be a, q WHERE a.vec_id <> q.q_id)
        |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin
   }
 
@@ -166,22 +170,27 @@ object VectorQueries {
   // to ~N/2^planes rows.
   // -------------------------------------------------------------------
   def lshAnn(s: SparkSession, d: String): DataFrame = {
-    val e = embeddings(s, d).withColumn("bucket", bucket)
+    val e = embeddings(s, d)
+      .withColumn("bucket", bucket)
+      .withColumn("nrm", norm("embedding"))
     val q = e.filter(col("vec_id") === 0)
-      .select(col("embedding").as("q_embedding"), col("bucket").as("q_bucket"))
+      .select(col("embedding").as("q_embedding"), col("nrm").as("q_nrm"),
+        col("bucket").as("q_bucket"))
     e.filter(col("vec_id") > 0)
       .join(broadcast(q), col("bucket") === col("q_bucket"))
       .select(col("vec_id"), col("label"),
-        cosine("embedding", "q_embedding").as("sim"))
+        cosinePre("embedding", "q_embedding", col("nrm"), col("q_nrm")).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(10)
   }
 
   val lshAnnSql: String = {
-    val cos = cosineSql("a.embedding", "q.embedding")
-    s"""WITH be AS (SELECT vec_id, label, embedding, ($bucketSql) AS bucket
+    val cos = s"round((${dotSql("a.embedding", "q.q_embedding")}) / (a.nrm * q.q_nrm), 6)"
+    s"""WITH be AS (SELECT vec_id, label, embedding, ($bucketSql) AS bucket,
+       |            sqrt(${dotSql("embedding", "embedding")}) AS nrm
        |            FROM embeddings),
-       |q AS (SELECT embedding, bucket FROM be WHERE vec_id = 0)
+       |q AS (SELECT embedding AS q_embedding, nrm AS q_nrm, bucket FROM be
+       |      WHERE vec_id = 0)
        |SELECT a.vec_id, a.label, $cos AS sim
        |FROM be a, q WHERE a.vec_id > 0 AND a.bucket = q.bucket
        |ORDER BY sim DESC, a.vec_id LIMIT 10""".stripMargin
