@@ -60,6 +60,18 @@ object CdcFunctions {
       case (acc, (k, name)) => when(code === lit(k), lit(name)).otherwise(acc)
     }
 
+  /** Strict variant of [[eventTypeName]]: unknown codes raise a runtime
+    * error, matching the reference's fail-fast contract exactly
+    * (message.go:91-93). Use on pipelines where bad input must abort
+    * the batch rather than propagate nulls.
+    */
+  def eventTypeNameStrict(code: Column): Column =
+    CdcModel.EventTypeNames.foldLeft(
+      raise_error(concat(lit("unknown change event type: "), code.cast("string")))
+    ) { case (acc, (k, name)) =>
+      when(code === lit(k), lit(name)).otherwise(acc)
+    }
+
   /** Routing subject `<prefix>.<ledger>.<event_type>` (structured mode,
     * reference config.go:157-162). Reference A10.
     */

@@ -97,6 +97,18 @@ class CdcColumnSpec extends AnyFunSuite {
     assert(r.isNullAt(0))
   }
 
+  test("strict event-type mapping raises on unknown code like the reference") {
+    val bad = df(ChangeEvent.zero.copy(eventTypeCode = 99))
+      .select(CdcFunctions.eventTypeNameStrict(col("event_type_code")))
+    val e = intercept[Exception](bad.collect())
+    assert(e.getMessage.contains("unknown change event type"), e.getMessage)
+    // and the happy path still resolves
+    val ok = df(ChangeEvent.zero)
+      .select(CdcFunctions.eventTypeNameStrict(col("event_type_code")))
+      .collect().head.getString(0)
+    assert(ok == "single_phase")
+  }
+
   test("msg id and subject columns") {
     val r = df(mixed).select(
       CdcFunctions.msgId("cluster9", col("timestamp")),

@@ -82,6 +82,26 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("partition pruning: filtering on a partition column skips files") {
+    val dir = java.nio.file.Files.createTempDirectory("ppart").toString
+    Tables.events(spark, sf)
+      .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    val df = spark.read.parquet(dir)
+      .filter(col("event_type") === "click")
+      .select("event_id", "ts")
+    val plan = physical(df)
+    val scanLine = plan.linesIterator
+      .find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("event_type"), plan)
+    // after execution the scan metric must report exactly 1 file read
+    // (inputFiles lists the unpruned relation, so check metrics instead)
+    df.collect()
+    val scan = df.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .get
+    assert(scan.metrics("numFiles").value == 1, scan.metrics("numFiles").value)
+  }
+
   test("exact dedup is a hash aggregate (no sort-based fallback)") {
     val plan = physical(CdcQueries.dedupExact(spark, sf))
     assert(plan.contains("HashAggregate"), plan)
