@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 import graft.Tables._
 
 /** SURVEY.md §2 Part B relational inventory (B1-B27) over the TPC-H-ish
@@ -692,7 +693,83 @@ object RelationalQueries {
       |  sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // from_json with an explicit schema (the typed parse path, vs
+  // get_json_object's string extraction in rel_json_fns).
+  // -------------------------------------------------------------------
+  def fromJson(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("parsed",
+        from_json(col("props"), StructType(Seq(StructField("k", IntegerType)))))
+      .select(col("event_id"), col("parsed.k").as("k"),
+        (col("parsed.k") * 2).as("k_doubled"))
+      .orderBy("event_id")
+
+  val fromJsonSql: String =
+    """SELECT event_id,
+      |  CAST(json_extract_string(props, '$.k') AS INT) AS k,
+      |  CAST(json_extract_string(props, '$.k') AS INT) * 2 AS k_doubled
+      |FROM events ORDER BY event_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Data profiling — the pre-flight every pipeline runs on a new table:
+  // per-column null/distinct/min/max in ONE pass (single aggregate, no
+  // per-column scans).
+  // -------------------------------------------------------------------
+  def profile(s: SparkSession, d: String): DataFrame =
+    orders(s, d).agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("o_custkey").isNull, 1).otherwise(0)).as("custkey_nulls"),
+      countDistinct(col("o_custkey")).as("custkey_distinct"),
+      min(col("o_totalprice")).as("price_min"),
+      max(col("o_totalprice")).as("price_max"),
+      countDistinct(col("o_orderstatus")).as("status_distinct"),
+      min(col("o_orderdate")).as("date_min"),
+      max(col("o_orderdate")).as("date_max"))
+
+  val profileSql: String =
+    """SELECT count(*) AS n_rows,
+      |  sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS custkey_nulls,
+      |  count(DISTINCT o_custkey) AS custkey_distinct,
+      |  min(o_totalprice) AS price_min,
+      |  max(o_totalprice) AS price_max,
+      |  count(DISTINCT o_orderstatus) AS status_distinct,
+      |  min(o_orderdate) AS date_min,
+      |  max(o_orderdate) AS date_max
+      |FROM orders""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Deterministic hash-based sampling / train-test split — the scalable
+  // alternative to RNG sampling: membership is a pure function of the
+  // key, so it is reproducible across engines, runs, and retries, and
+  // needs no coordination. ~80/10/10 split via md5 buckets.
+  // -------------------------------------------------------------------
+  def hashSample(s: SparkSession, d: String): DataFrame = {
+    val bucket = pmod(
+      conv(substring(md5(concat(lit("split:"), col("event_id"))), 1, 15), 16, 10)
+        .cast("long"), lit(100))
+    val split = when(bucket < 80, "train")
+      .when(bucket < 90, "valid").otherwise("test")
+    events(s, d)
+      .withColumn("split", split)
+      .groupBy("split", "event_type").agg(count(lit(1)).as("n"))
+      .orderBy("split", "event_type")
+  }
+
+  val hashSampleSql: String =
+    """SELECT split, event_type, count(*) AS n FROM (
+      |  SELECT event_type,
+      |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid'
+      |         ELSE 'test' END AS split
+      |  FROM (SELECT event_type,
+      |    CAST(('0x' || substr(md5('split:' || CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS b
+      |  FROM events))
+      |GROUP BY split, event_type ORDER BY split, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_from_json" -> (fromJson _),
+    "rel_profile" -> (profile _),
+    "rel_hash_sample" -> (hashSample _),
     "rel_snowflake_join" -> (snowflakeJoin _),
     "rel_above_avg" -> (aboveAvgBalance _),
     "rel_pivot" -> (pivotCounts _),
@@ -724,6 +801,9 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "rel_from_json" -> fromJsonSql,
+    "rel_profile" -> profileSql,
+    "rel_hash_sample" -> hashSampleSql,
     "rel_snowflake_join" -> snowflakeJoinSql,
     "rel_above_avg" -> aboveAvgBalanceSql,
     "rel_pivot" -> pivotCountsSql,

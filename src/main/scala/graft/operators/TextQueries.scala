@@ -369,7 +369,60 @@ object TextQueries {
        |    (a, b) -> (a * 31 + b) % 2147483647) AS rolling_fp
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // B28f: composite quality scoring — the filter stage of a training-
+  // data pipeline. Character-class ratios via regexp_replace lengths,
+  // combined into one score; the downstream `keep` flag is the
+  // pipeline's actual output. Pure per-row map work.
+  // -------------------------------------------------------------------
+  def qualityScore(s: SparkSession, d: String): DataFrame = {
+    val len = length(col("text")).cast("double")
+    val nAlpha = length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double")
+    val nDigit = length(regexp_replace(col("text"), "[^0-9]", "")).cast("double")
+    val nSpace = length(regexp_replace(col("text"), "[^ ]", "")).cast("double")
+    val nPunct = len - nAlpha - nDigit - nSpace
+    val wordLen = (len - nSpace) / (nSpace + lit(1.0))
+    val score = (nAlpha / len) * lit(0.6) +
+      (lit(1.0) - nPunct / len) * lit(0.3) +
+      when(wordLen >= 3 && wordLen <= 10, lit(0.1)).otherwise(lit(0.0))
+    documents(s, d).select(
+      col("doc_id"),
+      (nAlpha / len).as("alpha_ratio"),
+      (nDigit / len).as("digit_ratio"),
+      (nPunct / len).as("punct_ratio"),
+      wordLen.as("avg_word_len"),
+      score.as("quality"),
+      (score > 0.8).as("keep")
+    ).orderBy("doc_id")
+  }
+
+  val qualityScoreSql: String =
+    """SELECT doc_id,
+      |  nalpha / len AS alpha_ratio,
+      |  ndigit / len AS digit_ratio,
+      |  (len - nalpha - ndigit - nspace) / len AS punct_ratio,
+      |  (len - nspace) / (nspace + 1.0) AS avg_word_len,
+      |  (nalpha / len) * 0.6
+      |    + (1.0 - (len - nalpha - ndigit - nspace) / len) * 0.3
+      |    + (CASE WHEN (len - nspace) / (nspace + 1.0) >= 3
+      |             AND (len - nspace) / (nspace + 1.0) <= 10
+      |            THEN 0.1 ELSE 0.0 END) AS quality,
+      |  ((nalpha / len) * 0.6
+      |    + (1.0 - (len - nalpha - ndigit - nspace) / len) * 0.3
+      |    + (CASE WHEN (len - nspace) / (nspace + 1.0) >= 3
+      |             AND (len - nspace) / (nspace + 1.0) <= 10
+      |            THEN 0.1 ELSE 0.0 END)) > 0.8 AS keep
+      |FROM (
+      |  SELECT doc_id,
+      |    CAST(length(text) AS DOUBLE) AS len,
+      |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS nalpha,
+      |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS ndigit,
+      |    CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE) AS nspace
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_quality" -> (qualityScore _),
     "text_rolling_fp" -> (rollingFingerprint _),
     "text_token_regex" -> (tokenRegex _),
     "text_top_terms" -> (topTerms _),
@@ -382,6 +435,7 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_quality" -> qualityScoreSql,
     "text_rolling_fp" -> rollingFingerprintSql,
     "text_token_regex" -> tokenRegexSql,
     "text_top_terms" -> topTermsSql,
