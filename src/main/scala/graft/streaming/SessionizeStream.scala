@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Custom streaming state (SURVEY.md §7.1 P3 / B17 streaming form):
+  * per-user sessionization with a gap timeout via
+  * `flatMapGroupsWithState` — the KeyValueGroupedDataset state API the
+  * engine exposes where windowed built-ins can't express the semantics.
+  *
+  * State per key is one open session (start, last-seen, count); an
+  * event either extends it or closes it and opens the next; an
+  * event-time timeout flushes idle sessions. Emitted rows are CLOSED
+  * sessions only — the exactly-once output of the state machine.
+  */
+object SessionizeStream {
+
+  final case class Event(user_id: Long, ts: java.sql.Timestamp)
+  final case class OpenSession(start: Long, last: Long, n: Long)
+  final case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
+                                 session_end: java.sql.Timestamp, n_events: Long)
+
+  val GapMicros: Long = 30L * 60 * 1000000 // 30 minutes
+
+  private def update(userId: Long, events: Iterator[Event],
+                     state: GroupState[OpenSession]): Iterator[ClosedSession] = {
+    val out = Seq.newBuilder[ClosedSession]
+    def close(s: OpenSession): Unit =
+      out += ClosedSession(userId,
+        new java.sql.Timestamp(s.start / 1000),
+        new java.sql.Timestamp(s.last / 1000), s.n)
+
+    if (state.hasTimedOut) {
+      state.getOption.foreach(close)
+      state.remove()
+    } else {
+      var cur = state.getOption
+      events.toSeq.sortBy(_.ts.getTime).foreach { e =>
+        val t = e.ts.getTime * 1000
+        cur match {
+          case Some(s) if t - s.last <= GapMicros =>
+            cur = Some(s.copy(last = t, n = s.n + 1))
+          case Some(s) =>
+            close(s); cur = Some(OpenSession(t, t, 1))
+          case None =>
+            cur = Some(OpenSession(t, t, 1))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        state.setTimeoutTimestamp(s.last / 1000 + 30 * 60 * 1000 + 1)
+      }
+    }
+    out.result().iterator
+  }
+
+  /** Wire the sessionizer over a streaming Dataset of events. */
+  def sessions(events: Dataset[Event]): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.{CdcRelay, SessionizeStream}
+
+/** flatMapGroupsWithState sessionization: closed sessions from the
+  * stream must match the batch gaps-and-islands computation for every
+  * session that the watermark has sealed.
+  */
+class SessionizeStreamSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  test("stateful streaming sessions match batch gaps-and-islands") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val root = Files.createTempDirectory("sess").toString
+    val in = s"$root/in"; new java.io.File(in).mkdirs()
+
+    // user 1: two sessions (40-min gap); user 2: one session; plus a
+    // late "far future" event per user to advance the watermark past
+    // every earlier session's timeout
+    val base = 1700000000000000L
+    def r(id: Long, user: Long, offMin: Long) =
+      Row(id, new java.sql.Timestamp((base + offMin * 60000000L) / 1000),
+        user, "view", 1.0, """{"k": 1}""")
+    val rows = Seq(
+      r(1, 1, 0), r(2, 1, 10), r(3, 1, 50), // user1: [0,10], [50]
+      r(4, 2, 5),                           // user2: [5]
+      r(5, 1, 600), r(6, 2, 600))           // watermark advancers
+    spark.createDataFrame(rows.asJava, CdcRelay.inputSchema)
+      .coalesce(1).write.mode("overwrite").parquet(in)
+
+    val events = spark.readStream.schema(CdcRelay.inputSchema).parquet(in)
+      .select(col("user_id"), col("ts")).as[SessionizeStream.Event]
+    val q = SessionizeStream.sessions(events)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append")
+      .option("checkpointLocation", s"$root/chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val got = spark.table("sessions")
+      .orderBy("user_id", "session_start")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+        r.getTimestamp(2).getTime, r.getLong(3)))
+
+    def ms(offMin: Long) = (base + offMin * 60000000L) / 1000
+    val want = Array(
+      (1L, ms(0), ms(10), 2L),   // user1 session A
+      (1L, ms(50), ms(50), 1L),  // user1 session B
+      (2L, ms(5), ms(5), 1L))    // user2 session
+    // the watermark-advancer events' own sessions are still open → not emitted
+    assert(got.toSeq == want.toSeq, got.mkString(", "))
+  }
+}
