@@ -312,7 +312,29 @@ object CdcQueries {
       |  count(*) AS n
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** B20 via the native whole-operator extension: the custom AsOfJoin
+    * LogicalPlan/Strategy/Exec (graft.plans.AsOfJoin) — one merge pass
+    * over co-partitioned sorted inputs, O(1) state per partition —
+    * sharing rel_asof_join's oracle.
+    */
+  def asofNative(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    graft.plans.AsOfJoinOps.asofJoin(p, c,
+        "p_user", "c_user", "purchase_ts", "click_ts",
+        rightTieCols = Seq("click_id"))
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("purchase_ts"), col("click_id"), col("click_ts"))
+      .orderBy("purchase_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_asof_native" -> (asofNative _),
     "cdc_u128_sum" -> (u128Sum _),
     "cdc_envelope_native" -> (envelopeNative _),
     "cdc_struct_json" -> (structJson _),
@@ -326,6 +348,7 @@ object CdcQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "cdc_asof_native" -> RelationalQueries.asofJoinSql,
     "cdc_u128_sum" -> u128SumSql,
     "cdc_envelope_native" -> envelopeSql,
     "cdc_struct_json" -> structJsonSql,
