@@ -333,7 +333,130 @@ object CdcQueries {
       .orderBy("purchase_id")
   }
 
+  // -------------------------------------------------------------------
+  // The FULL reference document (36-field ChangeEvent → 3-level
+  // cdcMessage JSON, reference message.go:96-152) at scale: every field
+  // synthesized deterministically from event_id via cross-engine md5
+  // hashes in its true range (u128 as 39-digit decimal strings, u64
+  // crossing 2^53, u32/u16 bounded), assembled by the codegen'd
+  // cdcJsonBody concat tree — the same function the goldens pin.
+  // -------------------------------------------------------------------
+  private def h60(tag: String): Column =
+    conv(substring(md5(concat(lit(tag + ":"), col("event_id"))), 1, 15), 16, 10)
+      .cast("long")
+
+  private def h60Sql(tag: String): String =
+    s"CAST(('0x' || substr(md5('$tag:' || CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+
+  /** u128 as decimal string: h1 * 2^60 + h2 (up to ~2^120). */
+  private def u128Col(tag: String): Column =
+    (h60(tag + "a").cast("decimal(38,0)") * lit(1152921504606846976L).cast("decimal(38,0)") +
+      h60(tag + "b").cast("decimal(38,0)")).cast("decimal(38,0)").cast("string")
+
+  private def u128Sql(tag: String): String =
+    s"CAST(CAST(${h60Sql(tag + "a")} AS HUGEINT) * 1152921504606846976 + ${h60Sql(tag + "b")} AS VARCHAR)"
+
+  /** u64 as Decimal(20,0): a 60-bit hash (crosses 2^53 freely). */
+  private def u64Col(tag: String): Column = h60(tag).cast("decimal(20,0)")
+  private def u64Sql(tag: String): String = h60Sql(tag)
+
+  private def u32Col(tag: String): Column = pmod(h60(tag), lit(4294967296L))
+  private def u32Sql(tag: String): String = s"${h60Sql(tag)} % 4294967296"
+
+  private def u16Col(tag: String): Column = pmod(h60(tag), lit(65536L)).cast("int")
+  private def u16Sql(tag: String): String = s"CAST(${h60Sql(tag)} % 65536 AS INT)"
+
+  def fullEventJson(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val typeCode = (pmod(col("event_id"), lit(5)) + 1).cast("int")
+    val body = cdcJsonBody(
+      timestamp = u64Col("ets"), eventTypeCode = typeCode,
+      ledger = u32Col("led"),
+      transfer = TransferCols(
+        id = u128Col("tid"), amount = u128Col("tam"),
+        pendingId = u128Col("tpe"), userData128 = u128Col("tu1"),
+        userData64 = u64Col("tu6"), userData32 = u32Col("tu3"),
+        timeout = u32Col("tto"), code = u16Col("tco"), flags = u16Col("tfl"),
+        timestamp = u64Col("tts")),
+      debit = AccountCols(
+        id = u128Col("did"), debitsPending = u128Col("ddp"),
+        debitsPosted = u128Col("ddo"), creditsPending = u128Col("dcp"),
+        creditsPosted = u128Col("dco"), userData128 = u128Col("du1"),
+        userData64 = u64Col("du6"), userData32 = u32Col("du3"),
+        code = u16Col("dco2"), flags = u16Col("dfl"),
+        timestamp = u64Col("dts")),
+      credit = AccountCols(
+        id = u128Col("cid"), debitsPending = u128Col("cdp"),
+        debitsPosted = u128Col("cdo"), creditsPending = u128Col("ccp"),
+        creditsPosted = u128Col("cco"), userData128 = u128Col("cu1"),
+        userData64 = u64Col("cu6"), userData32 = u32Col("cu3"),
+        code = u16Col("cco2"), flags = u16Col("cfl"),
+        timestamp = u64Col("cts")))
+    // deterministic 1/17 sample: the md5-based field synthesis is test
+    // scaffolding (~80 hashes/row), not operator cost — the operator
+    // under test (cdcJsonBody) is a cheap codegen'd concat
+    ev.filter(pmod(col("event_id"), lit(17)) === 0)
+      .select(
+        col("event_id"),
+        eventTypeName(typeCode).as("type_name"),
+        body.as("body"),
+        length(body).as("body_len"))
+      .orderBy("event_id")
+  }
+
+  val fullEventJsonSql: String = {
+    def pu64(tag: String) =
+      s"(CASE WHEN ${u64Sql(tag)} <= 9007199254740991 THEN CAST(${u64Sql(tag)} AS VARCHAR) ELSE '\"' || CAST(${u64Sql(tag)} AS VARCHAR) || '\"' END)"
+    def pu128(tag: String) = {
+      val s = u128Sql(tag)
+      s"(CASE WHEN length($s) < 16 OR (length($s) = 16 AND $s <= '9007199254740991') THEN $s ELSE '\"' || $s || '\"' END)"
+    }
+    def raw(e: String) = s"CAST($e AS VARCHAR)"
+    val typeName =
+      "(['single_phase','two_phase_pending','two_phase_posted','two_phase_voided','two_phase_expired'])[(event_id % 5 + 1)]"
+    def accountJson(p: String, tags: (String, String, String, String, String, String, String, String, String, String, String)) = {
+      val (id, dp, dpo, cp, cpo, u1, u6, u3, co, fl, ts) = tags
+      s"""'{"id":' || ${pu128(id)} ||
+         |',"debits_pending":' || ${pu128(dp)} ||
+         |',"debits_posted":' || ${pu128(dpo)} ||
+         |',"credits_pending":' || ${pu128(cp)} ||
+         |',"credits_posted":' || ${pu128(cpo)} ||
+         |',"user_data_128":' || ${pu128(u1)} ||
+         |',"user_data_64":' || ${pu64(u6)} ||
+         |',"user_data_32":' || ${raw(u32Sql(u3))} ||
+         |',"code":' || ${raw(u16Sql(co))} ||
+         |',"flags":' || ${raw(u16Sql(fl))} ||
+         |',"timestamp":' || ${pu64(ts)} || '}'""".stripMargin
+    }
+    val body =
+      s"""'{"timestamp":' || ${pu64("ets")} ||
+         |',"type":"' || $typeName ||
+         |'","ledger":' || ${raw(u32Sql("led"))} ||
+         |',"transfer":' ||
+         |'{"id":' || ${pu128("tid")} ||
+         |',"amount":' || ${pu128("tam")} ||
+         |',"pending_id":' || ${pu128("tpe")} ||
+         |',"user_data_128":' || ${pu128("tu1")} ||
+         |',"user_data_64":' || ${pu64("tu6")} ||
+         |',"user_data_32":' || ${raw(u32Sql("tu3"))} ||
+         |',"timeout":' || ${raw(u32Sql("tto"))} ||
+         |',"code":' || ${raw(u16Sql("tco"))} ||
+         |',"flags":' || ${raw(u16Sql("tfl"))} ||
+         |',"timestamp":' || ${pu64("tts")} || '}' ||
+         |',"debit_account":' ||
+         |${accountJson("d", ("did", "ddp", "ddo", "dcp", "dco", "du1", "du6", "du3", "dco2", "dfl", "dts"))} ||
+         |',"credit_account":' ||
+         |${accountJson("c", ("cid", "cdp", "cdo", "ccp", "cco", "cu1", "cu6", "cu3", "cco2", "cfl", "cts"))} ||
+         |'}'""".stripMargin
+    s"""SELECT event_id,
+       |  $typeName AS type_name,
+       |  $body AS body,
+       |  CAST(length($body) AS INT) AS body_len
+       |FROM events WHERE event_id % 17 = 0 ORDER BY event_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_full_event_json" -> (fullEventJson _),
     "cdc_asof_native" -> (asofNative _),
     "cdc_u128_sum" -> (u128Sum _),
     "cdc_envelope_native" -> (envelopeNative _),
@@ -348,6 +471,7 @@ object CdcQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "cdc_full_event_json" -> fullEventJsonSql,
     "cdc_asof_native" -> RelationalQueries.asofJoinSql,
     "cdc_u128_sum" -> u128SumSql,
     "cdc_envelope_native" -> envelopeSql,
