@@ -766,7 +766,43 @@ object RelationalQueries {
       |  FROM events))
       |GROUP BY split, event_type ORDER BY split, event_type""".stripMargin
 
+  // -------------------------------------------------------------------
+  // B20b: banded range join — events within 10 minutes AFTER a signup
+  // by the same user (equi-key + bounded time band). The equi key keeps
+  // it a hash/SMJ join; the band predicate filters inside the
+  // co-partition, so cost is per-key pair count, never |L|×|R|.
+  // -------------------------------------------------------------------
+  def rangeJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("event_id").as("signup_id"),
+        col("ts").as("signup_ts"))
+    val follow = ev.filter(col("event_type") =!= "signup")
+      .select(col("user_id").as("f_user"), col("event_id").as("follow_id"),
+        col("ts").as("follow_ts"), col("event_type").as("follow_type"))
+    signups.join(follow,
+        col("s_user") === col("f_user") &&
+          col("follow_ts") > col("signup_ts") &&
+          col("follow_ts") <= col("signup_ts") + expr("INTERVAL 10 MINUTES"))
+      .groupBy("signup_id")
+      .agg(count(lit(1)).as("n_follow"),
+        countDistinct(col("follow_type")).as("n_types"),
+        min(col("follow_id")).as("first_follow_id"))
+      .orderBy("signup_id")
+  }
+
+  val rangeJoinSql: String =
+    """SELECT s.event_id AS signup_id, count(*) AS n_follow,
+      |  count(DISTINCT f.event_type) AS n_types,
+      |  min(f.event_id) AS first_follow_id
+      |FROM (SELECT * FROM events WHERE event_type = 'signup') s
+      |JOIN (SELECT * FROM events WHERE event_type <> 'signup') f
+      |  ON f.user_id = s.user_id
+      | AND f.ts > s.ts AND f.ts <= s.ts + INTERVAL 10 MINUTE
+      |GROUP BY s.event_id ORDER BY signup_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_range_join" -> (rangeJoin _),
     "rel_from_json" -> (fromJson _),
     "rel_profile" -> (profile _),
     "rel_hash_sample" -> (hashSample _),
@@ -801,6 +837,7 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "rel_range_join" -> rangeJoinSql,
     "rel_from_json" -> fromJsonSql,
     "rel_profile" -> profileSql,
     "rel_hash_sample" -> hashSampleSql,
