@@ -40,7 +40,13 @@ object CdcRelay {
       clusterId: String = "graft",
       dedupeWindow: String = "2 minutes",
       maxFilesPerTrigger: Int = 16,
-      provision: Boolean = true)
+      provision: Boolean = true,
+      /** Test failpoint: if set, the FIRST epoch written after this flag
+        * file is absent crashes the query after the sink write but
+        * before the epoch commit — the replay window of the at-least-
+        * once contract (reference README.md:55-61).
+        */
+      crashOnceAfterWrite: Option[String] = None)
 
   /** Input schema — the `events` stream shape (FIXTURES.md §B). */
   val inputSchema: StructType = StructType(Seq(
@@ -107,6 +113,14 @@ object CdcRelay {
         // publish (write) → ack barrier (write completes) → progress
         // (epoch commit, done by the engine after this returns)
         batch.write.mode("append").parquet(cfg.outputDir)
+        cfg.crashOnceAfterWrite.foreach { flag =>
+          val f = new java.io.File(flag)
+          if (!f.exists()) {
+            f.createNewFile()
+            throw new RuntimeException(
+              s"injected crash after sink write, before commit of epoch $epochId")
+          }
+        }
         ()
       }
       .start()

@@ -86,6 +86,39 @@ class CdcRelaySpec extends AnyFunSuite {
     assert(commits >= 3, s"expected >=3 epochs, got $commits")
   }
 
+  test("crash between sink write and commit: replay + msg-id dedup = exactly once") {
+    // the reference's delivery contract (README.md:55-61): a crash after
+    // publish but before the progress write causes replay; the broker's
+    // msg-id dedup restores exactly-once. Simulate the crash by deleting
+    // the last epoch's commit marker, forcing Spark to replay it.
+    val root = Files.createTempDirectory("relay4").toString
+    val in = s"$root/in"; new java.io.File(in).mkdirs()
+    val cfg = RelayConfig(in, s"$root/out", s"$root/chk",
+      crashOnceAfterWrite = Some(s"$root/crashflag"))
+    val base = 1700000000000000L
+    writeEvents(in, "b1.parquet", Seq(
+      (1L, base + 1000000L, 1L, "view"),
+      (2L, base + 2000000L, 2L, "click")))
+
+    // first run crashes after the sink write, before the epoch commit
+    val q1 = CdcRelay.start(spark, cfg)
+    val crashed = intercept[Exception](q1.awaitTermination())
+    assert(crashed.getMessage.contains("injected crash")
+      || crashed.getCause != null, crashed.getMessage)
+
+    // restart: the uncommitted epoch replays (flag file now exists)
+    CdcRelay.start(spark, cfg).awaitTermination()
+
+    val out = spark.read.parquet(cfg.outputDir)
+    // at-least-once: the replayed epoch appended duplicates
+    assert(out.count() == 4, out.count())
+    // downstream msg-id dedup restores exactly-once, bit-for-bit
+    val deduped = out.dropDuplicates("msg_id")
+    assert(deduped.count() == 2)
+    assert(deduped.select("msg_id").orderBy("msg_id").collect().map(_.getString(0)).toSeq ==
+      Seq(s"graft/${base + 1000000L}", s"graft/${base + 2000000L}"))
+  }
+
   test("restart with no new input produces no new output") {
     val root = Files.createTempDirectory("relay2").toString
     val in = s"$root/in"; new java.io.File(in).mkdirs()
