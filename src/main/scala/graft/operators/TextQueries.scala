@@ -421,7 +421,112 @@ object TextQueries {
       |  FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // Charter: character n-gram Jaccard near-dup — the codepoint-level
+  // complement to word-shingle MinHash (robust to tokenization changes).
+  // Blocking key = (length bucket, min char-4gram hash): only pairs
+  // sharing a block are compared, the classic blocking-dedup shape.
+  // -------------------------------------------------------------------
+  private def char4grams: Column =
+    expr("""transform(sequence(1, greatest(length(text) - 3, 1)),
+           |  i -> substring(text, i, 4))""".stripMargin)
+
+  private val char4gramsSql: String =
+    """list_transform(range(1, greatest(length(text) - 2, 2)),
+      |      i -> substring(text, i, 4))""".stripMargin
+
+  def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+    val grams = documents(s, d)
+      .select(col("doc_id"), length(col("text")).as("len"),
+        explode(array_distinct(char4grams)).as("g"))
+      .select(col("doc_id"), col("len"), h60(col("g")).as("gh"))
+    val blocked = grams.groupBy("doc_id", "len")
+      .agg(min(col("gh")).as("min_gh"), count(lit(1)).as("n"))
+      // floor-divide explicitly: a bare cast would truncate here but
+      // ROUND in DuckDB, splitting blocks differently across engines
+      .withColumn("block", concat_ws("_", floor(col("len") / 50).cast("int"), col("min_gh")))
+    val cand = blocked.as("x").join(blocked.as("y"),
+        col("x.block") === col("y.block") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.n").as("na"), col("y.n").as("nb"))
+    val inter = cand
+      .join(grams.as("ga"), col("doc_a") === col("ga.doc_id"))
+      .join(grams.as("gb"), col("doc_b") === col("gb.doc_id") &&
+        col("ga.gh") === col("gb.gh"))
+      .groupBy("doc_a", "doc_b", "na", "nb").agg(count(lit(1)).as("n_common"))
+    inter.select(col("doc_a"), col("doc_b"),
+        (col("n_common").cast("double") /
+          (col("na") + col("nb") - col("n_common"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.6)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val ngramJaccardSql: String = {
+    val gh = h60Sql("g")
+    s"""WITH grams AS (
+       |  SELECT doc_id, len, $gh AS gh FROM (
+       |    SELECT doc_id, length(text) AS len,
+       |      unnest(list_distinct($char4gramsSql)) AS g
+       |    FROM documents)),
+       |blocked AS (
+       |  SELECT doc_id, len, min(gh) AS min_gh, count(*) AS n,
+       |    CAST(CAST(len // 50 AS INT) AS VARCHAR) || '_' || CAST(min(gh) AS VARCHAR) AS block
+       |  FROM grams GROUP BY doc_id, len),
+       |cand AS (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.n AS na, y.n AS nb
+       |  FROM blocked x JOIN blocked y
+       |    ON x.block = y.block AND x.doc_id < y.doc_id),
+       |inter AS (
+       |  SELECT doc_a, doc_b, na, nb, count(*) AS n_common
+       |  FROM cand
+       |  JOIN grams ga ON ga.doc_id = doc_a
+       |  JOIN grams gb ON gb.doc_id = doc_b AND gb.gh = ga.gh
+       |  GROUP BY doc_a, doc_b, na, nb)
+       |SELECT doc_a, doc_b,
+       |  CAST(n_common AS DOUBLE) / (na + nb - n_common) AS jaccard
+       |FROM inter
+       |WHERE CAST(n_common AS DOUBLE) / (na + nb - n_common) >= 0.6
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // Charter: n-gram language-ID heuristic — fraction of character
+  // bigrams drawn from a frequent-English-bigram profile. A real
+  // detector swaps in per-language profiles; the scoring plumbing
+  // (explode bigrams → profile membership → ratio per doc) is the
+  // operator.
+  // -------------------------------------------------------------------
+  private val EnBigrams = Seq("th", "he", "in", "er", "an", "re", "on",
+    "at", "en", "nd", "ti", "es", "or")
+  private val enBigramsList = EnBigrams.map(b => s"'$b'").mkString("(", ", ", ")")
+
+  def langidNgram(s: SparkSession, d: String): DataFrame = {
+    val bigrams = expr(
+      """transform(sequence(1, greatest(length(text) - 1, 1)),
+        |  i -> substring(text, i, 2))""".stripMargin)
+    val nHit = size(expr(s"filter(bg, x -> x IN $enBigramsList)"))
+    documents(s, d)
+      .withColumn("bg", bigrams)
+      .select(col("doc_id"), col("lang"),
+        (nHit.cast("double") / size(col("bg"))).as("en_bigram_ratio"),
+        (nHit.cast("double") / size(col("bg")) > 0.09).as("looks_english"))
+      .orderBy("doc_id")
+  }
+
+  val langidNgramSql: String =
+    s"""SELECT doc_id, lang,
+       |  CAST(len(list_filter(bg, x -> x IN $enBigramsList)) AS DOUBLE) / len(bg) AS en_bigram_ratio,
+       |  CAST(len(list_filter(bg, x -> x IN $enBigramsList)) AS DOUBLE) / len(bg) > 0.09 AS looks_english
+       |FROM (
+       |  SELECT doc_id, lang,
+       |    list_transform(range(1, greatest(length(text), 2)),
+       |      i -> substring(text, i, 2)) AS bg
+       |  FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_ngram_jaccard" -> (ngramJaccard _),
+    "text_langid_ngram" -> (langidNgram _),
     "text_quality" -> (qualityScore _),
     "text_rolling_fp" -> (rollingFingerprint _),
     "text_token_regex" -> (tokenRegex _),
@@ -435,6 +540,8 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "dedup_ngram_jaccard" -> ngramJaccardSql,
+    "text_langid_ngram" -> langidNgramSql,
     "text_quality" -> qualityScoreSql,
     "text_rolling_fp" -> rollingFingerprintSql,
     "text_token_regex" -> tokenRegexSql,
