@@ -119,6 +119,31 @@ class CdcRelaySpec extends AnyFunSuite {
       Seq(s"graft/${base + 1000000L}", s"graft/${base + 2000000L}"))
   }
 
+  test("relay runs continuously under a processing-time trigger") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = Files.createTempDirectory("relay5").toString
+    val in = s"$root/in"; new java.io.File(in).mkdirs()
+    val cfg = RelayConfig(in, s"$root/out", s"$root/chk")
+    val base = 1700000000000000L
+    writeEvents(in, "b1.parquet", Seq((1L, base, 1L, "view")))
+    val q = CdcRelay.start(spark, cfg, Trigger.ProcessingTime("200 milliseconds"))
+    try {
+      // first batch lands...
+      val deadline = System.currentTimeMillis() + 30000
+      def outCount(): Long =
+        try spark.read.parquet(cfg.outputDir).count() catch { case _: Throwable => 0L }
+      while (outCount() < 1 && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      assert(outCount() == 1)
+      // ...and a file arriving WHILE the query runs is picked up (the
+      // poll loop, reference runner.go:126-169)
+      writeEvents(in, "b2.parquet", Seq((2L, base + 1000000L, 1L, "click")))
+      while (outCount() < 2 && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      assert(outCount() == 2)
+    } finally q.stop()
+  }
+
   test("restart with no new input produces no new output") {
     val root = Files.createTempDirectory("relay2").toString
     val in = s"$root/in"; new java.io.File(in).mkdirs()
