@@ -149,6 +149,34 @@ object CdcFunctions {
     )
   }
 
+  /** THE per-event publish envelope over the events-stream shape —
+    * the single definition both the batch query (CdcQueries.envelope)
+    * and the streaming relay (CdcRelay.transform) project, so the two
+    * execution modes cannot drift.
+    * Output: (event_id, ts, msg_id, subject, h_event_type, h_ledger, body).
+    */
+  def envelopeProjection(df: org.apache.spark.sql.DataFrame,
+                         subjectPrefix: String,
+                         clusterId: String): org.apache.spark.sql.DataFrame = {
+    val tsMicros = unix_micros(col("ts"))
+    val cents = round(col("value") * 100).cast("long")
+    val k = coalesce(get_json_object(col("props"), "$.k"), lit("null"))
+    val body = concat(
+      lit("{\"ts\":"), portableU64Json(tsMicros),
+      lit(",\"type\":\""), col("event_type"),
+      lit("\",\"ledger\":"), col("user_id").cast("string"),
+      lit(",\"value_cents\":"), cents.cast("string"),
+      lit(",\"k\":"), k,
+      lit("}"))
+    df.select(
+      col("event_id"), col("ts"),
+      msgId(clusterId, tsMicros).as("msg_id"),
+      subjectFor(subjectPrefix, col("user_id"), col("event_type")).as("subject"),
+      col("event_type").as("h_event_type"),
+      col("user_id").cast("string").as("h_ledger"),
+      body.as("body"))
+  }
+
   final case class TransferCols(
       id: Column, amount: Column, pendingId: Column, userData128: Column,
       userData64: Column, userData32: Column, timeout: Column,

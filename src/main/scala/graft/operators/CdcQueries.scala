@@ -33,26 +33,10 @@ object CdcQueries {
     * by string concat with the portable-number rule so the DuckDB oracle
     * can construct the identical bytes.
     */
-  def envelope(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Tables.events(spark, sfDir)
-    val cents = round(col("value") * 100).cast("long")
-    val k = coalesce(get_json_object(col("props"), "$.k"), lit("null"))
-    val body = concat(
-      lit("{\"ts\":"), portableU64Json(tsMicros),
-      lit(",\"type\":\""), col("event_type"),
-      lit("\",\"ledger\":"), col("user_id").cast("string"),
-      lit(",\"value_cents\":"), cents.cast("string"),
-      lit(",\"k\":"), k,
-      lit("}"))
-    ev.select(
-      col("event_id"),
-      msgId(ClusterId, tsMicros).as("msg_id"),
-      subjectFor(SubjectPrefix, col("user_id"), col("event_type")).as("subject"),
-      col("event_type").as("h_event_type"),
-      col("user_id").cast("string").as("h_ledger"),
-      body.as("body")
-    ).orderBy("event_id")
-  }
+  def envelope(spark: SparkSession, sfDir: String): DataFrame =
+    envelopeProjection(Tables.events(spark, sfDir), SubjectPrefix, ClusterId)
+      .drop("ts")
+      .orderBy("event_id")
 
   /** Oracle SQL for [[envelope]] (same string assembly in DuckDB). */
   val envelopeSql: String =
@@ -180,7 +164,10 @@ object CdcQueries {
     */
   def portable(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
-    val big = col("event_id") * lit(1234567890123L) + col("user_id")
+    // bounded synthesis that CROSSES 2^53 at every scale factor:
+    // (event_id % 1000) * 2e13 spans [0, 2e16] around the 9.007e15
+    // boundary (~55% below, 45% above), and never overflows a long
+    val big = pmod(col("event_id"), lit(1000)) * lit(20000000000000L) + col("user_id")
     ev.select(
       col("event_id"),
       big.as("v"),
@@ -191,11 +178,11 @@ object CdcQueries {
 
   val portableSql: String =
     """SELECT event_id,
-      |  event_id * 1234567890123 + user_id AS v,
-      |  (event_id * 1234567890123 + user_id) <= 9007199254740991 AS is_safe,
-      |  CASE WHEN (event_id * 1234567890123 + user_id) <= 9007199254740991
-      |       THEN CAST(event_id * 1234567890123 + user_id AS VARCHAR)
-      |       ELSE '"' || CAST(event_id * 1234567890123 + user_id AS VARCHAR) || '"'
+      |  (event_id % 1000) * 20000000000000 + user_id AS v,
+      |  ((event_id % 1000) * 20000000000000 + user_id) <= 9007199254740991 AS is_safe,
+      |  CASE WHEN ((event_id % 1000) * 20000000000000 + user_id) <= 9007199254740991
+      |       THEN CAST((event_id % 1000) * 20000000000000 + user_id AS VARCHAR)
+      |       ELSE '"' || CAST((event_id % 1000) * 20000000000000 + user_id AS VARCHAR) || '"'
       |  END AS encoded
       |FROM events ORDER BY event_id""".stripMargin
 

@@ -102,9 +102,15 @@ case class AsOfJoinExec(
               buffered.next() // stale key (or null key): discard
             } else if (cmp == 0) {
               val rt = rtB.eval(buffered.head)
-              if (rt != null && timeOrd.compare(rt, lt) < 0) {
+              if (rt == null) {
+                buffered.next() // null time can never match: discard, don't halt
+              } else if (timeOrd.compare(rt, lt) < 0) {
                 lastMatch = buffered.next().copy()
-                lastMatchKey = rk
+                // re-evaluate the key against the COPIED row: the head
+                // row's buffer is reused by the sorter, so a non-primitive
+                // key (UTF8String, Decimal) evaluated from it would be
+                // overwritten in place
+                lastMatchKey = rkB.eval(lastMatch)
               } else continue = false
             } else continue = false
           }

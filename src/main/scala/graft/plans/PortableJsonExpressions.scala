@@ -23,16 +23,19 @@ case class PortableU64Json(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def prettyName: String = "portable_u64_json"
 
+  // note: bare iff <= 2^53-1 with NO lower-bound check, matching the
+  // when/concat column form and the oracle CASE exactly (inputs are
+  // unsigned by contract; a negative long renders bare either way)
   override protected def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[Long]
-    if (v >= 0 && v <= PortableJson.MaxSafe) UTF8String.fromString(v.toString)
+    if (v <= PortableJson.MaxSafe) UTF8String.fromString(v.toString)
     else UTF8String.fromString("\"" + v + "\"")
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, v =>
       s"""
-         |if ($v >= 0L && $v <= ${PortableJson.MaxSafe}L) {
+         |if ($v <= ${PortableJson.MaxSafe}L) {
          |  ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
          |    java.lang.Long.toString($v));
          |} else {

@@ -57,26 +57,12 @@ object CdcRelay {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** The per-event transform, shared with the batch envelope query. */
-  def transform(df: DataFrame, cfg: RelayConfig): DataFrame = {
-    val tsMicros = unix_micros(col("ts"))
-    val cents = round(col("value") * 100).cast("long")
-    val k = coalesce(get_json_object(col("props"), "$.k"), lit("null"))
-    val body = concat(
-      lit("{\"ts\":"), portableU64Json(tsMicros),
-      lit(",\"type\":\""), col("event_type"),
-      lit("\",\"ledger\":"), col("user_id").cast("string"),
-      lit(",\"value_cents\":"), cents.cast("string"),
-      lit(",\"k\":"), k,
-      lit("}"))
-    df.select(
-      col("event_id"), col("ts"),
-      msgId(cfg.clusterId, tsMicros).as("msg_id"),
-      subjectFor(cfg.subjectPrefix, col("user_id"), col("event_type")).as("subject"),
-      col("event_type").as("h_event_type"),
-      col("user_id").cast("string").as("h_ledger"),
-      body.as("body"))
-  }
+  /** The per-event transform — literally the same projection as the
+    * batch envelope query (CdcFunctions.envelopeProjection), so batch
+    * and streaming outputs cannot drift.
+    */
+  def transform(df: DataFrame, cfg: RelayConfig): DataFrame =
+    envelopeProjection(df, cfg.subjectPrefix, cfg.clusterId)
 
   /** Start the relay. `Trigger.AvailableNow` drains everything currently
     * in the input dir and stops — the batch-mode analog of the

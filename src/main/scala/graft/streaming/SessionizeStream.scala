@@ -39,17 +39,23 @@ object SessionizeStream {
       events.toSeq.sortBy(_.ts.getTime).foreach { e =>
         val t = e.ts.getTime * 1000
         cur match {
-          case Some(s) if t - s.last <= GapMicros =>
-            cur = Some(s.copy(last = t, n = s.n + 1))
-          case Some(s) =>
+          // late-but-within-watermark events may precede the open
+          // session: extend bounds with min/max, never move them backward
+          case Some(s) if t >= s.start - GapMicros && t <= s.last + GapMicros =>
+            cur = Some(OpenSession(math.min(s.start, t), math.max(s.last, t), s.n + 1))
+          case Some(s) if t > s.last + GapMicros =>
             close(s); cur = Some(OpenSession(t, t, 1))
+          case Some(_) =>
+            // older than the open session by more than a gap: a
+            // stand-alone past session, emitted directly
+            close(OpenSession(t, t, 1))
           case None =>
             cur = Some(OpenSession(t, t, 1))
         }
       }
       cur.foreach { s =>
         state.update(s)
-        state.setTimeoutTimestamp(s.last / 1000 + 30 * 60 * 1000 + 1)
+        state.setTimeoutTimestamp(s.last / 1000 + GapMicros / 1000 + 1)
       }
     }
     out.result().iterator

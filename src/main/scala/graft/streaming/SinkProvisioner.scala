@@ -34,10 +34,13 @@ object SinkProvisioner {
       b += s"partitioning: actual=${actual.partitionColumns.mkString(",")} " +
         s"desired=${desired.partitionColumns.mkString(",")}"
     val actualFields = actual.schema.map(f => f.name -> f.dataType).toMap
+    // partition columns' types are INFERRED from directory names on
+    // read (e.g. "7" -> int), so only presence is checked for them
+    val partitionCols = actual.partitionColumns.toSet
     desired.schema.foreach { f =>
       actualFields.get(f.name) match {
         case None => b += s"missing column: ${f.name} ${f.dataType.sql}"
-        case Some(dt) if dt != f.dataType =>
+        case Some(dt) if dt != f.dataType && !partitionCols.contains(f.name) =>
           b += s"column type: ${f.name} actual=${dt.sql} desired=${f.dataType.sql}"
         case _ => ()
       }
@@ -47,11 +50,31 @@ object SinkProvisioner {
     b.result()
   }
 
-  /** Inspect an existing sink directory. Returns None if absent. */
+  /** Inspect an existing sink directory. Returns None if absent.
+    * Partition columns are discovered from the `name=value` directory
+    * layout (walking nested levels), so a provisioned partitioned sink
+    * validates clean on restart instead of reporting a phantom
+    * partitioning mismatch.
+    */
   def inspect(spark: SparkSession, path: String): Option[SinkSpec] = {
     val dir = new java.io.File(path)
     if (!dir.exists()) None
-    else Some(SinkSpec(path, spark.read.parquet(path).schema))
+    else {
+      def partitionCols(d: java.io.File): Seq[String] =
+        d.listFiles() match {
+          case null => Nil
+          case fs => fs.filter(_.isDirectory).map(_.getName)
+            .collectFirst { case n if n.contains("=") => n.split("=", 2)(0) }
+            .map { c =>
+              val next = fs.filter(_.isDirectory)
+                .find(_.getName.startsWith(c + "=")).get
+              c +: partitionCols(next)
+            }
+            .getOrElse(Nil)
+        }
+      Some(SinkSpec(path, spark.read.parquet(path).schema,
+        partitionColumns = partitionCols(dir)))
+    }
   }
 
   /** Ensure the sink: create-if-absent when provisioning (reference

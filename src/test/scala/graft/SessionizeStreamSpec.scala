@@ -59,4 +59,45 @@ class SessionizeStreamSpec extends AnyFunSuite {
     // the watermark-advancer events' own sessions are still open → not emitted
     assert(got.toSeq == want.toSeq, got.mkString(", "))
   }
+
+  test("a late in-watermark event extends the session backward safely") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val root = Files.createTempDirectory("sess2").toString
+    val in = s"$root/in"; new java.io.File(in).mkdirs()
+    val base = 1700000000000000L
+    def row(id: Long, offMin: Long) =
+      Row(id, new java.sql.Timestamp((base + offMin * 60000000L) / 1000),
+        9L, "view", 1.0, """{"k": 1}""")
+    def write(name: String, rows: Seq[Row]): Unit = {
+      spark.createDataFrame(rows.asJava, CdcRelay.inputSchema)
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/stage")
+      val part = new java.io.File(s"$root/stage").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, new java.io.File(s"$in/$name").toPath)
+    }
+    // batch 1: events at t=20 and t=30; batch 2: a LATE event at t=10
+    // (within the 1h watermark, gap to session start = 10min) then the
+    // closer at t=120 (gap > 30min) and an advancer at t=600
+    write("b1.parquet", Seq(row(1, 20), row(2, 30)))
+    write("b2.parquet", Seq(row(3, 10), row(4, 120), row(5, 600)))
+
+    val events = spark.readStream.schema(CdcRelay.inputSchema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+      .select(col("user_id"), col("ts")).as[SessionizeStream.Event]
+    val q = SessionizeStream.sessions(events)
+      .writeStream.format("memory").queryName("late_sessions")
+      .outputMode("append")
+      .option("checkpointLocation", s"$root/chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val got = spark.table("late_sessions").orderBy("session_start")
+      .collect().map(r => (r.getTimestamp(1).getTime, r.getTimestamp(2).getTime, r.getLong(3)))
+    def ms(offMin: Long) = (base + offMin * 60000000L) / 1000
+    // the late event must extend the open session to [10, 30] with 3
+    // events; t=120 then closes it — bounds never move backward-only
+    assert(got.headOption.contains((ms(10), ms(30), 3L)), got.mkString(", "))
+  }
 }

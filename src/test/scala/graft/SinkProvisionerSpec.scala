@@ -49,6 +49,21 @@ class SinkProvisionerSpec extends AnyFunSuite {
     SinkProvisioner.ensure(spark, spec, provision = false)
   }
 
+  test("partitioned sink provisions then validates clean on restart") {
+    val path = Files.createTempDirectory("sinkp").toString + "/out"
+    val spec = SinkSpec(path, schema, partitionColumns = Seq("subject"))
+    SinkProvisioner.ensure(spark, spec, provision = true)
+    // write a real partitioned batch, as the relay would
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+        List(org.apache.spark.sql.Row("m1", "s.a", "b1")).asJava, schema)
+      .write.mode("append").partitionBy("subject").parquet(path)
+    // restart validation must see the same partitioning, no mismatches
+    SinkProvisioner.ensure(spark, spec, provision = false)
+    val inspected = SinkProvisioner.inspect(spark, path).get
+    assert(inspected.partitionColumns == Seq("subject"))
+  }
+
   test("ensure fails fast on an absent sink without provision") {
     val spec = SinkSpec(
       Files.createTempDirectory("sink2").toString + "/nope", schema)
