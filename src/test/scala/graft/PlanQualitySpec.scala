@@ -102,6 +102,44 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(scan.metrics("numFiles").value == 1, scan.metrics("numFiles").value)
   }
 
+  test("salted join returns exactly the plain join's result") {
+    val li = Tables.lineitem(spark, sf)
+    val os = Tables.orders(spark, sf)
+    val plain = li.join(os, col("l_orderkey") === col("o_orderkey")).count()
+    val salted = graft.operators.Skew
+      .saltedJoin(li, os, "l_orderkey", "o_orderkey", factor = 8).count()
+    assert(salted == plain)
+  }
+
+  test("AQE splits a skewed join partition at runtime") {
+    // one hot key owning ~100k rows vs 200 cold keys; thresholds lowered
+    // so local data triggers the same skew split a 100TB job would see
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "20000",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "20000",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prior = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import spark.implicits._
+      val skewed = spark.range(100000)
+        .select(when(col("id") % 2 === 0, 0L).otherwise(col("id") % 200).as("k"),
+          col("id").as("payload"))
+      val dim = spark.range(200).select(col("id").as("k2"), (col("id") * 7).as("v"))
+      val joined = skewed.join(dim, col("k") === col("k2"))
+      // execute THIS dataframe's plan — count()/foreach build fresh
+      // QueryExecutions, leaving this one's adaptive plan unfinalized
+      assert(joined.queryExecution.toRdd.count() == 100000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"), plan)
+      assert(plan.contains("skew=true"), plan)
+    } finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("exact dedup is a hash aggregate (no sort-based fallback)") {
     val plan = physical(CdcQueries.dedupExact(spark, sf))
     assert(plan.contains("HashAggregate"), plan)
