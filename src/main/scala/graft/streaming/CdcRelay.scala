@@ -41,6 +41,11 @@ object CdcRelay {
       dedupeWindow: String = "2 minutes",
       maxFilesPerTrigger: Int = 16,
       provision: Boolean = true,
+      /** Partition the sink by routing subject — the file-sink analog of
+        * per-subject NATS streams (A10's routing key as physical
+        * layout): consumers of one subject read one directory subtree.
+        */
+      partitionBySubject: Boolean = false,
       /** Test failpoint: if set, the FIRST epoch written after this flag
         * file is absent crashes the query after the sink write but
         * before the epoch commit — the replay window of the at-least-
@@ -83,8 +88,10 @@ object CdcRelay {
             trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     // A17 pre-flight: create-or-validate the sink before starting; a
     // divergent sink aborts with the full mismatch list
+    val partCols = if (cfg.partitionBySubject) Seq("subject") else Nil
     SinkProvisioner.ensure(spark,
-      SinkProvisioner.SinkSpec(cfg.outputDir, envelopeSchema), cfg.provision)
+      SinkProvisioner.SinkSpec(cfg.outputDir, envelopeSchema,
+        partitionColumns = partCols), cfg.provision)
     val in = spark.readStream
       .schema(inputSchema)
       .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
@@ -98,7 +105,9 @@ object CdcRelay {
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         // publish (write) → ack barrier (write completes) → progress
         // (epoch commit, done by the engine after this returns)
-        batch.write.mode("append").parquet(cfg.outputDir)
+        val writer = batch.write.mode("append")
+        (if (cfg.partitionBySubject) writer.partitionBy("subject") else writer)
+          .parquet(cfg.outputDir)
         cfg.crashOnceAfterWrite.foreach { flag =>
           val f = new java.io.File(flag)
           if (!f.exists()) {

@@ -58,7 +58,12 @@ object SinkProvisioner {
     */
   def inspect(spark: SparkSession, path: String): Option[SinkSpec] = {
     val dir = new java.io.File(path)
-    if (!dir.exists()) None
+    // a partitioned provision writes no data files until the first
+    // epoch, so an unreadable (schema-less) directory counts as absent
+    val readable = dir.exists() &&
+      (try { spark.read.parquet(path).schema; true }
+       catch { case _: Throwable => false })
+    if (!readable) None
     else {
       def partitionCols(d: java.io.File): Seq[String] =
         d.listFiles() match {

@@ -144,6 +144,27 @@ class CdcRelaySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("subject-partitioned sink lays out one directory per route") {
+    val root = Files.createTempDirectory("relay6").toString
+    val in = s"$root/in"; new java.io.File(in).mkdirs()
+    val cfg = RelayConfig(in, s"$root/out", s"$root/chk",
+      partitionBySubject = true)
+    val base = 1700000000000000L
+    writeEvents(in, "b1.parquet", Seq(
+      (1L, base + 1000000L, 7L, "purchase"),
+      (2L, base + 2000000L, 8L, "click")))
+    CdcRelay.start(spark, cfg).awaitTermination()
+    val dirs = new java.io.File(cfg.outputDir).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.contains("subject=tigerbeetle.cdc.7.purchase"), dirs.mkString(","))
+    assert(dirs.contains("subject=tigerbeetle.cdc.8.click"), dirs.mkString(","))
+    // restart validates the partitioned sink clean and relays nothing new
+    CdcRelay.start(spark, cfg).awaitTermination()
+    val out = spark.read.parquet(cfg.outputDir)
+    assert(out.count() == 2)
+    assert(out.columns.contains("subject"))
+  }
+
   test("restart with no new input produces no new output") {
     val root = Files.createTempDirectory("relay2").toString
     val in = s"$root/in"; new java.io.File(in).mkdirs()
