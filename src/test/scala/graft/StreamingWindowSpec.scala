@@ -55,4 +55,40 @@ class StreamingWindowSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
     assert(streamed.toSeq == batch.toSeq)
   }
+
+  test("update-mode routing fan-out matches the batch routing counts") {
+    import scala.jdk.CollectionConverters._
+    val root = Files.createTempDirectory("supd").toString
+    val in = s"$root/in"; new java.io.File(in).mkdirs()
+    val base = 1700000000000000L
+    val rows = (0 until 60).map { i =>
+      Row(i.toLong, new java.sql.Timestamp((base + i * 1000000L) / 1000),
+        (i % 5).toLong, if (i % 3 == 0) "click" else "view", 1.0, """{"k": 1}""")
+    }
+    spark.createDataFrame(rows.asJava, CdcRelay.inputSchema)
+      .coalesce(1).write.mode("overwrite").parquet(in)
+
+    val counts = spark.readStream.schema(CdcRelay.inputSchema).parquet(in)
+      .select(concat_ws(".", lit("tb"), col("user_id"), col("event_type")).as("subject"))
+      .groupBy("subject").count()
+    val q = counts.writeStream
+      .format("memory").queryName("route_counts")
+      .outputMode("update")
+      .option("checkpointLocation", s"$root/chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    // update mode re-emits a key on change: the LAST row per subject is
+    // its final count
+    val streamed = spark.table("route_counts")
+      .groupBy("subject").agg(max("count").as("count"))
+      .orderBy("subject").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val batch = spark.read.parquet(in)
+      .select(concat_ws(".", lit("tb"), col("user_id"), col("event_type")).as("subject"))
+      .groupBy("subject").count().orderBy("subject").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
 }
