@@ -439,19 +439,27 @@ object TextQueries {
     val grams = documents(s, d)
       .select(col("doc_id"), length(col("text")).as("len"),
         explode(array_distinct(char4grams)).as("g"))
-      .select(col("doc_id"), col("len"), h60(col("g")).as("gh"))
+      .select(col("doc_id"), col("len"), h60(col("g")).as("gh"),
+        h60(concat(lit("g2:"), col("g"))).as("gh2"))
+    // block on TWO independent min-hashes: with a tiny vocabulary the
+    // single globally-minimal gram lands in most documents (degenerate
+    // all-pairs blocks); requiring agreement on both mins keeps blocks
+    // ~near-dup-only
     val blocked = grams.groupBy("doc_id", "len")
-      .agg(min(col("gh")).as("min_gh"), count(lit(1)).as("n"))
+      .agg(min(col("gh")).as("min_gh"), min(col("gh2")).as("min_gh2"),
+        count(lit(1)).as("n"))
       // floor-divide explicitly: a bare cast would truncate here but
       // ROUND in DuckDB, splitting blocks differently across engines
-      .withColumn("block", concat_ws("_", floor(col("len") / 50).cast("int"), col("min_gh")))
+      .withColumn("block", concat_ws("_", floor(col("len") / 50).cast("int"),
+        col("min_gh"), col("min_gh2")))
     val cand = blocked.as("x").join(blocked.as("y"),
         col("x.block") === col("y.block") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         col("x.n").as("na"), col("y.n").as("nb"))
+    val gh1 = grams.select(col("doc_id"), col("gh"))
     val inter = cand
-      .join(grams.as("ga"), col("doc_a") === col("ga.doc_id"))
-      .join(grams.as("gb"), col("doc_b") === col("gb.doc_id") &&
+      .join(gh1.as("ga"), col("doc_a") === col("ga.doc_id"))
+      .join(gh1.as("gb"), col("doc_b") === col("gb.doc_id") &&
         col("ga.gh") === col("gb.gh"))
       .groupBy("doc_a", "doc_b", "na", "nb").agg(count(lit(1)).as("n_common"))
     inter.select(col("doc_a"), col("doc_b"),
@@ -463,14 +471,16 @@ object TextQueries {
 
   val ngramJaccardSql: String = {
     val gh = h60Sql("g")
+    val gh2 = h60Sql("'g2:' || g")
     s"""WITH grams AS (
-       |  SELECT doc_id, len, $gh AS gh FROM (
+       |  SELECT doc_id, len, $gh AS gh, $gh2 AS gh2 FROM (
        |    SELECT doc_id, length(text) AS len,
        |      unnest(list_distinct($char4gramsSql)) AS g
        |    FROM documents)),
        |blocked AS (
        |  SELECT doc_id, len, min(gh) AS min_gh, count(*) AS n,
-       |    CAST(CAST(len // 50 AS INT) AS VARCHAR) || '_' || CAST(min(gh) AS VARCHAR) AS block
+       |    CAST(CAST(len // 50 AS INT) AS VARCHAR) || '_' || CAST(min(gh) AS VARCHAR)
+       |      || '_' || CAST(min(gh2) AS VARCHAR) AS block
        |  FROM grams GROUP BY doc_id, len),
        |cand AS (
        |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.n AS na, y.n AS nb
@@ -507,9 +517,12 @@ object TextQueries {
     val nHit = size(expr(s"filter(bg, x -> x IN $enBigramsList)"))
     documents(s, d)
       .withColumn("bg", bigrams)
+      // compute the ratio once; deriving the flag from the materialized
+      // column halves the bigram-filter work
       .select(col("doc_id"), col("lang"),
-        (nHit.cast("double") / size(col("bg"))).as("en_bigram_ratio"),
-        (nHit.cast("double") / size(col("bg")) > 0.09).as("looks_english"))
+        (nHit.cast("double") / size(col("bg"))).as("en_bigram_ratio"))
+      .select(col("doc_id"), col("lang"), col("en_bigram_ratio"),
+        (col("en_bigram_ratio") > 0.09).as("looks_english"))
       .orderBy("doc_id")
   }
 
