@@ -801,7 +801,143 @@ object RelationalQueries {
       | AND f.ts > s.ts AND f.ts <= s.ts + INTERVAL 10 MINUTE
       |GROUP BY s.event_id ORDER BY signup_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // Exact quantiles (sort-based percentile ↔ quantile_cont; both engines
+  // interpolate at rank p*(n-1); rounded to absorb last-ulp divergence).
+  // -------------------------------------------------------------------
+  def quantiles(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90"),
+        round(expr("percentile(value, 0.99)"), 6).as("p99"),
+        min("value").as("v_min"), max("value").as("v_max"))
+      .orderBy("event_type")
+
+  val quantilesSql: String =
+    """SELECT event_type,
+      |  round(quantile_cont(value, 0.5), 6) AS p50,
+      |  round(quantile_cont(value, 0.9), 6) AS p90,
+      |  round(quantile_cont(value, 0.99), 6) AS p99,
+      |  min(value) AS v_min, max(value) AS v_max
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Correlation/covariance from EXACT integer co-moments: built-in
+  // corr() streams floating-point co-moments (order-dependent, can't
+  // hash-match); summing cents in exact decimals and doing one final
+  // double computation is order-independent AND mergeable — how a
+  // distributed engine should compute statistics anyway.
+  // -------------------------------------------------------------------
+  def statsManual(s: SparkSession, d: String): DataFrame = {
+    val x = round(col("l_quantity") * 100).cast("long")
+    val y = round(col("l_extendedprice") * 100).cast("long")
+    val dec = "decimal(38,0)"
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(x.cast(dec)).as("sx"), sum(y.cast(dec)).as("sy"),
+        sum((x * y).cast(dec)).as("sxy"),
+        sum((x * x).cast(dec)).as("sxx"),
+        sum((y * y).cast(dec)).as("syy"))
+      .select(col("l_returnflag"), col("n"),
+        round(
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+              sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))),
+          6).as("corr_qty_price"))
+      .orderBy("l_returnflag")
+  }
+
+  val statsManualSql: String =
+    """SELECT l_returnflag, n,
+      |  round(
+      |    CAST(n * sxy - sx * sy AS DOUBLE) /
+      |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+      |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS corr_qty_price
+      |FROM (
+      |  SELECT l_returnflag, count(*) AS n,
+      |    sum(CAST(CAST(round(l_quantity * 100) AS BIGINT) AS HUGEINT)) AS sx,
+      |    sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS HUGEINT)) AS sy,
+      |    sum(CAST(CAST(round(l_quantity * 100) AS BIGINT) * CAST(round(l_extendedprice * 100) AS BIGINT) AS HUGEINT)) AS sxy,
+      |    sum(CAST(CAST(round(l_quantity * 100) AS BIGINT) * CAST(round(l_quantity * 100) AS BIGINT) AS HUGEINT)) AS sxx,
+      |    sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round(l_extendedprice * 100) AS BIGINT) AS HUGEINT)) AS syy
+      |  FROM lineitem GROUP BY l_returnflag)
+      |ORDER BY l_returnflag""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Funnel analysis — ordered-step conversion (signup → later click →
+  // later purchase per user). Conditional min-aggregates + two
+  // co-partitioned self-joins; the per-stage counts are the product
+  // metric. One row out.
+  // -------------------------------------------------------------------
+  def funnel(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    def stage(t: String, prefix: String) =
+      ev.filter(col("event_type") === t)
+        .select(col("user_id").as(s"${prefix}_user"), col("ts").as(s"${prefix}_ts"))
+    val s1 = stage("signup", "s").groupBy("s_user").agg(min("s_ts").as("s_min"))
+    val s2 = stage("click", "c")
+      .join(s1, col("c_user") === col("s_user") && col("c_ts") > col("s_min"))
+      .groupBy("s_user").agg(min("c_ts").as("c_min"))
+    val s3 = stage("purchase", "p")
+      .join(s2, col("p_user") === col("s_user") && col("p_ts") > col("c_min"))
+      .groupBy("s_user").agg(min("p_ts").as("p_min"))
+    s1.agg(count(lit(1)).as("n_signup")).crossJoin(
+      s2.agg(count(lit(1)).as("n_clicked")).crossJoin(
+        s3.agg(count(lit(1)).as("n_purchased"))))
+  }
+
+  val funnelSql: String =
+    """WITH s1 AS (
+      |  SELECT user_id, min(ts) AS s_ts FROM events
+      |  WHERE event_type = 'signup' GROUP BY user_id),
+      |s2 AS (
+      |  SELECT s1.user_id, min(c.ts) AS c_ts
+      |  FROM events c JOIN s1 ON c.user_id = s1.user_id AND c.ts > s1.s_ts
+      |  WHERE c.event_type = 'click' GROUP BY s1.user_id),
+      |s3 AS (
+      |  SELECT s2.user_id, min(p.ts) AS p_ts
+      |  FROM events p JOIN s2 ON p.user_id = s2.user_id AND p.ts > s2.c_ts
+      |  WHERE p.event_type = 'purchase' GROUP BY s2.user_id)
+      |SELECT (SELECT count(*) FROM s1) AS n_signup,
+      |  (SELECT count(*) FROM s2) AS n_clicked,
+      |  (SELECT count(*) FROM s3) AS n_purchased""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Edit distance (levenshtein is built-in both engines) + histogram
+  // over floor buckets (width_bucket is absent in the oracle engine).
+  // -------------------------------------------------------------------
+  def editDistance(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .select(levenshtein(col("c_name"), lit("Customer#000000000")).as("dist"))
+      .groupBy("dist").agg(count(lit(1)).as("n"))
+      .orderBy("dist")
+
+  val editDistanceSql: String =
+    """SELECT levenshtein(c_name, 'Customer#000000000') AS dist, count(*) AS n
+      |FROM customer GROUP BY 1 ORDER BY dist""".stripMargin
+
+  def histogram(s: SparkSession, d: String): DataFrame = {
+    val bucket = floor(round(col("value") * 100).cast("long") / 5000).cast("long")
+    events(s, d)
+      .groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+  }
+
+  val histogramSql: String =
+    """SELECT CAST(round(value * 100) AS BIGINT) // 5000 AS bucket,
+      |  count(*) AS n
+      |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_quantiles" -> (quantiles _),
+    "rel_stats_manual" -> (statsManual _),
+    "rel_funnel" -> (funnel _),
+    "rel_edit_distance" -> (editDistance _),
+    "rel_histogram" -> (histogram _),
     "rel_range_join" -> (rangeJoin _),
     "rel_from_json" -> (fromJson _),
     "rel_profile" -> (profile _),
@@ -837,6 +973,11 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "rel_quantiles" -> quantilesSql,
+    "rel_stats_manual" -> statsManualSql,
+    "rel_funnel" -> funnelSql,
+    "rel_edit_distance" -> editDistanceSql,
+    "rel_histogram" -> histogramSql,
     "rel_range_join" -> rangeJoinSql,
     "rel_from_json" -> fromJsonSql,
     "rel_profile" -> profileSql,
