@@ -932,7 +932,90 @@ object RelationalQueries {
       |  count(*) AS n
       |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  // -------------------------------------------------------------------
+  // Bag-semantics set ops (EXCEPT ALL / INTERSECT ALL preserve
+  // multiplicity — different operators from their DISTINCT cousins).
+  // -------------------------------------------------------------------
+  def setOpsAll(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    def users(t: String) =
+      ev.filter(col("event_type") === t).select("user_id")
+    val exceptAll = users("click").exceptAll(users("purchase"))
+      .withColumn("tag", lit("click_except_all_purchase"))
+    val intersectAll = users("click").intersectAll(users("purchase"))
+      .withColumn("tag", lit("click_intersect_all_purchase"))
+    exceptAll.union(intersectAll)
+      .groupBy("tag", "user_id").agg(count(lit(1)).as("multiplicity"))
+      .orderBy("tag", "user_id")
+  }
+
+  val setOpsAllSql: String =
+    """SELECT tag, user_id, count(*) AS multiplicity FROM (
+      |  SELECT 'click_except_all_purchase' AS tag, user_id FROM (
+      |    SELECT user_id FROM events WHERE event_type = 'click'
+      |    EXCEPT ALL SELECT user_id FROM events WHERE event_type = 'purchase')
+      |  UNION ALL
+      |  SELECT 'click_intersect_all_purchase' AS tag, user_id FROM (
+      |    SELECT user_id FROM events WHERE event_type = 'click'
+      |    INTERSECT ALL SELECT user_id FROM events WHERE event_type = 'purchase'))
+      |GROUP BY tag, user_id ORDER BY tag, user_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Ranking battery #2: ntile / percent_rank / cume_dist / first_value /
+  // last_value with an explicit frame.
+  // -------------------------------------------------------------------
+  def rankExtra(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    customer(s, d).select(
+      col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+      ntile(4).over(w).as("quartile"),
+      round(percent_rank().over(w), 6).as("pct_rank"),
+      round(cume_dist().over(w), 6).as("cume"),
+      first(col("c_custkey")).over(wFull).as("poorest"),
+      last(col("c_custkey")).over(wFull).as("richest")
+    ).orderBy("c_nationkey", "c_acctbal", "c_custkey")
+  }
+
+  val rankExtraSql: String =
+    """SELECT c_nationkey, c_custkey, c_acctbal,
+      |  ntile(4) OVER w AS quartile,
+      |  round(percent_rank() OVER w, 6) AS pct_rank,
+      |  round(cume_dist() OVER w, 6) AS cume,
+      |  first_value(c_custkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS poorest,
+      |  last_value(c_custkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS richest
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+      |ORDER BY c_nationkey, c_acctbal, c_custkey""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Unpivot/melt — wide-to-long reshaping (Spark .unpivot ↔ UNPIVOT).
+  // -------------------------------------------------------------------
+  def unpivot(s: SparkSession, d: String): DataFrame = {
+    val cents = (c: String) => round(col(c) * 100).cast("long")
+    customer(s, d)
+      .select(col("c_custkey"), cents("c_acctbal").as("acctbal_cents"),
+        (col("c_nationkey") * 1000L).as("nation_scaled"))
+      .unpivot(Array(col("c_custkey")),
+        Array(col("acctbal_cents"), col("nation_scaled")),
+        "metric", "val")
+      .orderBy("c_custkey", "metric")
+  }
+
+  val unpivotSql: String =
+    """SELECT c_custkey, metric, val FROM (
+      |  SELECT c_custkey,
+      |    CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+      |    c_nationkey * 1000 AS nation_scaled
+      |  FROM customer)
+      |UNPIVOT (val FOR metric IN (acctbal_cents, nation_scaled))
+      |ORDER BY c_custkey, metric""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_set_ops_all" -> (setOpsAll _),
+    "rel_rank_extra" -> (rankExtra _),
+    "rel_unpivot" -> (unpivot _),
     "rel_quantiles" -> (quantiles _),
     "rel_stats_manual" -> (statsManual _),
     "rel_funnel" -> (funnel _),
@@ -973,6 +1056,9 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "rel_set_ops_all" -> setOpsAllSql,
+    "rel_rank_extra" -> rankExtraSql,
+    "rel_unpivot" -> unpivotSql,
     "rel_quantiles" -> quantilesSql,
     "rel_stats_manual" -> statsManualSql,
     "rel_funnel" -> funnelSql,
