@@ -75,4 +75,36 @@ class StreamStreamJoinSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
     assert(streamed == expected)
   }
+
+  test("stream-static enrichment join broadcasts the dimension") {
+    import scala.jdk.CollectionConverters._
+    val root = Files.createTempDirectory("ssd").toString
+    val in = s"$root/in"; new java.io.File(in).mkdirs()
+    val base = 1700000000000000L
+    val rows = (0 until 50).map { i =>
+      Row(i.toLong, new java.sql.Timestamp((base + i * 1000000L) / 1000),
+        (i % 25).toLong, "view", 1.0, """{"k": 1}""")
+    }
+    spark.createDataFrame(rows.asJava, CdcRelay.inputSchema)
+      .coalesce(1).write.mode("overwrite").parquet(in)
+
+    // static dimension: the customer table keyed to user ids
+    val dim = Tables.customer(spark, "/root/testdata/sf0.001")
+      .select(col("c_custkey").as("user_key"), col("c_mktsegment"))
+
+    val enriched = spark.readStream.schema(CdcRelay.inputSchema).parquet(in)
+      .join(broadcast(dim), col("user_id") === col("user_key"))
+      .select("event_id", "user_id", "c_mktsegment")
+    val q = enriched.writeStream
+      .format("memory").queryName("enriched")
+      .option("checkpointLocation", s"$root/chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val got = spark.table("enriched")
+    assert(got.count() == 50) // every user_id 0-24 exists in customer
+    // the enrichment column is populated from the static side
+    assert(got.filter(col("c_mktsegment").isNull).count() == 0)
+  }
 }
