@@ -41,9 +41,14 @@ object Bench {
       "dedup_minhash_sig", "dedup_neardup_pairs",
       "vec_knn_bruteforce", "vec_lsh_ann",
       "text_stats", "text_top_terms")
+    val missingHeadline = headline.filterNot(results.contains)
+    if (missingHeadline.nonEmpty)
+      System.err.println(
+        s"[bench] WARNING: headline queries missing from registry: " +
+          missingHeadline.mkString(", "))
     val total = headline.flatMap(results.get).sum
     val totalAll = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"headline_total_15q","value":$total,"unit":"sec","total_all":$totalAll,"n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"headline_total_15q","value":$total,"unit":"sec","n_headline":${headline.size - missingHeadline.size},"total_all":$totalAll,"n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

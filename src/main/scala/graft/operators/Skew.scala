@@ -23,7 +23,12 @@ object Skew {
     */
   def saltedJoin(big: DataFrame, small: DataFrame,
                  bigKey: String, smallKey: String, factor: Int): DataFrame = {
-    val saltCol = pmod(xxhash64(struct(big.columns.map(col): _*)), lit(factor))
+    // salt must disambiguate ROWS, not row contents: replayed/duplicate
+    // rows of the hot key would all hash to one salt and defeat the
+    // spread. Any salt assignment yields the same join result (the
+    // small side is replicated across all salts), so the
+    // non-deterministic-across-retries id is safe here.
+    val saltCol = pmod(monotonically_increasing_id(), lit(factor))
     val saltedBig = big.withColumn("__salt", saltCol)
     val saltedSmall = small.withColumn("__salt",
       explode(array((0 until factor).map(lit): _*)))

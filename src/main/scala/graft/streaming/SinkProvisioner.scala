@@ -50,45 +50,73 @@ object SinkProvisioner {
     b.result()
   }
 
-  /** Inspect an existing sink directory. Returns None if absent.
-    * Partition columns are discovered from the `name=value` directory
-    * layout (walking nested levels), so a provisioned partitioned sink
-    * validates clean on restart instead of reporting a phantom
-    * partitioning mismatch.
+  /** Sink state as seen on disk. */
+  sealed trait SinkState
+  /** No directory at all. */
+  case object Absent extends SinkState
+  /** Directory exists but holds no data files (a freshly provisioned
+    * partitioned sink writes only markers until the first epoch).
     */
-  def inspect(spark: SparkSession, path: String): Option[SinkSpec] = {
+  case object Empty extends SinkState
+  /** Readable parquet with the given observed spec. */
+  final case class Present(actual: SinkSpec) extends SinkState
+  /** Contains data files that cannot be read as parquet — NEVER a
+    * candidate for overwrite.
+    */
+  final case class Corrupt(cause: Throwable) extends SinkState
+
+  private def hasDataFiles(dir: java.io.File): Boolean =
+    dir.listFiles() match {
+      case null => false
+      case fs => fs.exists { f =>
+        val n = f.getName
+        if (f.isDirectory) hasDataFiles(f)
+        else !n.startsWith("_") && !n.startsWith(".")
+      }
+    }
+
+  /** Inspect a sink directory. Partition columns are discovered from
+    * the `name=value` directory layout (walking nested levels), so a
+    * provisioned partitioned sink validates clean on restart instead of
+    * reporting a phantom partitioning mismatch.
+    */
+  def inspect(spark: SparkSession, path: String): SinkState = {
     val dir = new java.io.File(path)
-    // a partitioned provision writes no data files until the first
-    // epoch, so an unreadable (schema-less) directory counts as absent
-    val readable = dir.exists() &&
-      (try { spark.read.parquet(path).schema; true }
-       catch { case _: Throwable => false })
-    if (!readable) None
+    if (!dir.exists()) Absent
+    else if (!hasDataFiles(dir)) Empty
     else {
-      def partitionCols(d: java.io.File): Seq[String] =
-        d.listFiles() match {
-          case null => Nil
-          case fs => fs.filter(_.isDirectory).map(_.getName)
-            .collectFirst { case n if n.contains("=") => n.split("=", 2)(0) }
-            .map { c =>
-              val next = fs.filter(_.isDirectory)
-                .find(_.getName.startsWith(c + "=")).get
-              c +: partitionCols(next)
+      val readAttempt =
+        try Right(spark.read.parquet(path).schema)
+        catch { case e: Exception => Left(e) }
+      readAttempt match {
+        case Left(e) => Corrupt(e)
+        case Right(schema) =>
+          def partitionCols(d: java.io.File): Seq[String] =
+            d.listFiles() match {
+              case null => Nil
+              case fs => fs.filter(_.isDirectory).map(_.getName)
+                .collectFirst { case n if n.contains("=") => n.split("=", 2)(0) }
+                .map { c =>
+                  val next = fs.filter(_.isDirectory)
+                    .find(_.getName.startsWith(c + "=")).get
+                  c +: partitionCols(next)
+                }
+                .getOrElse(Nil)
             }
-            .getOrElse(Nil)
-        }
-      Some(SinkSpec(path, spark.read.parquet(path).schema,
-        partitionColumns = partitionCols(dir)))
+          Present(SinkSpec(path, schema, partitionColumns = partitionCols(dir)))
+      }
     }
   }
 
   /** Ensure the sink: create-if-absent when provisioning (reference
     * ensureKV create path, runner.go:257-291), else validate and fail
-    * fast with the full mismatch list (runner.go:293-336).
+    * fast with the full mismatch list (runner.go:293-336). A directory
+    * with unreadable data files is NEVER overwritten — that is a
+    * corrupt-sink abort, not a provisioning opportunity.
     */
   def ensure(spark: SparkSession, desired: SinkSpec, provision: Boolean): Unit =
     inspect(spark, desired.path) match {
-      case None if provision =>
+      case Absent if provision =>
         // an empty, schema-bearing sink: zero-row frame written once
         spark.createDataFrame(
           java.util.Collections.emptyList[org.apache.spark.sql.Row](),
@@ -96,10 +124,18 @@ object SinkProvisioner {
           .write.format(desired.format)
           .partitionBy(desired.partitionColumns: _*)
           .mode("overwrite").save(desired.path)
-      case None =>
+      case Absent =>
         throw new IllegalStateException(
           s"sink ${desired.path} does not exist (run with provision=true to create)")
-      case Some(actual) =>
+      case Empty =>
+        // provisioned-but-no-epochs-yet (a zero-row partitioned write
+        // leaves only markers): valid vacuously, nothing to diff
+        ()
+      case Corrupt(cause) =>
+        throw new IllegalStateException(
+          s"sink ${desired.path} contains data that is not readable " +
+            s"${desired.format}: refusing to touch it", cause)
+      case Present(actual) =>
         val ms = mismatches(actual, desired)
         if (ms.nonEmpty) throw new IllegalStateException(
           s"sink ${desired.path} configuration mismatch:\n  " + ms.mkString("\n  "))

@@ -60,8 +60,30 @@ class SinkProvisionerSpec extends AnyFunSuite {
       .write.mode("append").partitionBy("subject").parquet(path)
     // restart validation must see the same partitioning, no mismatches
     SinkProvisioner.ensure(spark, spec, provision = false)
-    val inspected = SinkProvisioner.inspect(spark, path).get
+    val SinkProvisioner.Present(inspected) = SinkProvisioner.inspect(spark, path)
     assert(inspected.partitionColumns == Seq("subject"))
+  }
+
+  test("a provisioned-but-empty partitioned sink validates without data") {
+    val path = Files.createTempDirectory("sinkpe").toString + "/out"
+    val spec = SinkSpec(path, schema, partitionColumns = Seq("subject"))
+    SinkProvisioner.ensure(spark, spec, provision = true)
+    // zero-row dynamic-partition writes leave only markers; a restart in
+    // validate-only mode must still pass (vacuously), not claim absence
+    SinkProvisioner.ensure(spark, spec, provision = false)
+  }
+
+  test("unreadable existing data is an abort, never an overwrite") {
+    val dir = Files.createTempDirectory("sinkc").toString + "/out"
+    new java.io.File(dir).mkdirs()
+    val junk = new java.io.File(dir, "data.bin")
+    java.nio.file.Files.writeString(junk.toPath, "not parquet at all")
+    val spec = SinkSpec(dir, schema)
+    val e = intercept[IllegalStateException](
+      SinkProvisioner.ensure(spark, spec, provision = true))
+    assert(e.getMessage.contains("refusing to touch"))
+    // the junk file must still be there — nothing was overwritten
+    assert(junk.exists())
   }
 
   test("ensure fails fast on an absent sink without provision") {
