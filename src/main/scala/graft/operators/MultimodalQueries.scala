@@ -131,13 +131,53 @@ object MultimodalQueries {
        |WHERE format = 'wav'
        |ORDER BY media_id, frame_no""".stripMargin
 
+  // -------------------------------------------------------------------
+  // M4: resize — the geometry/metadata half is real (fit-within-target
+  // box preserving aspect ratio, integer arithmetic identical in the
+  // oracle); the pixel resampling itself is the >>> STUB DECODE <<<
+  // (md5-derived checksum standing in for resampled bytes).
+  // -------------------------------------------------------------------
+  private val TargetBox = 128
+
+  def mediaResize(s: SparkSession, d: String): DataFrame = {
+    val w = col("width").cast("long")
+    val h = col("height").cast("long")
+    // scale = TargetBox / max(w, h), applied in exact integer math:
+    // new_dim = dim * TargetBox / max_dim (floor), min 1
+    val maxDim = greatest(w, h)
+    val newW = greatest(floor(w * TargetBox / maxDim), lit(1)).cast("int")
+    val newH = greatest(floor(h * TargetBox / maxDim), lit(1)).cast("int")
+    mediaTable(s, d)
+      .filter(col("format") =!= "wav")
+      .select(col("media_id"), col("format"),
+        col("width"), col("height"),
+        newW.as("new_width"), newH.as("new_height"),
+        md5(concat(md5(col("content")), lit(":"),
+          newW.cast("string"), lit("x"), newH.cast("string"))).as("resized_checksum"))
+      .orderBy("media_id")
+  }
+
+  val mediaResizeSql: String =
+    s"""WITH media AS ($mediaSql)
+       |SELECT media_id, format, width, height,
+       |  CAST(greatest((width * $TargetBox) // greatest(width, height), 1) AS INT) AS new_width,
+       |  CAST(greatest((height * $TargetBox) // greatest(width, height), 1) AS INT) AS new_height,
+       |  md5(md5(content_text) || ':'
+       |    || CAST(CAST(greatest((width * $TargetBox) // greatest(width, height), 1) AS INT) AS VARCHAR)
+       |    || 'x'
+       |    || CAST(CAST(greatest((height * $TargetBox) // greatest(width, height), 1) AS INT) AS VARCHAR)) AS resized_checksum
+       |FROM media WHERE format <> 'wav'
+       |ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "media_resize" -> (mediaResize _),
     "media_metadata" -> (mediaMetadata _),
     "media_features" -> (mediaFeatures _),
     "media_frame_sample" -> (frameSample _)
   )
 
   val oracles: Map[String, String] = Map(
+    "media_resize" -> mediaResizeSql,
     "media_metadata" -> mediaMetadataSql,
     "media_features" -> mediaFeaturesSql,
     "media_frame_sample" -> frameSampleSql
