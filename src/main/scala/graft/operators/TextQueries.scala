@@ -537,7 +537,58 @@ object TextQueries {
        |  FROM documents)
        |ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // Dedup 5: near-dup CLUSTERS — connected components over the LSH
+  // near-dup pair graph, labeling every member with the component's
+  // minimum doc_id (the canonical survivor). Iterative min-label
+  // propagation: each round joins labels across edges and takes the
+  // min, converging in <= diameter rounds — the standard distributed
+  // union-find shape (each round is one co-partitioned join + agg, no
+  // driver data). The oracle reproduces it with a recursive CTE.
+  // -------------------------------------------------------------------
+  def neardupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = neardupPairs(s, d).select("doc_a", "doc_b")
+    // undirected edge list including self-loops so labels can stay put
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    var labels = edges.select(col("doc_a").as("doc"))
+      .distinct().withColumn("label", col("doc"))
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 20) {
+      val viaNeighbors = edges
+        .join(labels, col("doc_b") === col("doc"))
+        .select(col("doc_a").as("doc"), col("label"))
+      val next = labels.select("doc", "label").union(viaNeighbors)
+        .groupBy("doc").agg(min("label").as("label"))
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.doc") === col("o.doc"))
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels = next
+      converged = changed == 0
+      rounds += 1
+    }
+    labels.select(col("doc").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  val neardupClustersSql: String = {
+    val pairsSql = neardupPairsSql
+      .replace("ORDER BY doc_a, doc_b", "")
+    s"""WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ($pairsSql)),
+       |und AS (SELECT doc_a, doc_b FROM pairs
+       |        UNION SELECT doc_b, doc_a FROM pairs),
+       |members AS (SELECT DISTINCT doc_a AS doc FROM und),
+       |reach(doc, other) AS (
+       |  SELECT doc, doc FROM members
+       |  UNION
+       |  SELECT r.doc, u.doc_b FROM reach r JOIN und u ON u.doc_a = r.other)
+       |SELECT doc AS doc_id, min(other) AS cluster_id
+       |FROM reach GROUP BY doc ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_clusters" -> (neardupClusters _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "text_langid_ngram" -> (langidNgram _),
     "text_quality" -> (qualityScore _),
@@ -553,6 +604,7 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "dedup_clusters" -> neardupClustersSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "text_langid_ngram" -> langidNgramSql,
     "text_quality" -> qualityScoreSql,

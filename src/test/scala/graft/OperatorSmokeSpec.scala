@@ -14,7 +14,7 @@ class OperatorSmokeSpec extends AnyFunSuite {
   // Queries whose correct result may legitimately be empty at sf0.001.
   private val mayBeEmpty =
     Set("rel_anti_join", "dedup_neardup_pairs", "vec_cosine_neardup",
-      "dedup_ngram_jaccard")
+      "dedup_ngram_jaccard", "dedup_clusters")
 
   // Queries that are intentionally rows-only (no deterministic oracle).
   private val rowsOnly = Set("rel_approx_distinct")
