@@ -971,8 +971,11 @@ object RelationalQueries {
     customer(s, d).select(
       col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
       ntile(4).over(w).as("quartile"),
-      round(percent_rank().over(w), 6).as("pct_rank"),
-      round(cume_dist().over(w), 6).as("cume"),
+      // NO rounding: these are exact-integer divisions, bit-identical
+      // across engines, while round() itself diverges on exact .5 ties
+      // (Spark half-up vs DuckDB half-even — seen at 41/640)
+      percent_rank().over(w).as("pct_rank"),
+      cume_dist().over(w).as("cume"),
       first(col("c_custkey")).over(wFull).as("poorest"),
       last(col("c_custkey")).over(wFull).as("richest")
     ).orderBy("c_nationkey", "c_acctbal", "c_custkey")
@@ -981,8 +984,8 @@ object RelationalQueries {
   val rankExtraSql: String =
     """SELECT c_nationkey, c_custkey, c_acctbal,
       |  ntile(4) OVER w AS quartile,
-      |  round(percent_rank() OVER w, 6) AS pct_rank,
-      |  round(cume_dist() OVER w, 6) AS cume,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist() OVER w AS cume,
       |  first_value(c_custkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS poorest,
       |  last_value(c_custkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS richest
       |FROM customer
