@@ -547,20 +547,29 @@ object TextQueries {
   // driver data). The oracle reproduces it with a recursive CTE.
   // -------------------------------------------------------------------
   def neardupClusters(s: SparkSession, d: String): DataFrame = {
-    val pairs = neardupPairs(s, d).select("doc_a", "doc_b")
-    // undirected edge list including self-loops so labels can stay put
+    // materialize the (expensive) LSH pair pipeline ONCE; the loop must
+    // not re-derive it every round
+    val pairs = neardupPairs(s, d).select("doc_a", "doc_b").localCheckpoint()
+    // undirected edge list (labels survive a round via the union with
+    // the previous labels below, not via self-loops)
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .localCheckpoint()
     var labels = edges.select(col("doc_a").as("doc"))
       .distinct().withColumn("label", col("doc"))
+      .localCheckpoint()
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 20) {
+    val maxRounds = 64 // propagation moves the min one hop per round
+    while (!converged && rounds < maxRounds) {
       val viaNeighbors = edges
         .join(labels, col("doc_b") === col("doc"))
         .select(col("doc_a").as("doc"), col("label"))
+      // checkpoint each round: the plan otherwise doubles per iteration
+      // (labels appears twice in `next`) and would grow exponentially
       val next = labels.select("doc", "label").union(viaNeighbors)
         .groupBy("doc").agg(min("label").as("label"))
+        .localCheckpoint()
       val changed = next.as("n")
         .join(labels.as("o"), col("n.doc") === col("o.doc"))
         .filter(col("n.label") =!= col("o.label")).count()
@@ -568,6 +577,9 @@ object TextQueries {
       converged = changed == 0
       rounds += 1
     }
+    if (!converged) throw new IllegalStateException(
+      s"label propagation did not converge within $maxRounds rounds " +
+        "(component diameter exceeds the cap)")
     labels.select(col("doc").as("doc_id"), col("label").as("cluster_id"))
       .orderBy("doc_id")
   }
