@@ -153,7 +153,18 @@ object CdcFunctions {
     * the single definition both the batch query (CdcQueries.envelope)
     * and the streaming relay (CdcRelay.transform) project, so the two
     * execution modes cannot drift.
-    * Output: (event_id, ts, msg_id, subject, h_event_type, h_ledger, body).
+    *
+    * Carries the reference's FULL header set (runner.go:596-601):
+    * Content-Type + event_type + ledger + transfer_code +
+    * debit_account_code + credit_account_code, as flat `h_*` string
+    * columns. The events-stream shape lacks the cdc transfer/account
+    * code fields, so their analogs derive from the event's own fields
+    * (props.k and the 16-bit folds of the ids) — deterministic and
+    * oracle-mirrored; the cdc-shaped source exercises the real fields
+    * via headerMap in CdcQueries.headers.
+    * Output: (event_id, ts, msg_id, subject, h_content_type,
+    * h_event_type, h_ledger, h_transfer_code, h_debit_account_code,
+    * h_credit_account_code, body).
     */
   def envelopeProjection(df: org.apache.spark.sql.DataFrame,
                          subjectPrefix: String,
@@ -172,8 +183,15 @@ object CdcFunctions {
       col("event_id"), col("ts"),
       msgId(clusterId, tsMicros).as("msg_id"),
       subjectFor(subjectPrefix, col("user_id"), col("event_type")).as("subject"),
+      lit("application/json").as("h_content_type"),
       col("event_type").as("h_event_type"),
       col("user_id").cast("string").as("h_ledger"),
+      coalesce(get_json_object(col("props"), "$.k"), lit("0"))
+        .as("h_transfer_code"),
+      pmod(col("user_id"), lit(65536L)).cast("string")
+        .as("h_debit_account_code"),
+      pmod(col("event_id"), lit(65536L)).cast("string")
+        .as("h_credit_account_code"),
       body.as("body"))
   }
 

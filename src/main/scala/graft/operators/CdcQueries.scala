@@ -43,8 +43,12 @@ object CdcQueries {
     """SELECT event_id,
       |  'graft/' || CAST(epoch_us(ts) AS VARCHAR) AS msg_id,
       |  'tigerbeetle.cdc.' || CAST(user_id AS VARCHAR) || '.' || event_type AS subject,
+      |  'application/json' AS h_content_type,
       |  event_type AS h_event_type,
       |  CAST(user_id AS VARCHAR) AS h_ledger,
+      |  COALESCE(json_extract_string(props, '$.k'), '0') AS h_transfer_code,
+      |  CAST(user_id % 65536 AS VARCHAR) AS h_debit_account_code,
+      |  CAST(event_id % 65536 AS VARCHAR) AS h_credit_account_code,
       |  '{"ts":' ||
       |    (CASE WHEN epoch_us(ts) <= 9007199254740991 THEN CAST(epoch_us(ts) AS VARCHAR)
       |          ELSE '"' || CAST(epoch_us(ts) AS VARCHAR) || '"' END) ||
@@ -76,8 +80,15 @@ object CdcQueries {
       col("event_id"),
       msgId(ClusterId, tsMicros).as("msg_id"),
       subjectFor(SubjectPrefix, col("user_id"), col("event_type")).as("subject"),
+      lit("application/json").as("h_content_type"),
       col("event_type").as("h_event_type"),
       col("user_id").cast("string").as("h_ledger"),
+      coalesce(get_json_object(col("props"), "$.k"), lit("0"))
+        .as("h_transfer_code"),
+      pmod(col("user_id"), lit(65536L)).cast("string")
+        .as("h_debit_account_code"),
+      pmod(col("event_id"), lit(65536L)).cast("string")
+        .as("h_credit_account_code"),
       body.as("body")
     ).orderBy("event_id")
   }
@@ -442,7 +453,47 @@ object CdcQueries {
        |FROM events WHERE event_id % 17 = 0 ORDER BY event_id""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // A11: the COMPLETE message-header projection (reference
+  // runner.go:596-601) over the cdc-shaped synthesis — headerMap's six
+  // entries (Content-Type + 5 metadata headers), exploded to one row
+  // per header so every value is individually hash-checked.
+  // -------------------------------------------------------------------
+  def headers(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val typeCode = (pmod(col("event_id"), lit(5)) + 1).cast("int")
+    val hm = headerMap(
+      eventType = eventTypeName(typeCode),
+      ledger = u32Col("led"),
+      transferCode = u16Col("tco"),
+      debitCode = u16Col("dco2"),
+      creditCode = u16Col("cco2"))
+    ev.filter(pmod(col("event_id"), lit(17)) === 0)
+      .select(col("event_id"), explode(hm).as(Seq("hkey", "hval")))
+      .orderBy("event_id", "hkey")
+  }
+
+  val headersSql: String = {
+    val typeName =
+      "(['single_phase','two_phase_pending','two_phase_posted','two_phase_voided','two_phase_expired'])[(event_id % 5 + 1)]"
+    s"""SELECT event_id, hkey,
+       |  CASE hkey
+       |    WHEN 'Content-Type' THEN 'application/json'
+       |    WHEN 'event_type' THEN $typeName
+       |    WHEN 'ledger' THEN CAST(${u32Sql("led")} AS VARCHAR)
+       |    WHEN 'transfer_code' THEN CAST(${u16Sql("tco")} AS VARCHAR)
+       |    WHEN 'debit_account_code' THEN CAST(${u16Sql("dco2")} AS VARCHAR)
+       |    WHEN 'credit_account_code' THEN CAST(${u16Sql("cco2")} AS VARCHAR)
+       |  END AS hval
+       |FROM events
+       |CROSS JOIN (SELECT unnest(['Content-Type', 'event_type', 'ledger',
+       |  'transfer_code', 'debit_account_code', 'credit_account_code']) AS hkey) t
+       |WHERE event_id % 17 = 0
+       |ORDER BY event_id, hkey""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_headers" -> (headers _),
     "cdc_full_event_json" -> (fullEventJson _),
     "cdc_asof_native" -> (asofNative _),
     "cdc_u128_sum" -> (u128Sum _),
@@ -458,6 +509,7 @@ object CdcQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "cdc_headers" -> headersSql,
     "cdc_full_event_json" -> fullEventJsonSql,
     "cdc_asof_native" -> RelationalQueries.asofJoinSql,
     "cdc_u128_sum" -> u128SumSql,

@@ -66,7 +66,7 @@ object MultimodalQueries {
   val mediaMetadataSql: String =
     s"""WITH media AS ($mediaSql)
        |SELECT format, count(*) AS n_assets,
-       |  sum(CAST(octet_length(encode(content_text)) AS BIGINT)) AS total_bytes,
+       |  CAST(sum(CAST(octet_length(encode(content_text)) AS BIGINT)) AS BIGINT) AS total_bytes,
        |  max(width) AS max_width, max(height) AS max_height,
        |  count(DISTINCT md5(content_text)) AS n_distinct_contents
        |FROM media GROUP BY format ORDER BY format""".stripMargin

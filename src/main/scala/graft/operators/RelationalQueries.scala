@@ -163,9 +163,9 @@ object RelationalQueries {
   val rankWindowSql: String =
     """SELECT c_nationkey, rn, rnk, drnk, c_custkey, c_acctbal FROM (
       |  SELECT c_nationkey, c_custkey, c_acctbal,
-      |    row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn,
-      |    rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS rnk,
-      |    dense_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS drnk
+      |    CAST(row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS INTEGER) AS rn,
+      |    CAST(rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS INTEGER) AS rnk,
+      |    CAST(dense_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS INTEGER) AS drnk
       |  FROM customer) WHERE rn <= 3
       |ORDER BY c_nationkey, rn""".stripMargin
 
@@ -192,7 +192,7 @@ object RelationalQueries {
       |  CAST(round(value * 100) AS BIGINT) AS cents,
       |  lag(CAST(round(value * 100) AS BIGINT), 1) OVER w AS prev_cents,
       |  lead(CAST(round(value * 100) AS BIGINT), 1) OVER w AS next_cents,
-      |  sum(CAST(round(value * 100) AS BIGINT)) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents
       |FROM events
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       |ORDER BY user_id, ts, event_id""".stripMargin
@@ -211,7 +211,7 @@ object RelationalQueries {
 
   val timeWindowSql: String =
     """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
-      |  sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
       |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
 
   // -------------------------------------------------------------------
@@ -241,8 +241,8 @@ object RelationalQueries {
       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       |), sessions AS (
       |  SELECT user_id, ts,
-      |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       |  FROM flagged)
       |SELECT user_id, session_id, min(ts) AS session_start,
       |  max(ts) AS session_end, count(*) AS n_events
@@ -441,7 +441,7 @@ object RelationalQueries {
 
   val decimalMathSql: String =
     """SELECT l_returnflag,
-      |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_cents,
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
       |  max(CAST(round(l_extendedprice * 100) AS BIGINT)) AS max_cents,
       |  min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS min_cents,
       |  count(*) AS n
@@ -551,7 +551,7 @@ object RelationalQueries {
   val slidingWindowSql: String =
     """SELECT time_bucket(INTERVAL '30 minutes', ts) - off * INTERVAL '30 minutes' AS w_start,
       |  count(*) AS n,
-      |  sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
       |FROM events, unnest([0, 1]) AS t(off)
       |GROUP BY 1 ORDER BY w_start""".stripMargin
 
@@ -577,16 +577,28 @@ object RelationalQueries {
       |ORDER BY returnflag, linestatus""".stripMargin
 
   // -------------------------------------------------------------------
-  // B12 (approx): HyperLogLog distinct counts — no deterministic oracle
-  // exists for an approximation, so this is registered rows-only; the
-  // exact counterpart (rel_distinct) is the oracle-checked twin.
+  // B12 (approx): HyperLogLog distinct counts. An approximation has no
+  // deterministic oracle, so the query emits the exact count plus a
+  // tolerance PROPERTY (|approx-exact|/exact <= 5%, i.e. 2.5x the
+  // configured 2% rsd) — the oracle computes the exact count and TRUE,
+  // making the HLL accuracy claim itself hash-checkable.
   // -------------------------------------------------------------------
   def approxDistinct(s: SparkSession, d: String): DataFrame =
     events(s, d)
       .groupBy("event_type")
-      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+      .agg(countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id"), 0.02).as("approx"),
         count(lit(1)).as("n_events"))
+      .select(col("event_type"), col("exact_users"), col("n_events"),
+        (abs(col("approx") - col("exact_users")) <=
+          col("exact_users").cast("double") * 0.05).as("within_tol"))
       .orderBy("event_type")
+
+  val approxDistinctSql: String =
+    """SELECT event_type,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+      |  count(*) AS n_events, TRUE AS within_tol
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // -------------------------------------------------------------------
   // B7+B18 composed: the TPC-H Q5 shape — a 6-table snowflake join.
@@ -690,7 +702,7 @@ object RelationalQueries {
 
   val saltedAggSql: String =
     """SELECT user_id, count(*) AS n_events,
-      |  sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
   // -------------------------------------------------------------------
@@ -729,7 +741,7 @@ object RelationalQueries {
 
   val profileSql: String =
     """SELECT count(*) AS n_rows,
-      |  sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS custkey_nulls,
+      |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS custkey_nulls,
       |  count(DISTINCT o_custkey) AS custkey_distinct,
       |  min(o_totalprice) AS price_min,
       |  max(o_totalprice) AS price_max,
@@ -916,7 +928,7 @@ object RelationalQueries {
       .orderBy("dist")
 
   val editDistanceSql: String =
-    """SELECT levenshtein(c_name, 'Customer#000000000') AS dist, count(*) AS n
+    """SELECT CAST(levenshtein(c_name, 'Customer#000000000') AS INTEGER) AS dist, count(*) AS n
       |FROM customer GROUP BY 1 ORDER BY dist""".stripMargin
 
   def histogram(s: SparkSession, d: String): DataFrame = {
@@ -983,7 +995,7 @@ object RelationalQueries {
 
   val rankExtraSql: String =
     """SELECT c_nationkey, c_custkey, c_acctbal,
-      |  ntile(4) OVER w AS quartile,
+      |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
       |  percent_rank() OVER w AS pct_rank,
       |  cume_dist() OVER w AS cume,
       |  first_value(c_custkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS poorest,
@@ -1077,7 +1089,7 @@ object RelationalQueries {
     "rel_salted_agg" -> saltedAggSql,
     "rel_sliding_window" -> slidingWindowSql,
     "rel_cube" -> cubeAggSql,
-    // rel_approx_distinct: intentionally no oracle (approximate result)
+    "rel_approx_distinct" -> approxDistinctSql,
     "rel_scan_pushdown" -> scanPushdownSql,
     "rel_topk" -> topKSql,
     "rel_agg_pricing" -> aggPricingSql,

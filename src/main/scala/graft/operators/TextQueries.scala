@@ -299,7 +299,7 @@ object TextQueries {
        |$sums
        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
        |  WHERE tok <> '' GROUP BY doc_id)
-       |SELECT doc_id, $fp AS simhash16 FROM bits ORDER BY doc_id""".stripMargin
+       |SELECT doc_id, CAST($fp AS BIGINT) AS simhash16 FROM bits ORDER BY doc_id""".stripMargin
   }
 
   // -------------------------------------------------------------------

@@ -143,7 +143,7 @@ object VectorQueries {
        |      FROM be WHERE vec_id < 5)
        |SELECT q_id, rn, vec_id, label, sim FROM (
        |  SELECT q.q_id, a.vec_id, a.label, $cos AS sim,
-       |    row_number() OVER (PARTITION BY q.q_id ORDER BY $cos DESC, a.vec_id) AS rn
+       |    CAST(row_number() OVER (PARTITION BY q.q_id ORDER BY $cos DESC, a.vec_id) AS INTEGER) AS rn
        |  FROM be a, q WHERE a.vec_id <> q.q_id)
        |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin
   }
@@ -160,7 +160,7 @@ object VectorQueries {
       .orderBy("bucket")
 
   val lshBucketsSql: String =
-    s"""SELECT ($bucketSql) AS bucket, count(*) AS n_vectors
+    s"""SELECT CAST(($bucketSql) AS BIGINT) AS bucket, count(*) AS n_vectors
        |FROM embeddings GROUP BY 1 ORDER BY bucket""".stripMargin
 
   // -------------------------------------------------------------------

@@ -80,8 +80,12 @@ object CdcRelay {
     StructField("ts", TimestampType),
     StructField("msg_id", StringType),
     StructField("subject", StringType),
+    StructField("h_content_type", StringType),
     StructField("h_event_type", StringType),
     StructField("h_ledger", StringType),
+    StructField("h_transfer_code", StringType),
+    StructField("h_debit_account_code", StringType),
+    StructField("h_credit_account_code", StringType),
     StructField("body", StringType)))
 
   def start(spark: SparkSession, cfg: RelayConfig,

@@ -43,6 +43,13 @@ for name, sql in sorted(oracle.items()):
     if exp_cols != got_cols:
         print(f"FAIL {name}: columns exp={exp_cols} got={got_cols}")
         fails.append(name); continue
+    # driver's hash is TYPE-sensitive (DuckDB sum(BIGINT)->HUGEINT vs
+    # Spark BIGINT fails even when values match) — compare dtypes too
+    exp_types = [str(exp.types[exp.columns.index(c)]) for c in exp_cols]
+    got_types = [str(got.types[got.columns.index(c)]) for c in got_cols]
+    if exp_types != got_types:
+        print(f"FAIL {name}: dtypes exp={list(zip(exp_cols, exp_types))} got={list(zip(got_cols, got_types))}")
+        fails.append(name); continue
     if len(exp_rows) != len(got_rows):
         print(f"FAIL {name}: rowcount exp={len(exp_rows)} got={len(got_rows)}")
         fails.append(name); continue
