@@ -26,11 +26,24 @@ object VectorQueries {
   private val Dim = 64
   private val Planes = 8
 
-  /** Explicit dot product of two embedding columns, cast to double. */
+  /** All vector queries read through here: registers the native
+    * array_dot expression on the (possibly driver-owned, vanilla)
+    * session before any column tree referencing it is analyzed.
+    */
+  private def embeddings(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftExtensions.register(s)
+    graft.Tables.embeddings(s, d)
+  }
+
+  /** Dot product of two embedding columns via the fused native
+    * [[graft.plans.ArrayDot]] loop — one O(1)-size codegen block per
+    * dot instead of 64 inlined terms (which blew janino's 64 KB method
+    * limit once several dots landed in one WholeStageCodegen stage and
+    * silently de-optimized the hottest path to interpreted mode).
+    * Identical left-associated IEEE summation, so oracles are unchanged.
+    */
   private def dot(a: String, b: String): Column =
-    (1 to Dim).map { i =>
-      element_at(col(a), i).cast("double") * element_at(col(b), i).cast("double")
-    }.reduce(_ + _)
+    call_function("array_dot", col(a), col(b))
 
   private def dotSql(a: String, b: String): String =
     (1 to Dim).map(i => s"CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE)")
@@ -66,12 +79,13 @@ object VectorQueries {
     }
   }
 
-  /** Signed projection of the embedding on plane j, as a Column. */
+  /** Signed projection of the embedding on plane j — array_dot against
+    * the plane's literal weight vector (numerator/1000.0 precomputed in
+    * Scala: bit-identical to the constant-folded `lit(m)/lit(1000.0)`).
+    */
   private def planeDot(j: Int): Column =
-    (0 until Dim).map { i =>
-      element_at(col("embedding"), i + 1).cast("double") *
-        (lit(planeNumerators(j)(i).toDouble) / lit(1000.0))
-    }.reduce(_ + _)
+    call_function("array_dot", col("embedding"),
+      array(planeNumerators(j).map(m => lit(m.toDouble / 1000.0)).toSeq: _*))
 
   private def planeDotSql(j: Int): String =
     (0 until Dim).map { i =>

@@ -32,7 +32,16 @@ object GraftExtensions {
       s"$name expects exactly 1 argument, got ${exprs.length}")
   }
 
+  private def two(name: String, f: (Expression, Expression) => Expression): Builder = {
+    case Seq(a, b) => f(a, b)
+    case exprs => throw new IllegalArgumentException(
+      s"$name expects exactly 2 arguments, got ${exprs.length}")
+  }
+
   val definitions: Seq[(String, ExpressionInfo, Builder)] = Seq(
+    ("array_dot",
+      new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
+      two("array_dot", ArrayDot)),
     ("portable_u64_json",
       new ExpressionInfo(classOf[PortableU64Json].getName, "portable_u64_json"),
       one("portable_u64_json", PortableU64Json)),
