@@ -19,12 +19,21 @@ object Tables {
     * microsecond precision — the corpus has zero sub-microsecond
     * component, so the conversion is exact and matches DuckDB's values.
     */
-  private def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {
+  /** `events` with `ts` kept as the raw parquet nanosecond long. Scan
+    * operators that filter on time use THIS shape so the predicate is a
+    * plain comparison on a stored column — pushed into the parquet
+    * reader and prunable via row-group min/max stats. A filter placed
+    * after the timestamp rebuild (a computed column) cannot push down.
+    */
+  def eventsRawNanos(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/events.parquet")
+  }
+
+  private def eventsRaw(spark: SparkSession, sfDir: String): DataFrame =
+    eventsRawNanos(spark, sfDir)
       .withColumn("ts", org.apache.spark.sql.functions.expr(
         "timestamp_micros(ts div 1000)"))
-  }
 
   def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = t(s, d, "orders")

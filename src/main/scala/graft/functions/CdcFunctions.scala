@@ -78,6 +78,18 @@ object CdcFunctions {
   def subjectFor(prefix: String, ledger: Column, eventType: Column): Column =
     concat_ws(".", lit(prefix), ledger.cast("string"), eventType)
 
+  /** Mode-aware routing subject (reference subjectForEvent,
+    * config.go:155-162): structured mode derives
+    * `<prefix>.<ledger>.<event_type>` per event; single mode publishes
+    * everything to one constant subject. The single-mode column is a
+    * literal, so Catalyst constant-folds it out of the per-row path
+    * entirely.
+    */
+  def subjectFor(mode: String, prefix: String, singleSubject: String,
+                 ledger: Column, eventType: Column): Column =
+    if (mode == "single") lit(singleSubject)
+    else subjectFor(prefix, ledger, eventType)
+
   /** Deterministic dedup key `<cluster>/<timestamp>` (reference
     * runner.go:602). Reference A12.
     */
@@ -168,7 +180,9 @@ object CdcFunctions {
     */
   def envelopeProjection(df: org.apache.spark.sql.DataFrame,
                          subjectPrefix: String,
-                         clusterId: String): org.apache.spark.sql.DataFrame = {
+                         clusterId: String,
+                         subjectMode: String = "structured",
+                         singleSubject: String = ""): org.apache.spark.sql.DataFrame = {
     val tsMicros = unix_micros(col("ts"))
     val cents = round(col("value") * 100).cast("long")
     val k = coalesce(get_json_object(col("props"), "$.k"), lit("null"))
@@ -182,12 +196,16 @@ object CdcFunctions {
     df.select(
       col("event_id"), col("ts"),
       msgId(clusterId, tsMicros).as("msg_id"),
-      subjectFor(subjectPrefix, col("user_id"), col("event_type")).as("subject"),
+      subjectFor(subjectMode, subjectPrefix, singleSubject,
+        col("user_id"), col("event_type")).as("subject"),
       lit("application/json").as("h_content_type"),
       col("event_type").as("h_event_type"),
       col("user_id").cast("string").as("h_ledger"),
       coalesce(get_json_object(col("props"), "$.k"), lit("0"))
         .as("h_transfer_code"),
+      // oracle mirrors pmod exactly via ((x % m) + m) % m, so the pair
+      // agrees for negative inputs too (not just the non-negative
+      // synthetic ids)
       pmod(col("user_id"), lit(65536L)).cast("string")
         .as("h_debit_account_code"),
       pmod(col("event_id"), lit(65536L)).cast("string")
@@ -282,4 +300,12 @@ object CdcFunctions {
   /** Subject for an event, scalar form (reference config.go:157-162). */
   def subjectForScala(prefix: String, ledger: Long, eventType: String): String =
     s"$prefix.$ledger.$eventType"
+
+  /** Mode-aware scalar subject (reference subjectForEvent,
+    * config.go:155-162).
+    */
+  def subjectForScala(mode: String, prefix: String, singleSubject: String,
+                      ledger: Long, eventType: String): String =
+    if (mode == "single") singleSubject
+    else subjectForScala(prefix, ledger, eventType)
 }

@@ -47,8 +47,8 @@ object CdcQueries {
       |  event_type AS h_event_type,
       |  CAST(user_id AS VARCHAR) AS h_ledger,
       |  COALESCE(json_extract_string(props, '$.k'), '0') AS h_transfer_code,
-      |  CAST(user_id % 65536 AS VARCHAR) AS h_debit_account_code,
-      |  CAST(event_id % 65536 AS VARCHAR) AS h_credit_account_code,
+      |  CAST(((user_id % 65536) + 65536) % 65536 AS VARCHAR) AS h_debit_account_code,
+      |  CAST(((event_id % 65536) + 65536) % 65536 AS VARCHAR) AS h_credit_account_code,
       |  '{"ts":' ||
       |    (CASE WHEN epoch_us(ts) <= 9007199254740991 THEN CAST(epoch_us(ts) AS VARCHAR)
       |          ELSE '"' || CAST(epoch_us(ts) AS VARCHAR) || '"' END) ||
@@ -122,21 +122,36 @@ object CdcQueries {
       |  event_type AS type_rt
       |FROM events ORDER BY event_id""".stripMargin
 
-  /** A2/A3: resume from a checkpointed high-water mark. The HWM is the
-    * max timestamp of the already-relayed prefix (here: the first half of
-    * the stream by event_id, a deterministic stand-in for "what the
-    * progress record says"); strict `>` matches reference
-    * runner.go:726-736. At scale this is a parquet min/max-pruned range
-    * scan: the predicate pushes down to row-group stats.
+  /** A2/A3 production shape: resume strictly AFTER a checkpointed
+    * high-water mark passed in by the caller (the progress record),
+    * reference runner.go:726-736. The filter compares the RAW stored
+    * nanosecond column, so it pushes into the parquet reader and prunes
+    * whole row groups / files via min-max stats — the returned plan
+    * contains exactly one scan of `events` and no driver-side passes.
     */
-  def resume(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Tables.events(spark, sfDir)
-    val n = ev.count() / 2
-    val hwmRow = ev.filter(col("event_id") < n).agg(max(col("ts"))).head()
-    val hwm = hwmRow.getTimestamp(0)
-    ev.filter(col("ts") > lit(hwm))
+  def resumeFrom(spark: SparkSession, sfDir: String, hwmMicros: Long): DataFrame =
+    Tables.eventsRawNanos(spark, sfDir)
+      // micros > hwm  ⟺  nanos >= (hwm+1)*1000 — exact even if the
+      // corpus ever carried sub-microsecond components
+      .filter(col("ts") >= lit((hwmMicros + 1L) * 1000L))
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       .select(col("event_id"), col("ts"), col("event_type"))
       .orderBy("event_id")
+
+  /** A2/A3 driver-gated query: derives the HWM as the max timestamp of
+    * the already-relayed prefix (first half of the stream by event_id —
+    * a deterministic stand-in for "what the progress record says"),
+    * then delegates to [[resumeFrom]]. The derivation is the batch
+    * analog of reading the checkpoint: one metadata-only row count plus
+    * one narrow (event_id, ts) pass whose `event_id < n` predicate is
+    * itself pushed down and min/max-pruned.
+    */
+  def resume(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = Tables.eventsRawNanos(spark, sfDir)
+    val n = raw.count() / 2 // no data columns read: footer row counts only
+    val hwmNanos = raw.filter(col("event_id") < n)
+      .agg(max(col("ts"))).head().getLong(0)
+    resumeFrom(spark, sfDir, hwmNanos / 1000L)
   }
 
   val resumeSql: String =
@@ -212,6 +227,23 @@ object CdcQueries {
   val routingSql: String =
     """SELECT 'tigerbeetle.cdc.' || CAST(user_id AS VARCHAR) || '.' || event_type AS subject,
       |  count(*) AS n
+      |FROM events GROUP BY 1 ORDER BY subject""".stripMargin
+
+  /** A10 single-subject mode (reference config.go:16-21, 155-162): the
+    * whole stream routes to ONE constant subject — the subject column
+    * is a literal the optimizer folds, so the fan-out count collapses
+    * to a single global aggregate.
+    */
+  def routingSingle(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    ev.select(subjectFor("single", SubjectPrefix, "tigerbeetle.cdc.all",
+        col("user_id"), col("event_type")).as("subject"))
+      .groupBy("subject").agg(count(lit(1)).as("n"))
+      .orderBy("subject")
+  }
+
+  val routingSingleSql: String =
+    """SELECT 'tigerbeetle.cdc.all' AS subject, count(*) AS n
       |FROM events GROUP BY 1 ORDER BY subject""".stripMargin
 
   /** A12/A13/B9: exact keyed dedup — keep the first event (by ts, then
@@ -504,6 +536,7 @@ object CdcQueries {
     "cdc_dispatch" -> (dispatch _),
     "cdc_portable" -> (portable _),
     "cdc_routing" -> (routing _),
+    "cdc_routing_single" -> (routingSingle _),
     "cdc_dedup_exact" -> (dedupExact _),
     "cdc_dedup_windowed" -> (dedupWindowed _)
   )
@@ -520,6 +553,7 @@ object CdcQueries {
     "cdc_dispatch" -> dispatchSql,
     "cdc_portable" -> portableSql,
     "cdc_routing" -> routingSql,
+    "cdc_routing_single" -> routingSingleSql,
     "cdc_dedup_exact" -> dedupExactSql,
     "cdc_dedup_windowed" -> dedupWindowedSql
   )

@@ -579,9 +579,11 @@ object RelationalQueries {
   // -------------------------------------------------------------------
   // B12 (approx): HyperLogLog distinct counts. An approximation has no
   // deterministic oracle, so the query emits the exact count plus a
-  // tolerance PROPERTY (|approx-exact|/exact <= 5%, i.e. 2.5x the
-  // configured 2% rsd) — the oracle computes the exact count and TRUE,
-  // making the HLL accuracy claim itself hash-checkable.
+  // tolerance PROPERTY (|approx-exact|/exact <= 10%, i.e. 5x the
+  // configured 2% rsd — rsd is a standard deviation, not a bound, so
+  // the margin is deliberately generous to keep the gate stable at
+  // untested scale factors) — the oracle computes the exact count and
+  // TRUE, making the HLL accuracy claim itself hash-checkable.
   // -------------------------------------------------------------------
   def approxDistinct(s: SparkSession, d: String): DataFrame =
     events(s, d)
@@ -591,7 +593,7 @@ object RelationalQueries {
         count(lit(1)).as("n_events"))
       .select(col("event_type"), col("exact_users"), col("n_events"),
         (abs(col("approx") - col("exact_users")) <=
-          col("exact_users").cast("double") * 0.05).as("within_tol"))
+          col("exact_users").cast("double") * 0.10).as("within_tol"))
       .orderBy("event_type")
 
   val approxDistinctSql: String =

@@ -147,25 +147,41 @@ object TextQueries {
   // -------------------------------------------------------------------
   private val MinhashSeeds = 0 until 8
 
-  /** Word 3-gram shingles over a pre-materialized token-array column
-    * `t` (empty if fewer than 3 tokens). Tokenizing once into `t` and
-    * shingling from it avoids re-running `split` per array element —
-    * O(tokens) instead of O(tokens²) string splits per document.
+  /** One-hash minhash (Broder-style): each of the k "permutations" is
+    * an affine map `(h % p) * A_i + B_i mod p` of ONE strong per-
+    * shingle hash, with p = 2^31-1 (Mersenne prime). One md5 per
+    * shingle instead of k — at 100 TB the hash pass is the dominant
+    * signature cost. All operands stay < 2^62, so the arithmetic is
+    * ANSI-overflow-safe in Spark and exactly mirrored in DuckDB BIGINT.
     */
-  private def shinglesOfT: Column = {
-    val sh = expr(
-      """transform(sequence(1, size(t) - 2),
-        |  i -> concat(element_at(t, i), ' ',
-        |              element_at(t, i + 1), ' ',
-        |              element_at(t, i + 2)))""".stripMargin)
-    when(size(col("t")) >= 3, sh).otherwise(array().cast("array<string>"))
-  }
+  private val MinhashP = 2147483647L
+  private val MinhashA = Seq(1103515245L, 1299709L, 15485863L, 32452843L,
+    49979687L, 67867967L, 86028121L, 104395301L)
+  private val MinhashB = Seq(12345L, 67890L, 111111L, 222222L,
+    333333L, 444444L, 555555L, 666666L)
 
-  /** documents with doc_id + exploded shingle column `sh`. */
-  private def docShingles(s: SparkSession, d: String) =
+  private def perm(i: Int, h: Column): Column =
+    ((h % MinhashP) * MinhashA(i) + MinhashB(i)) % MinhashP
+
+  private def permSql(i: Int, h: String): String =
+    s"((($h) % $MinhashP) * ${MinhashA(i)} + ${MinhashB(i)}) % $MinhashP"
+
+  /** documents with doc_id + exploded shingle column `sh`, via the
+    * native [[graft.plans.WordShingles]] expression — a compiled loop
+    * inside whole-stage codegen. The declarative `transform(sequence,
+    * ...)` form it replaces is a higher-order function that Catalyst
+    * interprets per element, which made shingle construction the
+    * dominant cost of every MinHash consumer. Semantics are identical
+    * (tokens split on single spaces, k-grams joined by spaces, empty
+    * when fewer than 3 tokens).
+    */
+  private def docShingles(s: SparkSession, d: String) = {
+    graft.plans.GraftExtensions.register(s)
     documents(s, d)
-      .withColumn("t", toks)
-      .select(col("doc_id"), explode(shinglesOfT).as("sh"))
+      .select(col("doc_id"),
+        explode(call_function("word_shingles", col("text"), lit(3), lit(false)))
+          .as("sh"))
+  }
 
   private val shinglesSql: String =
     """list_transform(range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
@@ -174,20 +190,20 @@ object TextQueries {
       |         string_split(text, ' ')[i+2])""".stripMargin
 
   def minhashSignatures(s: SparkSession, d: String): DataFrame = {
-    val aggs = MinhashSeeds.map { i =>
-      min(h60(concat(lit(s"mh$i:"), col("sh")))).as(s"sig_$i")
-    }
-    docShingles(s, d).groupBy("doc_id")
-      .agg(aggs.head, aggs.tail: _*).orderBy("doc_id")
+    val hashed = docShingles(s, d)
+      .select(col("doc_id"), h60(col("sh")).as("h"))
+    val aggs = MinhashSeeds.map(i => min(perm(i, col("h"))).as(s"sig_$i"))
+    hashed.groupBy("doc_id").agg(aggs.head, aggs.tail: _*).orderBy("doc_id")
   }
 
   val minhashSignaturesSql: String = {
     val sigs = MinhashSeeds.map { i =>
-      s"  min(${h60Sql(s"'mh$i:' || sh")}) AS sig_$i"
+      s"  min(${permSql(i, "h")}) AS sig_$i"
     }.mkString(",\n")
     s"""SELECT doc_id,
        |$sigs
-       |FROM (SELECT doc_id, unnest($shinglesSql) AS sh FROM documents)
+       |FROM (SELECT doc_id, ${h60Sql("sh")} AS h FROM
+       |  (SELECT doc_id, unnest($shinglesSql) AS sh FROM documents))
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
@@ -200,34 +216,54 @@ object TextQueries {
   // for candidate pairs.
   // -------------------------------------------------------------------
   def neardupPairs(s: SparkSession, d: String): DataFrame = {
-    val sigs = minhashSignatures(s, d)
-    // posexplode of the 4 band keys: ONE evaluation of the signature
-    // subtree instead of a 4-way union that recomputes it per band
-    val bandKeys = array((0 until 4).map { b =>
-      concat_ws("_", col(s"sig_${2 * b}"), col(s"sig_${2 * b + 1}"))
-    }: _*)
-    val bands = sigs.select(col("doc_id"),
-      posexplode(bandKeys).as(Seq("band", "bkey")))
-    val cand = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    val dsh = documents(s, d)
-      .withColumn("t", toks)
-      .select(col("doc_id"), explode(array_distinct(shinglesOfT)).as("sh"))
-    val sizes = dsh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = cand
-      .join(dsh.as("ta"), col("doc_a") === col("ta.doc_id"))
-      .join(dsh.as("tb"), col("doc_b") === col("tb.doc_id") &&
-        col("ta.sh") === col("tb.sh"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
-    inter
-      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
-      .select(col("doc_a"), col("doc_b"), col("n_common"),
+    // ONE corpus pass total: the native shingle explode feeds the 8
+    // signature mins, the per-doc hash-set (Jaccard verification), and
+    // the set size in a single aggregation down to |docs| rows. The
+    // round-2 shape re-exploded and re-hashed the corpus once per
+    // consumer (4×); here the exploded relation exists only below one
+    // groupBy and is never recomputed OR cached — only the small
+    // per-doc relation is staged for the band/verify fan-out.
+    // (min over the distinct shingle set == min over the multiset, so
+    // signatures are unchanged; intersecting the per-shingle hash sets
+    // equals intersecting shingle sets modulo 60-bit collisions, which
+    // the oracle's string-equality join cross-checks.)
+    graft.plans.GraftExtensions.register(s)
+    val exploded = documents(s, d)
+      .select(col("doc_id"),
+        explode(call_function("word_shingles", col("text"), lit(3), lit(true)))
+          .as("sh"))
+    val hashed = exploded.select(col("doc_id"), h60(col("sh")).as("h"))
+    val aggs = MinhashSeeds.map(i => min(perm(i, col("h"))).as(s"sig_$i")) ++ Seq(
+      collect_list(col("h")).as("hset"), count(lit(1)).as("n"))
+    val docshRaw = hashed.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    graft.Stage.fanout(docshRaw) { docsh =>
+      // posexplode of the 4 band keys: ONE evaluation of the signature
+      // subtree instead of a 4-way union that recomputes it per band
+      val bandKeys = array((0 until 4).map { b =>
+        concat_ws("_", col(s"sig_${2 * b}"), col(s"sig_${2 * b + 1}"))
+      }: _*)
+      val bands = docsh.select(col("doc_id"),
+        posexplode(bandKeys).as(Seq("band", "bkey")))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      val a = docsh.select(col("doc_id").as("ida"), col("hset").as("hset_a"),
+        col("n").as("na"))
+      val b = docsh.select(col("doc_id").as("idb"), col("hset").as("hset_b"),
+        col("n").as("nb"))
+      // score slim BEFORE the jaccard cut (see ngramJaccard: a filter
+      // referencing n_common would be pushed into the join condition
+      // and re-evaluate the intersection per probe)
+      cand.join(a, col("doc_a") === col("ida"))
+        .join(b, col("doc_b") === col("idb"))
+        .select(col("doc_a"), col("doc_b"), col("na"), col("nb"),
+          size(array_intersect(col("hset_a"), col("hset_b"))).cast("bigint")
+            .as("n_common"))
+    }.select(col("doc_a"), col("doc_b"), col("n_common"),
         (col("n_common").cast("double") /
-          (col("sa.n") + col("sb.n") - col("n_common"))).as("jaccard"))
+          (col("na") + col("nb") - col("n_common"))).as("jaccard"))
       .filter(col("jaccard") >= 0.4)
       .orderBy("doc_a", "doc_b")
   }
@@ -427,42 +463,66 @@ object TextQueries {
   // Blocking key = (length bucket, min char-4gram hash): only pairs
   // sharing a block are compared, the classic blocking-dedup shape.
   // -------------------------------------------------------------------
-  private def char4grams: Column =
-    expr("""transform(sequence(1, greatest(length(text) - 3, 1)),
-           |  i -> substring(text, i, 4))""".stripMargin)
-
   private val char4gramsSql: String =
     """list_transform(range(1, greatest(length(text) - 2, 2)),
       |      i -> substring(text, i, 4))""".stripMargin
 
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+    // Round-2's slowest query, restructured twice over: (1) gram
+    // construction moves from interpreted higher-order functions to the
+    // native codegen'd char_ngrams loop; (2) the exploded gram relation
+    // collapses to ONE per-doc aggregate (hash array + blocking mins +
+    // size) consumed by a self-join, so nothing re-explodes the corpus
+    // — verification intersects the per-doc hash arrays directly
+    // instead of re-joining 881k exploded rows twice. Both sides of the
+    // self-join shuffle on the same block key from an identical child,
+    // which Spark evaluates once and reuses (ReusedExchange).
+    graft.plans.GraftExtensions.register(s)
+    // the second, independent blocking min comes from an affine
+    // permutation of the SAME 60-bit hash (one-hash minhash, see
+    // MinhashP) — one md5 per gram instead of two
     val grams = documents(s, d)
       .select(col("doc_id"), length(col("text")).as("len"),
-        explode(array_distinct(char4grams)).as("g"))
-      .select(col("doc_id"), col("len"), h60(col("g")).as("gh"),
-        h60(concat(lit("g2:"), col("g"))).as("gh2"))
+        explode(call_function("char_ngrams", col("text"), lit(4), lit(true)))
+          .as("g"))
+      .select(col("doc_id"), col("len"), h60(col("g")).as("gh"))
+      .withColumn("gh2", ((col("gh") % MinhashP) * lit(179424673L)
+        + lit(777777L)) % MinhashP)
     // block on TWO independent min-hashes: with a tiny vocabulary the
     // single globally-minimal gram lands in most documents (degenerate
     // all-pairs blocks); requiring agreement on both mins keeps blocks
     // ~near-dup-only
-    val blocked = grams.groupBy("doc_id", "len")
-      .agg(min(col("gh")).as("min_gh"), min(col("gh2")).as("min_gh2"),
+    val docgr = grams.groupBy("doc_id", "len")
+      .agg(collect_list(col("gh")).as("ghs"),
+        min(col("gh")).as("min_gh"), min(col("gh2")).as("min_gh2"),
         count(lit(1)).as("n"))
       // floor-divide explicitly: a bare cast would truncate here but
       // ROUND in DuckDB, splitting blocks differently across engines
       .withColumn("block", concat_ws("_", floor(col("len") / 50).cast("int"),
         col("min_gh"), col("min_gh2")))
-    val cand = blocked.as("x").join(blocked.as("y"),
-        col("x.block") === col("y.block") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.n").as("na"), col("y.n").as("nb"))
-    val gh1 = grams.select(col("doc_id"), col("gh"))
-    val inter = cand
-      .join(gh1.as("ga"), col("doc_a") === col("ga.doc_id"))
-      .join(gh1.as("gb"), col("doc_b") === col("gb.doc_id") &&
-        col("ga.gh") === col("gb.gh"))
-      .groupBy("doc_a", "doc_b", "na", "nb").agg(count(lit(1)).as("n_common"))
-    inter.select(col("doc_a"), col("doc_b"),
+    // stage docgr (|docs| rows): a broadcast self-join cannot reuse the
+    // build side's exchange, so without staging the whole gram pipeline
+    // runs once per side. The scored pair relation is materialized slim
+    // (arrays dropped, intersections done) BEFORE the jaccard cut so
+    // the filter cannot be pushed into the join condition — where it
+    // would re-evaluate array_intersect two more times per pair.
+    val pairs = graft.Stage.fanout(docgr) { dg =>
+      val slim = dg.select(col("doc_id"), col("block"), col("n"))
+      val cand = slim.as("x").join(slim.as("y"),
+          col("x.block") === col("y.block") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          col("x.n").as("na"), col("y.n").as("nb"))
+      cand
+        .join(dg.select(col("doc_id").as("ida"), col("ghs").as("ghs_a")),
+          col("doc_a") === col("ida"))
+        .join(dg.select(col("doc_id").as("idb"), col("ghs").as("ghs_b")),
+          col("doc_b") === col("idb"))
+        .select(col("doc_a"), col("doc_b"), col("na"), col("nb"),
+          size(array_intersect(col("ghs_a"), col("ghs_b"))).cast("bigint")
+            .as("n_common"))
+    }
+    pairs
+      .select(col("doc_a"), col("doc_b"),
         (col("n_common").cast("double") /
           (col("na") + col("nb") - col("n_common"))).as("jaccard"))
       .filter(col("jaccard") >= 0.6)
@@ -471,7 +531,7 @@ object TextQueries {
 
   val ngramJaccardSql: String = {
     val gh = h60Sql("g")
-    val gh2 = h60Sql("'g2:' || g")
+    val gh2 = s"((($gh) % $MinhashP) * 179424673 + 777777) % $MinhashP"
     s"""WITH grams AS (
        |  SELECT doc_id, len, $gh AS gh, $gh2 AS gh2 FROM (
        |    SELECT doc_id, length(text) AS len,
@@ -511,16 +571,21 @@ object TextQueries {
   private val enBigramsList = EnBigrams.map(b => s"'$b'").mkString("(", ", ", ")")
 
   def langidNgram(s: SparkSession, d: String): DataFrame = {
-    val bigrams = expr(
-      """transform(sequence(1, greatest(length(text) - 1, 1)),
-        |  i -> substring(text, i, 2))""".stripMargin)
-    val nHit = size(expr(s"filter(bg, x -> x IN $enBigramsList)"))
+    // native bigram explode + codegen'd hash aggregation: the previous
+    // transform+filter HOF pair evaluated two interpreted lambdas per
+    // character of the corpus; this shape keeps profile scoring inside
+    // whole-stage codegen with a map-side partial agg (shuffled bytes ~
+    // |docs|, not |bigrams|)
+    graft.plans.GraftExtensions.register(s)
     documents(s, d)
-      .withColumn("bg", bigrams)
-      // compute the ratio once; deriving the flag from the materialized
-      // column halves the bigram-filter work
       .select(col("doc_id"), col("lang"),
-        (nHit.cast("double") / size(col("bg"))).as("en_bigram_ratio"))
+        explode(call_function("char_ngrams", col("text"), lit(2), lit(false)))
+          .as("bg"))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("nbg"),
+        sum(when(col("bg").isin(EnBigrams: _*), 1L).otherwise(0L)).as("nhit"))
+      .select(col("doc_id"), col("lang"),
+        (col("nhit").cast("double") / col("nbg")).as("en_bigram_ratio"))
       .select(col("doc_id"), col("lang"), col("en_bigram_ratio"),
         (col("en_bigram_ratio") > 0.09).as("looks_english"))
       .orderBy("doc_id")
@@ -547,17 +612,27 @@ object TextQueries {
   // driver data). The oracle reproduces it with a recursive CTE.
   // -------------------------------------------------------------------
   def neardupClusters(s: SparkSession, d: String): DataFrame = {
+    // RELIABLE checkpoints (shared-storage files, lineage truncated):
+    // `localCheckpoint()` would pin every round's lineage to executor
+    // block storage, where one executor loss aborts the whole iterative
+    // job — at cluster scale the checkpoint dir must be durable
+    // (Stage.ensureCheckpointDir only defaults it in local mode).
+    graft.Stage.ensureCheckpointDir(s)
     // materialize the (expensive) LSH pair pipeline ONCE; the loop must
     // not re-derive it every round
-    val pairs = neardupPairs(s, d).select("doc_a", "doc_b").localCheckpoint()
+    val pairsDf = neardupPairs(s, d)
+    val pairs = pairsDf.select("doc_a", "doc_b").checkpoint()
+    // the checkpoint re-materialized the pair set into reliable files;
+    // drop the builder's cache so nothing outlives this query
+    pairsDf.unpersist(blocking = false)
     // undirected edge list (labels survive a round via the union with
     // the previous labels below, not via self-loops)
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .localCheckpoint()
+      .checkpoint()
     var labels = edges.select(col("doc_a").as("doc"))
       .distinct().withColumn("label", col("doc"))
-      .localCheckpoint()
+      .checkpoint()
     var converged = false
     var rounds = 0
     val maxRounds = 64 // propagation moves the min one hop per round
@@ -569,7 +644,7 @@ object TextQueries {
       // (labels appears twice in `next`) and would grow exponentially
       val next = labels.select("doc", "label").union(viaNeighbors)
         .groupBy("doc").agg(min("label").as("label"))
-        .localCheckpoint()
+        .checkpoint()
       val changed = next.as("n")
         .join(labels.as("o"), col("n.doc") === col("o.doc"))
         .filter(col("n.label") =!= col("o.label")).count()

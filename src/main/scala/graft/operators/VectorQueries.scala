@@ -292,19 +292,23 @@ object VectorQueries {
        |SELECT list_id, count(*) AS n_vectors FROM assigned
        |GROUP BY list_id ORDER BY list_id""".stripMargin
 
-  /** IVF search: probe the query's list only, exact cosine re-rank. */
-  def ivfAnn(s: SparkSession, d: String): DataFrame = {
-    val assigned = ivfAssigned(s, d)
-    val q = assigned.filter(col("vec_id") === 0)
-      .select(col("embedding").as("q_embedding"), col("nrm").as("q_nrm"),
-        col("list_id").as("q_list"))
-    assigned.filter(col("vec_id") > 0)
-      .join(broadcast(q), col("list_id") === col("q_list"))
-      .select(col("vec_id"), col("label"),
-        cosinePre("embedding", "q_embedding", col("nrm"), col("q_nrm")).as("sim"))
-      .orderBy(col("sim").desc, col("vec_id"))
-      .limit(10)
-  }
+  /** IVF search: probe the query's list only, exact cosine re-rank.
+    * The centroid-assignment pass (broadcast-crossJoin × 16 + ranking
+    * window) feeds BOTH the query row and the corpus side, so it is
+    * staged once instead of evaluated twice.
+    */
+  def ivfAnn(s: SparkSession, d: String): DataFrame =
+    graft.Stage.fanout(ivfAssigned(s, d)) { assigned =>
+      val q = assigned.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_embedding"), col("nrm").as("q_nrm"),
+          col("list_id").as("q_list"))
+      assigned.filter(col("vec_id") > 0)
+        .join(broadcast(q), col("list_id") === col("q_list"))
+        .select(col("vec_id"), col("label"),
+          cosinePre("embedding", "q_embedding", col("nrm"), col("q_nrm")).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(10)
+    }
 
   val ivfAnnSql: String = {
     val cos = s"round((${dotSql("a.embedding", "q.q_embedding")}) / (a.nrm * q.q_nrm), 6)"

@@ -21,7 +21,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * `.reduce(_ + _)` term tree and the oracle's explicit `a[1]*b[1] +
   * ... + a[64]*b[64]`, so results are bit-identical and hash-stable.
   * A null array, or any null element, yields null (matching the
-  * null-propagation of the term tree).
+  * null-propagation of the term tree). Mismatched array lengths RAISE
+  * at runtime — the unfused ANSI `element_at` form failed fast out of
+  * bounds on dimension drift, and a silent min-length dot would quietly
+  * diverge from the fixed-dim oracle.
   */
 case class ArrayDot(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -51,7 +54,10 @@ case class ArrayDot(left: Expression, right: Expression)
     if (r == null) return null
     val la = l.asInstanceOf[ArrayData]
     val ra = r.asInstanceOf[ArrayData]
-    val n = math.min(la.numElements(), ra.numElements())
+    if (la.numElements() != ra.numElements())
+      throw new IllegalArgumentException(
+        s"array_dot: dimension mismatch (${la.numElements()} vs ${ra.numElements()})")
+    val n = la.numElements()
     val lf = elemType(left) == FloatType
     val rf = elemType(right) == FloatType
     var sum = 0.0
@@ -75,7 +81,11 @@ case class ArrayDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val sum = ctx.freshName("sum")
       s"""
-         |int $n = java.lang.Math.min($l.numElements(), $r.numElements());
+         |if ($l.numElements() != $r.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "array_dot: dimension mismatch (" + $l.numElements() + " vs " + $r.numElements() + ")");
+         |}
+         |int $n = $l.numElements();
          |double $sum = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  if ($l.isNullAt($i) || $r.isNullAt($i)) { ${ev.isNull} = true; break; }

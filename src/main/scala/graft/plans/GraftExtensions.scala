@@ -38,6 +38,18 @@ object GraftExtensions {
       s"$name expects exactly 2 arguments, got ${exprs.length}")
   }
 
+  /** (text, n literal, distinct literal) builder for the gram exprs. */
+  private def gram(name: String, f: (Expression, Int, Boolean) => Expression): Builder = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{BooleanType, IntegerType}
+    {
+      case Seq(t, Literal(n: Int, IntegerType), Literal(d: Boolean, BooleanType)) =>
+        f(t, n, d)
+      case exprs => throw new IllegalArgumentException(
+        s"$name expects (text, int literal, boolean literal), got $exprs")
+    }
+  }
+
   val definitions: Seq[(String, ExpressionInfo, Builder)] = Seq(
     ("array_dot",
       new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
@@ -47,7 +59,13 @@ object GraftExtensions {
       one("portable_u64_json", PortableU64Json)),
     ("portable_u128_json",
       new ExpressionInfo(classOf[PortableU128Json].getName, "portable_u128_json"),
-      one("portable_u128_json", PortableU128Json))
+      one("portable_u128_json", PortableU128Json)),
+    ("char_ngrams",
+      new ExpressionInfo(classOf[CharNGrams].getName, "char_ngrams"),
+      gram("char_ngrams", CharNGrams)),
+    ("word_shingles",
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      gram("word_shingles", WordShingles))
   )
 
   /** Idempotently register the functions on a live session. */

@@ -31,15 +31,49 @@ import graft.functions.CdcFunctions._
   */
 object CdcRelay {
 
-  /** Relay configuration (the Spark analog of reference config.go). */
+  /** Relay configuration (the Spark analog of reference config.go).
+    *
+    * A19: [[RelayConfig.validate]] mirrors the reference's parse-time
+    * cross-validation (config.go:164-371): every violated range/enum is
+    * reported — the FULL mismatch list, not just the first — and
+    * [[RelayConfig.validated]] fails fast with actionable messages
+    * before any stream state is touched. [[CdcRelay.start]] always
+    * validates.
+    */
   final case class RelayConfig(
       inputDir: String,
       outputDir: String,
       checkpointDir: String,
+      /** A10 routing mode (reference config.go:16-21): `structured`
+        * derives `<prefix>.<ledger>.<event_type>` per event; `single`
+        * publishes everything to [[singleSubject]].
+        */
+      subjectMode: String = "structured",
       subjectPrefix: String = "tigerbeetle.cdc",
+      /** Constant subject used when `subjectMode = single` (reference
+        * `--subject`, config.go:39).
+        */
+      singleSubject: String = "tigerbeetle.cdc",
       clusterId: String = "graft",
       dedupeWindow: String = "2 minutes",
+      /** A5 batch-size cap (reference `--event-count-max`): max input
+        * files admitted per micro-batch.
+        */
       maxFilesPerTrigger: Int = 16,
+      /** A4 idle throttle (reference `--idle-interval-ms`): the pacing
+        * interval of the poll loop. Used as the processing-time trigger
+        * period by [[startContinuous]] and as the denominator of the
+        * [[maxFilesPerSecond]] ceiling.
+        */
+      idleIntervalMs: Long = 1000L,
+      /** A5 explicit request-rate ceiling (reference
+        * `--requests-per-second-limit`, runner.go:750-793): upper bound
+        * on source file reads per second. Enforced by shrinking the
+        * per-trigger file cap to `floor(limit × idleInterval)` (min 1),
+        * so a relay triggered every [[idleIntervalMs]] never issues
+        * more than this many reads/sec. Unset = unlimited.
+        */
+      maxFilesPerSecond: Option[Double] = None,
       provision: Boolean = true,
       /** Partition the sink by routing subject — the file-sink analog of
         * per-subject NATS streams (A10's routing key as physical
@@ -51,7 +85,76 @@ object CdcRelay {
         * before the epoch commit — the replay window of the at-least-
         * once contract (reference README.md:55-61).
         */
-      crashOnceAfterWrite: Option[String] = None)
+      crashOnceAfterWrite: Option[String] = None) {
+
+    /** Every config violation (empty = valid). Messages mirror the
+      * reference's (config.go:164-371): named field, expected range.
+      */
+    def validate: Seq[String] = {
+      val b = Seq.newBuilder[String]
+      if (inputDir.trim.isEmpty) b += "inputDir must not be empty"
+      if (outputDir.trim.isEmpty) b += "outputDir must not be empty"
+      if (checkpointDir.trim.isEmpty) b += "checkpointDir must not be empty"
+      if (clusterId.trim.isEmpty) b += "clusterId must not be empty"
+      if (!RelayConfig.isPositiveDuration(dedupeWindow))
+        b += "dedupeWindow must be a positive duration like '2 minutes'"
+      if (maxFilesPerTrigger < 1)
+        b += s"maxFilesPerTrigger must be >= 1 (got $maxFilesPerTrigger)"
+      if (idleIntervalMs <= 0)
+        b += s"idleIntervalMs must be greater than zero (got $idleIntervalMs)"
+      maxFilesPerSecond.foreach { r =>
+        if (!(r > 0))
+          b += s"maxFilesPerSecond must be greater than zero (got $r)"
+      }
+      subjectMode match {
+        case "structured" =>
+          if (subjectPrefix.isEmpty)
+            b += "subjectPrefix cannot be empty in structured mode"
+        case "single" =>
+          if (singleSubject.isEmpty)
+            b += "singleSubject cannot be empty in single mode"
+        case other =>
+          b += s"subjectMode must be one of: structured, single (got '$other')"
+      }
+      b.result()
+    }
+
+    /** Normalized copy (trimmed mode/prefix/subject, reference
+      * config.go:293-307), or an IllegalArgumentException carrying the
+      * FULL mismatch list.
+      */
+    def validated: RelayConfig = {
+      val norm = copy(
+        subjectMode = subjectMode.trim.toLowerCase,
+        subjectPrefix = subjectPrefix.trim.replaceAll("\\.+$", ""),
+        singleSubject = singleSubject.trim)
+      val errs = norm.validate
+      if (errs.nonEmpty) throw new IllegalArgumentException(
+        "invalid relay config:\n  " + errs.mkString("\n  "))
+      norm
+    }
+
+    /** Effective per-trigger file cap once the rate ceiling applies.
+      * Floors at 1 file per trigger: ceilings below one file per idle
+      * interval need a longer [[idleIntervalMs]], not a zero cap.
+      */
+    private[graft] def effectiveMaxFilesPerTrigger: Int =
+      maxFilesPerSecond match {
+        case Some(rps) =>
+          math.min(maxFilesPerTrigger,
+            math.max(1, math.floor(rps * idleIntervalMs / 1000.0).toInt))
+        case None => maxFilesPerTrigger
+      }
+  }
+
+  object RelayConfig {
+    private val DurationRe =
+      """(?i)^\s*(\d{1,9})\s*(millisecond|second|minute|hour|day)s?\s*$""".r
+    private[streaming] def isPositiveDuration(s: String): Boolean = s match {
+      case DurationRe(n, _) => n.toLong > 0
+      case _ => false
+    }
+  }
 
   /** Input schema — the `events` stream shape (FIXTURES.md §B). */
   val inputSchema: StructType = StructType(Seq(
@@ -67,7 +170,8 @@ object CdcRelay {
     * and streaming outputs cannot drift.
     */
   def transform(df: DataFrame, cfg: RelayConfig): DataFrame =
-    envelopeProjection(df, cfg.subjectPrefix, cfg.clusterId)
+    envelopeProjection(df, cfg.subjectPrefix, cfg.clusterId,
+      cfg.subjectMode, cfg.singleSubject)
 
   /** Start the relay. `Trigger.AvailableNow` drains everything currently
     * in the input dir and stops — the batch-mode analog of the
@@ -88,8 +192,11 @@ object CdcRelay {
     StructField("h_credit_account_code", StringType),
     StructField("body", StringType)))
 
-  def start(spark: SparkSession, cfg: RelayConfig,
+  def start(spark: SparkSession, rawCfg: RelayConfig,
             trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    // A19 pre-flight: reject an invalid config with the full mismatch
+    // list before any stream state is touched
+    val cfg = rawCfg.validated
     // A17 pre-flight: create-or-validate the sink before starting; a
     // divergent sink aborts with the full mismatch list
     val partCols = if (cfg.partitionBySubject) Seq("subject") else Nil
@@ -98,7 +205,8 @@ object CdcRelay {
         partitionColumns = partCols), cfg.provision)
     val in = spark.readStream
       .schema(inputSchema)
-      .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
+      // A5: the rate ceiling shrinks the per-trigger admission cap
+      .option("maxFilesPerTrigger", cfg.effectiveMaxFilesPerTrigger)
       .parquet(cfg.inputDir)
     val enveloped = transform(in, cfg)
       .withWatermark("ts", cfg.dedupeWindow)
@@ -124,4 +232,13 @@ object CdcRelay {
       }
       .start()
   }
+
+  /** Long-running relay paced by the configured idle interval (A4): one
+    * micro-batch every `idleIntervalMs`. Combined with the A5 ceiling
+    * this bounds source reads to `maxFilesPerSecond` — the poll-loop +
+    * sliding-window-limiter pair of the reference (runner.go:126-169,
+    * 750-793) expressed as trigger pacing + per-trigger admission.
+    */
+  def startContinuous(spark: SparkSession, cfg: RelayConfig): StreamingQuery =
+    start(spark, cfg, Trigger.ProcessingTime(cfg.idleIntervalMs))
 }

@@ -3,10 +3,13 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 
 /** Hard-fail codegen audit: runs each named query (default: all) with
-  * `spark.sql.codegen.fallback=false`, so any generated function that
-  * janino rejects (e.g. "Code grows beyond 64 KB") aborts the query
-  * instead of silently running interpreted — exactly the regression the
-  * production path must never hit at scale.
+  * `spark.sql.codegen.fallback=false` (whole-stage codegen compile
+  * failures abort instead of silently running interpreted) AND
+  * `spark.sql.codegen.factoryMode=CODEGEN_ONLY` (expression-level
+  * codegen — UnsafeProjection and friends in non-whole-stage operators
+  * — also aborts on janino rejection instead of falling back). Together
+  * these make ANY silent de-optimization to interpreted mode fatal —
+  * exactly the regression the production path must never hit at scale.
   *
   *   sbt "runMain graft.tools.CodegenCheck cdc_full_event_json vec_ivf_ann"
   */
@@ -16,6 +19,7 @@ object CodegenCheck {
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.codegen.fallback", "false")
+      .config("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -165,6 +165,58 @@ class CdcRelaySpec extends AnyFunSuite {
     assert(out.columns.contains("subject"))
   }
 
+  test("single-subject mode publishes every event to the constant subject") {
+    // reference config.go:16-21, 155-162: subject-mode=single routes the
+    // whole stream to one subject regardless of ledger/event type
+    val root = Files.createTempDirectory("relay7").toString
+    val in = s"$root/in"; new java.io.File(in).mkdirs()
+    val cfg = RelayConfig(in, s"$root/out", s"$root/chk",
+      subjectMode = "single", singleSubject = "tb.cdc.all")
+    val base = 1700000000000000L
+    writeEvents(in, "b1.parquet", Seq(
+      (1L, base + 1000000L, 7L, "purchase"),
+      (2L, base + 2000000L, 8L, "click"),
+      (3L, base + 3000000L, 9L, "error")))
+    CdcRelay.start(spark, cfg).awaitTermination()
+    val subjects = spark.read.parquet(cfg.outputDir)
+      .select("subject").distinct().collect().map(_.getString(0)).toSeq
+    assert(subjects == Seq("tb.cdc.all"), subjects.mkString(","))
+  }
+
+  test("invalid config fails fast with the full mismatch list") {
+    val bad = RelayConfig("", s"/tmp/never/out", s"/tmp/never/chk",
+      subjectMode = "fast", maxFilesPerTrigger = 0)
+    val e = intercept[IllegalArgumentException](CdcRelay.start(spark, bad))
+    Seq("inputDir", "subjectMode", "maxFilesPerTrigger").foreach { f =>
+      assert(e.getMessage.contains(f), e.getMessage)
+    }
+    // nothing was provisioned before validation rejected the config
+    assert(!new java.io.File("/tmp/never/out").exists())
+  }
+
+  test("maxFilesPerSecond ceiling bounds files admitted per epoch") {
+    // A5 analog (reference runner.go:750-793): 1 file/sec at a 1s
+    // trigger shrinks the 16-file batch cap to one file per epoch, so
+    // per-epoch source reads are bounded by the ceiling
+    val root = Files.createTempDirectory("relay8").toString
+    val in = s"$root/in"; new java.io.File(in).mkdirs()
+    val cfg = RelayConfig(in, s"$root/out", s"$root/chk",
+      maxFilesPerTrigger = 16, idleIntervalMs = 1000,
+      maxFilesPerSecond = Some(1.0))
+    assert(cfg.effectiveMaxFilesPerTrigger == 1)
+    val base = 1700000000000000L
+    (0 until 3).foreach { i =>
+      writeEvents(in, s"b$i.parquet",
+        Seq((i.toLong, base + i * 1000000L, 1L, "view")))
+    }
+    CdcRelay.start(spark, cfg).awaitTermination()
+    assert(spark.read.parquet(cfg.outputDir).count() == 3)
+    // the pacing held: one committed epoch per admitted file
+    val commits = new java.io.File(s"$root/chk/commits").listFiles()
+      .count(f => f.getName.forall(_.isDigit))
+    assert(commits >= 3, s"expected >=3 epochs, got $commits")
+  }
+
   test("restart with no new input produces no new output") {
     val root = Files.createTempDirectory("relay2").toString
     val in = s"$root/in"; new java.io.File(in).mkdirs()

@@ -102,6 +102,17 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(scan.metrics("numFiles").value == 1, scan.metrics("numFiles").value)
   }
 
+  test("resume pushes the raw-ts predicate into one pruned parquet scan") {
+    // A2/A3 at the 100× shape: the HWM arrives as a checkpoint value and
+    // the filter compares the RAW stored nanos column, so it reaches the
+    // parquet reader (row-group min/max pruning); the returned plan holds
+    // exactly ONE scan of events and no driver-side passes
+    val plan = physical(CdcQueries.resumeFrom(spark, sf, 1700000000000000L))
+    assert(plan.contains("PushedFilters"), plan)
+    assert(plan.contains("GreaterThanOrEqual(ts"), plan)
+    assert("events\\.parquet".r.findAllIn(plan).size == 1, plan)
+  }
+
   test("salted join returns exactly the plain join's result") {
     val li = Tables.lineitem(spark, sf)
     val os = Tables.orders(spark, sf)

@@ -1,0 +1,105 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.CdcFunctions
+import graft.streaming.CdcRelay.RelayConfig
+
+/** A19 config validation + A10 subject modes, mirroring the reference's
+  * config_test.go case families (defaults, explicit overrides/modes,
+  * invalid-enum rejection; config_test.go:9-120) and the parseConfig
+  * range checks (config.go:164-371). The Spark analog validates the
+  * SAME way: every violated range/enum reported at once, with
+  * actionable field-named messages.
+  */
+class RelayConfigSpec extends AnyFunSuite {
+
+  private def base = RelayConfig("/in", "/out", "/chk")
+
+  test("defaults validate clean and derive structured subjects") {
+    val cfg = base.validated
+    assert(cfg.validate.isEmpty)
+    assert(cfg.subjectMode == "structured")
+    // reference config_test.go:33-35: subjectForEvent(7, "single_phase")
+    assert(CdcFunctions.subjectForScala(cfg.subjectMode, cfg.subjectPrefix,
+      cfg.singleSubject, 7L, "single_phase") == "tigerbeetle.cdc.7.single_phase")
+    // no rate ceiling -> the configured batch cap stands
+    assert(cfg.effectiveMaxFilesPerTrigger == cfg.maxFilesPerTrigger)
+  }
+
+  test("explicit single mode routes every event to the constant subject") {
+    // reference config_test.go:51-99: explicit modes override defaults
+    val cfg = base.copy(subjectMode = "single", singleSubject = "my.subject")
+      .validated
+    assert(CdcFunctions.subjectForScala(cfg.subjectMode, cfg.subjectPrefix,
+      cfg.singleSubject, 7L, "single_phase") == "my.subject")
+  }
+
+  test("normalization trims subject fields like the reference parse") {
+    // reference config.go:293-300: prefix trailing dot trimmed, subject
+    // whitespace trimmed, mode case-folded
+    val cfg = base.copy(subjectMode = " Structured ",
+      subjectPrefix = "tb.cdc..").validated
+    assert(cfg.subjectMode == "structured")
+    assert(cfg.subjectPrefix == "tb.cdc")
+    val single = base.copy(subjectMode = "single",
+      singleSubject = "  my.subject  ").validated
+    assert(single.singleSubject == "my.subject")
+  }
+
+  test("invalid subject mode is rejected with an actionable message") {
+    // reference config_test.go:101-113 (invalid enum)
+    val e = intercept[IllegalArgumentException](
+      base.copy(subjectMode = "fast").validated)
+    assert(e.getMessage.contains("subjectMode must be one of: structured, single"),
+      e.getMessage)
+  }
+
+  test("empty prefix/subject are invalid in their respective modes") {
+    // reference config.go:295-307; a prefix that is only dots
+    // normalizes to empty and must be rejected too
+    intercept[IllegalArgumentException](base.copy(subjectPrefix = "").validated)
+    intercept[IllegalArgumentException](base.copy(subjectPrefix = "...").validated)
+    intercept[IllegalArgumentException](
+      base.copy(subjectMode = "single", singleSubject = "  ").validated)
+  }
+
+  test("validate returns the FULL mismatch list, not just the first") {
+    // reference parseConfig aborts on first error; the Spark analog
+    // strengthens this to the full list (same contract as the A17 sink
+    // validator, runner.go:338-386)
+    val bad = RelayConfig("", "", "/chk",
+      subjectMode = "warp", dedupeWindow = "soon",
+      maxFilesPerTrigger = 0, idleIntervalMs = 0,
+      maxFilesPerSecond = Some(0.0))
+    val errs = bad.validate
+    assert(errs.size >= 6, errs.mkString("; "))
+    Seq("inputDir", "outputDir", "dedupeWindow", "maxFilesPerTrigger",
+      "idleIntervalMs", "maxFilesPerSecond", "subjectMode").foreach { f =>
+      assert(errs.exists(_.contains(f)), s"no message names $f: $errs")
+    }
+  }
+
+  test("dedupe window must be a positive parseable duration") {
+    assert(base.copy(dedupeWindow = "2 minutes").validate.isEmpty)
+    assert(base.copy(dedupeWindow = "90 seconds").validate.isEmpty)
+    assert(base.copy(dedupeWindow = "1 hour").validate.isEmpty)
+    assert(base.copy(dedupeWindow = "0 minutes").validate.nonEmpty)
+    assert(base.copy(dedupeWindow = "2 fortnights").validate.nonEmpty)
+    assert(base.copy(dedupeWindow = "minutes").validate.nonEmpty)
+  }
+
+  test("rate ceiling shrinks the per-trigger cap, flooring at one file") {
+    // 2.5 files/sec at a 1s trigger -> 2 files per trigger
+    val capped = base.copy(maxFilesPerTrigger = 16,
+      idleIntervalMs = 1000, maxFilesPerSecond = Some(2.5))
+    assert(capped.effectiveMaxFilesPerTrigger == 2)
+    // a cap larger than the configured batch max never raises it
+    val loose = base.copy(maxFilesPerTrigger = 4,
+      idleIntervalMs = 1000, maxFilesPerSecond = Some(100.0))
+    assert(loose.effectiveMaxFilesPerTrigger == 4)
+    // sub-one-file intervals floor at 1 (shorten the interval instead)
+    val tight = base.copy(maxFilesPerTrigger = 16,
+      idleIntervalMs = 200, maxFilesPerSecond = Some(1.0))
+    assert(tight.effectiveMaxFilesPerTrigger == 1)
+  }
+}
