@@ -16,20 +16,29 @@ import org.apache.spark.storage.StorageLevel
 object Stage {
 
   /** Evaluate `build` over a persisted copy of `shared`, materialize the
-    * (small) result, and release the staged intermediate.
+    * (small) result into a reliable checkpoint, and release every staged
+    * intermediate before returning.
     *
-    * The returned DataFrame is persisted and already materialized, so
-    * the caller's action replays cached rows instead of re-deriving the
-    * plan — and, critically, instead of re-computing `shared`, which is
-    * unpersisted before returning. MEMORY_AND_DISK keeps the staged
-    * relation spill-safe when a 100 TB corpus shard exceeds executor
-    * memory.
+    * The returned DataFrame is backed by checkpoint FILES, not the
+    * session cache: the caller's action replays materialized rows
+    * without re-deriving the plan, and — critically — the call leaves
+    * NO entry behind in the session's CacheManager. A long-lived
+    * session running many such queries would otherwise accumulate
+    * cached frames for its whole lifetime (each new query's plan is
+    * also compared against every cached entry during analysis), because
+    * a query function cannot unpersist a cache its own return value
+    * still depends on. Checkpoint files don't have that problem: they
+    * are durable on a cluster (the checkpoint dir must be shared
+    * storage there — see [[ensureCheckpointDir]]), survive executor
+    * loss, and are reclaimed by `spark.cleaner.referenceTracking
+    * .cleanCheckpoints` once the frame is unreachable plus the local
+    * shutdown hook below.
     *
-    * Callers that re-materialize the result themselves (e.g. into a
-    * reliable checkpoint) should `unpersist()` the returned frame when
-    * done so no cache entry outlives its use.
+    * MEMORY_AND_DISK keeps the staged relation spill-safe when a 100 TB
+    * corpus shard exceeds executor memory.
     */
   def fanout(shared: DataFrame)(build: DataFrame => DataFrame): DataFrame = {
+    ensureCheckpointDir(shared.sparkSession)
     val staged = shared.persist(StorageLevel.MEMORY_AND_DISK)
     // materialize BEFORE the fan-out plan runs: the consumer stages are
     // independent and get submitted concurrently, so a lazily-built
@@ -37,11 +46,13 @@ object Stage {
     // ("Block already exists" churn) and saving nothing
     staged.queryExecution.toRdd.count()
     val out = build(staged).persist(StorageLevel.MEMORY_AND_DISK)
-    // finalize THIS frame's AQE plan and populate its cache; every
-    // consumer now replays the staged rows
-    out.queryExecution.toRdd.count()
+    // eager checkpoint: the count populates `out`'s cache (one
+    // evaluation of the fan-out joins), the checkpoint write job then
+    // replays that cache into reliable files
+    val pinned = out.checkpoint()
+    out.unpersist(blocking = false)
     staged.unpersist(blocking = false)
-    out
+    pinned
   }
 
   /** Reliable-checkpoint directory for iterative queries. On a real
@@ -50,12 +61,28 @@ object Stage {
     * in a local default when nothing is configured (local/test mode),
     * so an executor loss never silently pins lineage to executor-local
     * storage the way `localCheckpoint()` would.
+    *
+    * Checkpoint-file lifecycle: sessions graft owns (Verify, Bench,
+    * tests) set `spark.cleaner.referenceTracking.cleanCheckpoints=true`
+    * so each file set is deleted as soon as its frame becomes
+    * unreachable; the local default dir additionally registers a
+    * JVM-shutdown recursive delete so local runs can never leak the
+    * edge/label sets to disk regardless of that conf.
     */
-  def ensureCheckpointDir(s: SparkSession): Unit = {
+  def ensureCheckpointDir(s: SparkSession): Unit = synchronized {
     val sc = s.sparkContext
-    if (sc.getCheckpointDir.isEmpty)
-      sc.setCheckpointDir(new java.io.File(
+    if (sc.getCheckpointDir.isEmpty) {
+      val dir = new java.io.File(
         System.getProperty("java.io.tmpdir"),
-        s"graft-ckpt-${sc.applicationId}").getAbsolutePath)
+        s"graft-ckpt-${sc.applicationId}")
+      sc.setCheckpointDir(dir.getAbsolutePath)
+      sys.addShutdownHook(deleteRecursively(dir))
+    }
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRecursively)
+    f.delete(): Unit
   }
 }

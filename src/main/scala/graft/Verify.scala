@@ -18,6 +18,9 @@ object Verify {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // reclaim reliable-checkpoint files (Stage.fanout, dedup_clusters
+      // rounds) as soon as their frame is unreachable
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

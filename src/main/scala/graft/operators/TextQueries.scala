@@ -619,12 +619,12 @@ object TextQueries {
     // (Stage.ensureCheckpointDir only defaults it in local mode).
     graft.Stage.ensureCheckpointDir(s)
     // materialize the (expensive) LSH pair pipeline ONCE; the loop must
-    // not re-derive it every round
+    // not re-derive it every round. neardupPairs is already
+    // checkpoint-backed (Stage.fanout), so this second checkpoint only
+    // re-materializes the slim 2-column projection with clean lineage —
+    // it holds no cache entry to release.
     val pairsDf = neardupPairs(s, d)
     val pairs = pairsDf.select("doc_a", "doc_b").checkpoint()
-    // the checkpoint re-materialized the pair set into reliable files;
-    // drop the builder's cache so nothing outlives this query
-    pairsDf.unpersist(blocking = false)
     // undirected edge list (labels survive a round via the union with
     // the previous labels below, not via self-loops)
     val edges = pairs
@@ -637,8 +637,12 @@ object TextQueries {
     // decreasing convergence witness: unchanged sum ⟺ no label moved.
     // (One cheap scalar agg per round instead of a self-join diff;
     // exact decimal so huge ids can't overflow under ANSI.)
+    // coalesce: sum over an EMPTY frame is SQL NULL — a corpus with no
+    // near-dup pairs must converge to an empty result, not NPE in the
+    // BigDecimal compare
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+      df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)"))).head().getDecimal(0)
     var prevSum = labelSum(labels)
     var converged = false
     var rounds = 0

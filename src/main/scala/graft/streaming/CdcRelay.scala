@@ -148,12 +148,21 @@ object CdcRelay {
   }
 
   object RelayConfig {
-    private val DurationRe =
-      """(?i)^\s*(\d{1,9})\s*(millisecond|second|minute|hour|day)s?\s*$""".r
-    private[streaming] def isPositiveDuration(s: String): Boolean = s match {
-      case DurationRe(n, _) => n.toLong > 0
-      case _ => false
-    }
+    /** True iff `s` is a strictly positive interval — parsed with the
+      * SAME parser `withWatermark` uses (`IntervalUtils
+      * .fromIntervalString`), so validation accepts exactly the grammar
+      * the stream accepts ('1 week', '2 minutes 30 seconds', …) instead
+      * of a narrower hand-rolled regex rejecting valid configs.
+      * Components must individually be non-negative (mirroring
+      * `withWatermark`'s own delay check) and at least one positive.
+      */
+    private[streaming] def isPositiveDuration(s: String): Boolean =
+      try {
+        val ci = org.apache.spark.sql.catalyst.util.IntervalUtils
+          .fromIntervalString(s)
+        ci.months >= 0 && ci.days >= 0 && ci.microseconds >= 0 &&
+          (ci.months > 0 || ci.days > 0 || ci.microseconds > 0)
+      } catch { case _: Exception => false }
   }
 
   /** Input schema — the `events` stream shape (FIXTURES.md §B). */

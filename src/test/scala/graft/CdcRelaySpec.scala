@@ -184,14 +184,18 @@ class CdcRelaySpec extends AnyFunSuite {
   }
 
   test("invalid config fails fast with the full mismatch list") {
-    val bad = RelayConfig("", s"/tmp/never/out", s"/tmp/never/chk",
+    // never-provisioned paths live under this test's own temp sandbox:
+    // a shared absolute path could pre-exist from another process and
+    // fail the not-created assertion spuriously
+    val never = s"${Files.createTempDirectory("relay-bad")}/never"
+    val bad = RelayConfig("", s"$never/out", s"$never/chk",
       subjectMode = "fast", maxFilesPerTrigger = 0)
     val e = intercept[IllegalArgumentException](CdcRelay.start(spark, bad))
     Seq("inputDir", "subjectMode", "maxFilesPerTrigger").foreach { f =>
       assert(e.getMessage.contains(f), e.getMessage)
     }
     // nothing was provisioned before validation rejected the config
-    assert(!new java.io.File("/tmp/never/out").exists())
+    assert(!new java.io.File(s"$never/out").exists())
   }
 
   test("maxFilesPerSecond ceiling bounds files admitted per epoch") {

@@ -83,7 +83,13 @@ class RelayConfigSpec extends AnyFunSuite {
     assert(base.copy(dedupeWindow = "2 minutes").validate.isEmpty)
     assert(base.copy(dedupeWindow = "90 seconds").validate.isEmpty)
     assert(base.copy(dedupeWindow = "1 hour").validate.isEmpty)
+    // the full withWatermark grammar must be accepted, not a narrowed
+    // regex: weeks and compound intervals are valid delay thresholds
+    assert(base.copy(dedupeWindow = "1 week").validate.isEmpty)
+    assert(base.copy(dedupeWindow = "2 minutes 30 seconds").validate.isEmpty)
+    assert(base.copy(dedupeWindow = "interval 5 minutes").validate.isEmpty)
     assert(base.copy(dedupeWindow = "0 minutes").validate.nonEmpty)
+    assert(base.copy(dedupeWindow = "-1 minute").validate.nonEmpty)
     assert(base.copy(dedupeWindow = "2 fortnights").validate.nonEmpty)
     assert(base.copy(dedupeWindow = "minutes").validate.nonEmpty)
   }

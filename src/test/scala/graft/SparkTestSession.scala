@@ -11,6 +11,8 @@ object SparkTestSession {
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    // reclaim reliable-checkpoint files (Stage.fanout) once unreachable
+    .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }
