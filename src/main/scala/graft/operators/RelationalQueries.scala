@@ -781,6 +781,43 @@ object RelationalQueries {
       |GROUP BY split, event_type ORDER BY split, event_type""".stripMargin
 
   // -------------------------------------------------------------------
+  // Charter: stratified sampling with EXACT per-stratum quotas — take
+  // ceil(5%) of each stratum deterministically: rank rows inside each
+  // stratum by a hash of the key (reproducible "random" order) and keep
+  // rank ≤ ceil(n/20), expressed as the pure integer predicate
+  // (rn-1)*20 < n so neither engine does float ceil math. This is the
+  // train-mix shape when per-class quotas must be exact; rel_hash_sample
+  // is the constant-memory approximate alternative (no in-stratum sort)
+  // when ±ε on the rate is fine — at 100 TB prefer that unless quotas
+  // are contractual, since exact quotas cost a per-stratum sort.
+  // -------------------------------------------------------------------
+  def stratifiedSample(s: SparkSession, d: String): DataFrame = {
+    val rk = conv(substring(md5(concat(lit("strat:"), col("o_orderkey"))),
+      1, 15), 16, 10).cast("long")
+    val w = Window.partitionBy("o_orderstatus").orderBy("rk", "o_orderkey")
+    val cw = Window.partitionBy("o_orderstatus")
+    orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), rk.as("rk"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_stratum", count(lit(1)).over(cw))
+      .filter((col("rn") - 1) * 20 < col("n_stratum"))
+      .select("o_orderstatus", "o_orderkey", "rn", "n_stratum")
+      .orderBy("o_orderstatus", "rn")
+  }
+
+  val stratifiedSampleSql: String =
+    """SELECT o_orderstatus, o_orderkey, rn, n_stratum FROM (
+      |  SELECT o_orderstatus, o_orderkey,
+      |    CAST(row_number() OVER (PARTITION BY o_orderstatus
+      |      ORDER BY rk, o_orderkey) AS INTEGER) AS rn,
+      |    count(*) OVER (PARTITION BY o_orderstatus) AS n_stratum
+      |  FROM (SELECT o_orderkey, o_orderstatus,
+      |    CAST(('0x' || substr(md5('strat:' || CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) AS rk
+      |  FROM orders))
+      |WHERE (rn - 1) * 20 < n_stratum
+      |ORDER BY o_orderstatus, rn""".stripMargin
+
+  // -------------------------------------------------------------------
   // B20b: banded range join — events within 10 minutes AFTER a signup
   // by the same user (equi-key + bounded time band). The equi key keeps
   // it a hash/SMJ join; the band predicate filters inside the
@@ -1042,6 +1079,7 @@ object RelationalQueries {
     "rel_from_json" -> (fromJson _),
     "rel_profile" -> (profile _),
     "rel_hash_sample" -> (hashSample _),
+    "rel_stratified_sample" -> (stratifiedSample _),
     "rel_snowflake_join" -> (snowflakeJoin _),
     "rel_above_avg" -> (aboveAvgBalance _),
     "rel_pivot" -> (pivotCounts _),
@@ -1085,6 +1123,7 @@ object RelationalQueries {
     "rel_from_json" -> fromJsonSql,
     "rel_profile" -> profileSql,
     "rel_hash_sample" -> hashSampleSql,
+    "rel_stratified_sample" -> stratifiedSampleSql,
     "rel_snowflake_join" -> snowflakeJoinSql,
     "rel_above_avg" -> aboveAvgBalanceSql,
     "rel_pivot" -> pivotCountsSql,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
 
@@ -692,7 +693,207 @@ object TextQueries {
        |FROM reach GROUP BY doc ORDER BY doc_id""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // B28f: TF-IDF top terms per document — the classic relevance
+  // weighting a curation pipeline uses to characterize documents.
+  // tf = per-(doc,term) count; idf = ln(N/df); top-3 terms per doc by
+  // rounded score with a term tiebreak. One corpus explode, two
+  // vocabulary-sized aggregations; the document-frequency relation and
+  // the 1-row corpus count are broadcast (vocabulary ≪ corpus at any
+  // scale), so the only big shuffle is the (doc,term) partial-agg.
+  // -------------------------------------------------------------------
+  def tfidf(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    // round(…,6) before ranking: ln differs from DuckDB's only in the
+    // last ulp, and the term tiebreak settles exact score ties
+    val score = round(col("tf") *
+      log(col("n_docs").cast("double") / col("df")), 6)
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term"))
+    // stage the (doc,term) counts: both the document-frequency
+    // aggregation and the scored ranking consume them, and without
+    // staging the corpus would be exploded and re-aggregated once per
+    // consumer
+    val tfRaw = docs.select(col("doc_id"), explode(toks).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    graft.Stage.fanout(tfRaw) { tf =>
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      tf.join(broadcast(dfreq), "term")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("score", score)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("rn"), col("term"), col("tf"), col("df"),
+          col("score"))
+    }.orderBy("doc_id", "rn")
+  }
+
+  val tfidfSql: String =
+    """WITH terms AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms
+      |       WHERE term <> '' GROUP BY doc_id, term),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |n AS (SELECT count(*) AS n_docs FROM documents)
+      |SELECT doc_id, rn, term, tf, df, score FROM (
+      |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+      |    round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS score,
+      |    CAST(row_number() OVER (PARTITION BY tf.doc_id
+      |      ORDER BY round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) DESC,
+      |               tf.term) AS INTEGER) AS rn
+      |  FROM tf JOIN df USING (term), n)
+      |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Dedup 6: passage-level duplicate detection — 8-token windows at
+  // stride 4 hashed across the whole corpus; a passage is a duplicate
+  // when its hash occurs in more than one document. The per-doc
+  // duplicate-passage ratio is the standard "remove boilerplate /
+  // near-copied spans" signal for training-data curation. Both
+  // consumers of the exploded passage relation shuffle on the SAME key
+  // (the passage hash), and the relation is staged once via
+  // Stage.fanout, so the corpus is exploded and hashed exactly once.
+  // -------------------------------------------------------------------
+  def passageDedup(s: SparkSession, d: String): DataFrame = {
+    val ph = documents(s, d)
+      .select(col("doc_id"), toks.as("t"))
+      .filter(size(col("t")) >= 8)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t) - 8, 4)," +
+          " i -> concat_ws(' ', slice(t, i + 1, 8)))")).as("passage"))
+      .select(col("doc_id"), h60(col("passage")).as("ph"))
+    graft.Stage.fanout(ph) { p =>
+      // hashes appearing in >1 distinct doc; instances (multiset) of
+      // those hashes count as duplicate passages on every doc involved
+      val shared = p.groupBy("ph")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") > 1)
+        .select(col("ph").as("ph_s"))
+      p.join(shared, col("ph") === col("ph_s"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_passages"), count(col("ph_s")).as("n_dup"))
+    }.select(col("doc_id"), col("n_passages"), col("n_dup"),
+        (col("n_dup").cast("double") / col("n_passages")).as("dup_ratio"),
+        (col("n_dup") * 2 >= col("n_passages")).as("flagged"))
+      .orderBy("doc_id")
+  }
+
+  val passageDedupSql: String = {
+    val ph = h60Sql("passage")
+    s"""WITH wt AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 8),
+       |p AS (
+       |  SELECT doc_id, $ph AS ph FROM (
+       |    SELECT doc_id,
+       |      unnest(list_transform(range(0, len(t) - 8 + 1, 4),
+       |        i -> array_to_string(t[i + 1:i + 8], ' '))) AS passage
+       |    FROM wt)),
+       |shared AS (
+       |  SELECT ph AS ph_s FROM p GROUP BY ph
+       |  HAVING count(DISTINCT doc_id) > 1)
+       |SELECT doc_id, n_passages, n_dup,
+       |  CAST(n_dup AS DOUBLE) / n_passages AS dup_ratio,
+       |  n_dup * 2 >= n_passages AS flagged
+       |FROM (
+       |  SELECT doc_id, count(*) AS n_passages, count(ph_s) AS n_dup
+       |  FROM p LEFT JOIN shared ON p.ph = shared.ph_s
+       |  GROUP BY doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // Charter: curation funnel — the end-to-end training-data retention
+  // report. Per source: docs in → docs passing the stopword language
+  // heuristic → docs also passing the quality score → docs surviving
+  // exact dedup (canonical = min doc_id per text hash among survivors)
+  // → total tokens retained. One corpus scan computes every per-doc
+  // flag; the funnel is two source-keyed aggregations.
+  // -------------------------------------------------------------------
+  def curationFunnel(s: SparkSession, d: String): DataFrame = {
+    val len = length(col("text")).cast("double")
+    val nAlpha = length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double")
+    val nDigit = length(regexp_replace(col("text"), "[^0-9]", "")).cast("double")
+    val nSpace = length(regexp_replace(col("text"), "[^ ]", "")).cast("double")
+    val nPunct = len - nAlpha - nDigit - nSpace
+    val wordLen = (len - nSpace) / (nSpace + lit(1.0))
+    val quality = (nAlpha / len) * lit(0.6) +
+      (lit(1.0) - nPunct / len) * lit(0.3) +
+      when(wordLen >= 3 && wordLen <= 10, lit(0.1)).otherwise(lit(0.0))
+    val nStop = size(expr(s"filter(t, x -> x IN $stopList)")).cast("double")
+    // stage the per-doc flag relation: the funnel counts and the
+    // dedup-survivor aggregation both consume it, and the regex-heavy
+    // quality scoring should run once per document, not once per
+    // consumer
+    val flaggedRaw = documents(s, d).withColumn("t", toks).select(
+      col("doc_id"), col("source"),
+      md5(col("text")).as("text_md5"),
+      size(col("t")).cast("long").as("n_tokens"),
+      (nStop / size(col("t")) > 0.12).as("pass_lang"),
+      (quality > 0.8).as("pass_quality"))
+    graft.Stage.fanout(flaggedRaw) { flagged =>
+      val funnel = flagged.groupBy("source").agg(
+        count(lit(1)).as("docs_in"),
+        sum(when(col("pass_lang"), 1L).otherwise(0L)).as("docs_lang"),
+        sum(when(col("pass_lang") && col("pass_quality"), 1L).otherwise(0L))
+          .as("docs_quality"))
+      val w = Window.partitionBy("text_md5").orderBy("doc_id")
+      val surv = flagged.filter(col("pass_lang") && col("pass_quality"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy("source").agg(count(lit(1)).as("docs_dedup"),
+          sum(col("n_tokens")).as("tokens_out"))
+      funnel.join(surv, Seq("source"), "left")
+        .select(col("source"), col("docs_in"), col("docs_lang"),
+          col("docs_quality"),
+          coalesce(col("docs_dedup"), lit(0L)).as("docs_dedup"),
+          coalesce(col("tokens_out"), lit(0L)).as("tokens_out"))
+    }.orderBy("source")
+  }
+
+  val curationFunnelSql: String =
+    s"""WITH flagged AS (
+       |  SELECT doc_id, source, text_md5, n_tokens,
+       |    nstop / n_tokens > 0.12 AS pass_lang,
+       |    ((nalpha / len) * 0.6
+       |      + (1.0 - (len - nalpha - ndigit - nspace) / len) * 0.3
+       |      + (CASE WHEN (len - nspace) / (nspace + 1.0) >= 3
+       |               AND (len - nspace) / (nspace + 1.0) <= 10
+       |              THEN 0.1 ELSE 0.0 END)) > 0.8 AS pass_quality
+       |  FROM (
+       |    SELECT doc_id, source, md5(text) AS text_md5,
+       |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |      CAST(len(list_filter(string_split(text, ' '), x -> x IN $stopList)) AS DOUBLE) AS nstop,
+       |      CAST(length(text) AS DOUBLE) AS len,
+       |      CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS nalpha,
+       |      CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS ndigit,
+       |      CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE) AS nspace
+       |    FROM documents)),
+       |funnel AS (
+       |  SELECT source, count(*) AS docs_in,
+       |    count(*) FILTER (WHERE pass_lang) AS docs_lang,
+       |    count(*) FILTER (WHERE pass_lang AND pass_quality) AS docs_quality
+       |  FROM flagged GROUP BY source),
+       |surv AS (
+       |  SELECT source, count(*) AS docs_dedup,
+       |    CAST(sum(n_tokens) AS BIGINT) AS tokens_out
+       |  FROM (
+       |    SELECT source, n_tokens,
+       |      row_number() OVER (PARTITION BY text_md5 ORDER BY doc_id) AS rn
+       |    FROM flagged WHERE pass_lang AND pass_quality)
+       |  WHERE rn = 1 GROUP BY source)
+       |SELECT f.source, f.docs_in, f.docs_lang, f.docs_quality,
+       |  coalesce(s.docs_dedup, 0) AS docs_dedup,
+       |  coalesce(s.tokens_out, 0) AS tokens_out
+       |FROM funnel f LEFT JOIN surv s ON f.source = s.source
+       |ORDER BY f.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tfidf" -> (tfidf _),
+    "dedup_passages" -> (passageDedup _),
+    "text_curation_funnel" -> (curationFunnel _),
     "dedup_clusters" -> (neardupClusters _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "text_langid_ngram" -> (langidNgram _),
@@ -709,6 +910,9 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_tfidf" -> tfidfSql,
+    "dedup_passages" -> passageDedupSql,
+    "text_curation_funnel" -> curationFunnelSql,
     "dedup_clusters" -> neardupClustersSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "text_langid_ngram" -> langidNgramSql,

@@ -320,7 +320,50 @@ object VectorQueries {
        |ORDER BY sim DESC, a.vec_id LIMIT 10""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // B29f: ANN quality metric — recall@10 of the LSH index against the
+  // exact brute-force top-10 for the same query vector. The production
+  // "is my index good enough" check: both legs ARE the library's own
+  // kNN/ANN operators, and the compare is a broadcast join of two
+  // ≤10-row results, so measuring recall costs one extra tiny join on
+  // top of the searches themselves.
+  // -------------------------------------------------------------------
+  def annRecall(s: SparkSession, d: String): DataFrame = {
+    val exact = knnBruteForce(s, d).limit(10).select(col("vec_id"))
+    // stage the ANN leg: its ≤10-row result feeds both the hit join and
+    // the size count, and without staging the whole LSH search would
+    // run once per consumer
+    graft.Stage.fanout(lshAnn(s, d).select(col("vec_id").as("ann_id"))) { ann =>
+      val nAnn = ann.agg(count(lit(1)).as("n_ann"))
+      exact.join(broadcast(ann), col("vec_id") === col("ann_id"), "left")
+        .agg(count(lit(1)).as("n_exact"), count(col("ann_id")).as("n_hit"))
+        .crossJoin(broadcast(nAnn))
+        .select(col("n_exact"), col("n_ann"), col("n_hit"),
+          (col("n_hit").cast("double") / col("n_exact")).as("recall_at_10"))
+    }
+  }
+
+  val annRecallSql: String = {
+    val cos = s"round((${dotSql("a.embedding", "q.q_embedding")}) / (a.nrm * q.q_nrm), 6)"
+    s"""WITH be AS (SELECT vec_id, label, embedding, ($bucketSql) AS bucket,
+       |            sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |            FROM embeddings),
+       |q AS (SELECT embedding AS q_embedding, nrm AS q_nrm, bucket FROM be
+       |      WHERE vec_id = 0),
+       |exact AS (SELECT a.vec_id FROM be a, q WHERE a.vec_id > 0
+       |          ORDER BY $cos DESC, a.vec_id LIMIT 10),
+       |ann AS (SELECT a.vec_id AS ann_id FROM be a, q
+       |        WHERE a.vec_id > 0 AND a.bucket = q.bucket
+       |        ORDER BY $cos DESC, a.vec_id LIMIT 10)
+       |SELECT count(*) AS n_exact,
+       |  (SELECT count(*) FROM ann) AS n_ann,
+       |  count(ann_id) AS n_hit,
+       |  CAST(count(ann_id) AS DOUBLE) / count(*) AS recall_at_10
+       |FROM exact LEFT JOIN ann ON exact.vec_id = ann.ann_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vec_ann_recall" -> (annRecall _),
     "vec_ivf_lists" -> (ivfLists _),
     "vec_ivf_ann" -> (ivfAnn _),
     "vec_cosine_neardup" -> (cosineNeardup _),
@@ -331,6 +374,7 @@ object VectorQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "vec_ann_recall" -> annRecallSql,
     "vec_ivf_lists" -> ivfListsSql,
     "vec_ivf_ann" -> ivfAnnSql,
     "vec_cosine_neardup" -> cosineNeardupSql,
