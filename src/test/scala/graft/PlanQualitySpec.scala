@@ -158,4 +158,38 @@ class PlanQualitySpec extends AnyFunSuite {
     // partial aggregation runs before the exchange
     assert(plan.contains("partial_min"), plan)
   }
+
+  test("stratified sample shares one shuffle across both windows") {
+    // rank and per-stratum count both partition by the stratum: the
+    // plan must shuffle the input once, not once per window function
+    val df = RelationalQueries.stratifiedSample(spark, sf)
+    val plan = physical(df)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+    // semantic quota check: every stratum keeps exactly ceil(n/20) rows
+    val quotas = df.groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("kept"), max("n_stratum").as("n"))
+      .collect()
+    assert(quotas.nonEmpty)
+    quotas.foreach { r =>
+      val (kept, n) = (r.getLong(1), r.getLong(2))
+      assert(kept == (n + 19) / 20, s"stratum ${r.get(0)}: kept=$kept n=$n")
+    }
+  }
+
+  test("staged fan-out queries return checkpoint-backed plans, no rescan") {
+    // the expensive corpus subtree must be materialized once by
+    // Stage.fanout: the RETURNED plan reads the checkpointed rows (plus
+    // the final ordering) and holds no parquet scan and no cached
+    // relation that would outlive the query
+    for (q <- Seq(
+        TextQueries.tfidf(spark, sf),
+        TextQueries.passageDedup(spark, sf),
+        TextQueries.curationFunnel(spark, sf))) {
+      val plan = physical(q)
+      assert(plan.contains("Scan ExistingRDD"), plan)
+      assert(!plan.contains("Scan parquet"), plan)
+    }
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "fan-out staging must not leave entries in the CacheManager")
+  }
 }
