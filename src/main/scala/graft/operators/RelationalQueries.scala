@@ -603,6 +603,97 @@ object RelationalQueries {
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // -------------------------------------------------------------------
+  // B13+: explicit GROUPING SETS — aggregation lattices rollup/cube
+  // cannot express (here: by (flag,status) AND by (status) alone, no
+  // grand total). One Expand + one shuffle feeds the same partial-agg
+  // pipeline; no extra scan per set.
+  // -------------------------------------------------------------------
+  def groupingSetsAgg(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("n"))
+      .orderBy("returnflag", "linestatus")
+
+  val groupingSetsAggSql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+      |  coalesce(l_linestatus, 'ALL') AS linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  count(*) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus))
+      |ORDER BY returnflag, linestatus""".stripMargin
+
+  // -------------------------------------------------------------------
+  // B12+: approximate percentiles with an oracle-checkable accuracy
+  // claim (same pattern as rel_approx_distinct): the approximate p50/p90
+  // must land inside the exact [p45,p55]/[p85,p95] rank windows — a
+  // RANK-error bound, which is what percentile sketches actually
+  // guarantee. The oracle emits the exact percentiles and TRUE, so a
+  // sketch drifting out of tolerance at any scale fails the hash gate.
+  // -------------------------------------------------------------------
+  def approxQuantile(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90"),
+        count(lit(1)).as("n"),
+        expr("approx_percentile(value, 0.5, 1000)").as("ap50"),
+        expr("approx_percentile(value, 0.9, 1000)").as("ap90"),
+        expr("percentile(value, 0.45)").as("lo50"),
+        expr("percentile(value, 0.55)").as("hi50"),
+        expr("percentile(value, 0.85)").as("lo90"),
+        expr("percentile(value, 0.95)").as("hi90"))
+      .select(col("event_type"), col("p50"), col("p90"), col("n"),
+        (col("ap50") >= col("lo50") && col("ap50") <= col("hi50") &&
+          col("ap90") >= col("lo90") && col("ap90") <= col("hi90"))
+          .as("within_tol"))
+      .orderBy("event_type")
+
+  val approxQuantileSql: String =
+    """SELECT event_type,
+      |  round(quantile_cont(value, 0.5), 6) AS p50,
+      |  round(quantile_cont(value, 0.9), 6) AS p90,
+      |  count(*) AS n, TRUE AS within_tol
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // -------------------------------------------------------------------
+  // B15+: time-RANGE window frame — per-user rolling 10-minute event
+  // count and spend, the real-time-feature shape (RANGE frames bound by
+  // event TIME, not row position, so bursts widen the frame). Ordering
+  // key is integer epoch-micros on both engines; sums stay in integer
+  // cents, so peers-inclusive RANGE semantics hash-match exactly.
+  // -------------------------------------------------------------------
+  def rollingRange(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("tus"))
+      .rangeBetween(-600000000L, 0L)
+    events(s, d)
+      .withColumn("tus", unix_micros(col("ts")))
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+      .select(col("user_id"), col("event_id"), col("tus"), col("cents"),
+        count(lit(1)).over(w).as("n_10m"),
+        sum(col("cents")).over(w).as("cents_10m"))
+      .orderBy("user_id", "tus", "event_id")
+  }
+
+  val rollingRangeSql: String =
+    """SELECT user_id, event_id, tus, cents,
+      |  count(*) OVER w AS n_10m,
+      |  CAST(sum(cents) OVER w AS BIGINT) AS cents_10m
+      |FROM (SELECT user_id, event_id, epoch_us(ts) AS tus,
+      |        CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+      |WINDOW w AS (PARTITION BY user_id ORDER BY tus
+      |  RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, tus, event_id""".stripMargin
+
+  // -------------------------------------------------------------------
   // B7+B18 composed: the TPC-H Q5 shape — a 6-table snowflake join.
   // region/nation/supplier are dimensions (broadcast); lineitem⋈orders
   // is the one big shuffle; customer-nation = supplier-nation enforces
@@ -1080,6 +1171,9 @@ object RelationalQueries {
     "rel_profile" -> (profile _),
     "rel_hash_sample" -> (hashSample _),
     "rel_stratified_sample" -> (stratifiedSample _),
+    "rel_grouping_sets" -> (groupingSetsAgg _),
+    "rel_approx_quantile" -> (approxQuantile _),
+    "rel_rolling_range" -> (rollingRange _),
     "rel_snowflake_join" -> (snowflakeJoin _),
     "rel_above_avg" -> (aboveAvgBalance _),
     "rel_pivot" -> (pivotCounts _),
@@ -1124,6 +1218,9 @@ object RelationalQueries {
     "rel_profile" -> profileSql,
     "rel_hash_sample" -> hashSampleSql,
     "rel_stratified_sample" -> stratifiedSampleSql,
+    "rel_grouping_sets" -> groupingSetsAggSql,
+    "rel_approx_quantile" -> approxQuantileSql,
+    "rel_rolling_range" -> rollingRangeSql,
     "rel_snowflake_join" -> snowflakeJoinSql,
     "rel_above_avg" -> aboveAvgBalanceSql,
     "rel_pivot" -> pivotCountsSql,
