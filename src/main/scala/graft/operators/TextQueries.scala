@@ -812,7 +812,15 @@ object TextQueries {
   // → total tokens retained. One corpus scan computes every per-doc
   // flag; the funnel is two source-keyed aggregations.
   // -------------------------------------------------------------------
-  def curationFunnel(s: SparkSession, d: String): DataFrame = {
+  /** Per-document curation flags over a `text` column — ONE logical
+    * definition shared by the batch funnel and the streaming curation
+    * pipeline ([[graft.streaming.CurationStream]]), so batch and
+    * streaming decisions agree by construction. Appends `text_md5`,
+    * `n_tokens`, `pass_lang` (stopword language heuristic), and
+    * `pass_quality` (composite quality score > 0.8). Pure narrow
+    * projection: streaming-safe, no shuffle.
+    */
+  def docFlags(df: DataFrame): DataFrame = {
     val len = length(col("text")).cast("double")
     val nAlpha = length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double")
     val nDigit = length(regexp_replace(col("text"), "[^0-9]", "")).cast("double")
@@ -822,17 +830,23 @@ object TextQueries {
     val quality = (nAlpha / len) * lit(0.6) +
       (lit(1.0) - nPunct / len) * lit(0.3) +
       when(wordLen >= 3 && wordLen <= 10, lit(0.1)).otherwise(lit(0.0))
-    val nStop = size(expr(s"filter(t, x -> x IN $stopList)")).cast("double")
+    val t = toks
+    val nStop = size(expr(
+      s"filter(split(text, ' '), x -> x IN $stopList)")).cast("double")
+    df.withColumn("text_md5", md5(col("text")))
+      .withColumn("n_tokens", size(t).cast("long"))
+      .withColumn("pass_lang", nStop / size(t) > 0.12)
+      .withColumn("pass_quality", quality > 0.8)
+  }
+
+  def curationFunnel(s: SparkSession, d: String): DataFrame = {
     // stage the per-doc flag relation: the funnel counts and the
     // dedup-survivor aggregation both consume it, and the regex-heavy
     // quality scoring should run once per document, not once per
     // consumer
-    val flaggedRaw = documents(s, d).withColumn("t", toks).select(
-      col("doc_id"), col("source"),
-      md5(col("text")).as("text_md5"),
-      size(col("t")).cast("long").as("n_tokens"),
-      (nStop / size(col("t")) > 0.12).as("pass_lang"),
-      (quality > 0.8).as("pass_quality"))
+    val flaggedRaw = docFlags(documents(s, d)).select(
+      col("doc_id"), col("source"), col("text_md5"), col("n_tokens"),
+      col("pass_lang"), col("pass_quality"))
     graft.Stage.fanout(flaggedRaw) { flagged =>
       val funnel = flagged.groupBy("source").agg(
         count(lit(1)).as("docs_in"),
