@@ -694,6 +694,58 @@ object RelationalQueries {
       |ORDER BY user_id, tus, event_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // Charter: per-entity feature materialization — the feature-store
+  // query an ML pipeline runs per training cycle. One shuffle on the
+  // entity key produces conditional counts per event type, distinct
+  // active days, activity span, and exact integer-cent spend features;
+  // ratio features are integer-division doubles (bit-exact on both
+  // engines). At 100 TB this is the canonical one-pass wide aggregate:
+  // every feature is a mergeable partial-agg, no joins, no windows.
+  // -------------------------------------------------------------------
+  def userFeatures(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+      .withColumn("day", to_date(col("ts")))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchase"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("n_click"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L))
+          .as("n_error"),
+        countDistinct(col("day")).as("days_active"),
+        min(col("ts")).as("first_ts"),
+        max(col("ts")).as("last_ts"),
+        sum(when(col("event_type") === "purchase", col("cents"))
+          .otherwise(0L)).as("purchase_cents"))
+      .select(col("user_id"), col("n_events"), col("n_purchase"),
+        col("n_click"), col("n_error"), col("days_active"),
+        col("first_ts"), col("last_ts"), col("purchase_cents"),
+        (col("n_purchase").cast("double") / col("n_events"))
+          .as("purchase_ratio"),
+        (col("purchase_cents").cast("double") / col("days_active"))
+          .as("cents_per_day"))
+      .orderBy("user_id")
+
+  val userFeaturesSql: String =
+    """SELECT user_id, count(*) AS n_events,
+      |  count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+      |  count(*) FILTER (WHERE event_type = 'click') AS n_click,
+      |  count(*) FILTER (WHERE event_type = 'error') AS n_error,
+      |  count(DISTINCT CAST(ts AS DATE)) AS days_active,
+      |  min(ts) AS first_ts, max(ts) AS last_ts,
+      |  CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT))
+      |    FILTER (WHERE event_type = 'purchase'), 0) AS BIGINT) AS purchase_cents,
+      |  CAST(count(*) FILTER (WHERE event_type = 'purchase') AS DOUBLE)
+      |    / count(*) AS purchase_ratio,
+      |  CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT))
+      |    FILTER (WHERE event_type = 'purchase'), 0) AS DOUBLE)
+      |    / count(DISTINCT CAST(ts AS DATE)) AS cents_per_day
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // -------------------------------------------------------------------
   // B7+B18 composed: the TPC-H Q5 shape — a 6-table snowflake join.
   // region/nation/supplier are dimensions (broadcast); lineitem⋈orders
   // is the one big shuffle; customer-nation = supplier-nation enforces
@@ -1174,6 +1226,7 @@ object RelationalQueries {
     "rel_grouping_sets" -> (groupingSetsAgg _),
     "rel_approx_quantile" -> (approxQuantile _),
     "rel_rolling_range" -> (rollingRange _),
+    "rel_user_features" -> (userFeatures _),
     "rel_snowflake_join" -> (snowflakeJoin _),
     "rel_above_avg" -> (aboveAvgBalance _),
     "rel_pivot" -> (pivotCounts _),
@@ -1221,6 +1274,7 @@ object RelationalQueries {
     "rel_grouping_sets" -> groupingSetsAggSql,
     "rel_approx_quantile" -> approxQuantileSql,
     "rel_rolling_range" -> rollingRangeSql,
+    "rel_user_features" -> userFeaturesSql,
     "rel_snowflake_join" -> snowflakeJoinSql,
     "rel_above_avg" -> aboveAvgBalanceSql,
     "rel_pivot" -> pivotCountsSql,
