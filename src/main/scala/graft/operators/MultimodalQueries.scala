@@ -169,7 +169,42 @@ object MultimodalQueries {
        |FROM media WHERE format <> 'wav'
        |ORDER BY media_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // M5: asset dedup — exact duplicate detection over opaque binary
+  // content by content hash, the image/audio dedup every multimodal
+  // training pipeline runs before decode. Duplicate assets are
+  // synthesized by re-ingesting each document's bytes under
+  // `media_id % 400` (CDNs and crawls re-serve the same asset under
+  // many ids), then: shuffle on the 128-bit hash — never the payload —
+  // group, keep the min-id canonical, report copy counts. At 100 TB the
+  // payload column is pruned away before the exchange; only (id, hash)
+  // rows move.
+  // -------------------------------------------------------------------
+  def mediaDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val assets = docs.select(col("doc_id").as("media_id"),
+        (col("doc_id") % 400).as("src"))
+      .join(docs.select(col("doc_id").as("src_id"),
+        col("text").cast("binary").as("content")), col("src") === col("src_id"))
+    assets
+      .select(col("media_id"), md5(col("content")).as("content_md5"))
+      .groupBy("content_md5")
+      .agg(count(lit(1)).as("n_copies"), min(col("media_id")).as("canonical_id"))
+      .filter(col("n_copies") > 1)
+      .select(col("canonical_id"), col("n_copies"), col("content_md5"))
+      .orderBy("canonical_id")
+  }
+
+  val mediaDedupSql: String =
+    """SELECT canonical_id, n_copies, content_md5 FROM (
+      |  SELECT md5(d2.text) AS content_md5, count(*) AS n_copies,
+      |    min(d1.doc_id) AS canonical_id
+      |  FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id % 400
+      |  GROUP BY md5(d2.text))
+      |WHERE n_copies > 1 ORDER BY canonical_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "media_dedup" -> (mediaDedup _),
     "media_resize" -> (mediaResize _),
     "media_metadata" -> (mediaMetadata _),
     "media_features" -> (mediaFeatures _),
@@ -177,6 +212,7 @@ object MultimodalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "media_dedup" -> mediaDedupSql,
     "media_resize" -> mediaResizeSql,
     "media_metadata" -> mediaMetadataSql,
     "media_features" -> mediaFeaturesSql,

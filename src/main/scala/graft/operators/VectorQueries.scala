@@ -362,7 +362,49 @@ object VectorQueries {
        |FROM exact LEFT JOIN ann ON exact.vec_id = ann.ann_id""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // B29g: symmetric int8 quantization — the storage-reduction pass a
+  // billion-vector ANN index runs before building (4 bytes/dim → 1).
+  // Per vector: scale = max|x|, q_i = floor(x_i·127/scale + 0.5), plus
+  // the max reconstruction error as the quality metric. Pure per-row
+  // map work (higher-order transform over the array, no shuffle);
+  // floor keeps the integer codes exact across engines where a bare
+  // round() would tie-break differently.
+  // -------------------------------------------------------------------
+  def quantize(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      // cast each float element to double BEFORE any arithmetic, so
+      // every operation below is the same IEEE double op in both engines
+      .withColumn("e", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("mx", expr("array_max(transform(e, x -> abs(x)))"))
+      .withColumn("q", expr(
+        "transform(e, x -> CAST(floor(x * 127.0 / mx + 0.5) AS BIGINT))"))
+      .select(col("vec_id"), round(col("mx"), 6).as("scale"),
+        expr("aggregate(q, 0L, (a, x) -> a + abs(x))").as("q_l1"),
+        round(expr(
+          "array_max(zip_with(q, e, (qi, x) -> abs(qi * mx / 127.0 - x)))"),
+          6).as("max_err"),
+        col("q").as("quant"))
+      .orderBy("vec_id")
+
+  val quantizeSql: String =
+    """SELECT vec_id, round(mx, 6) AS scale,
+      |  CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT) AS q_l1,
+      |  round(list_max(list_transform(range(1, 65),
+      |    i -> abs(q[i] * mx / 127.0 - e[i]))), 6) AS max_err,
+      |  q AS quant
+      |FROM (
+      |  SELECT vec_id, e, mx,
+      |    list_transform(e, x -> CAST(floor(x * 127.0 / mx + 0.5) AS BIGINT)) AS q
+      |  FROM (SELECT vec_id, e,
+      |    list_max(list_transform(e, x -> abs(x))) AS mx
+      |  FROM (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings)))
+      |ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vec_quantize" -> (quantize _),
     "vec_ann_recall" -> (annRecall _),
     "vec_ivf_lists" -> (ivfLists _),
     "vec_ivf_ann" -> (ivfAnn _),
@@ -374,6 +416,7 @@ object VectorQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "vec_quantize" -> quantizeSql,
     "vec_ann_recall" -> annRecallSql,
     "vec_ivf_lists" -> ivfListsSql,
     "vec_ivf_ann" -> ivfAnnSql,
