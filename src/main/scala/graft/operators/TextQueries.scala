@@ -904,7 +904,97 @@ object TextQueries {
        |FROM funnel f LEFT JOIN surv s ON f.source = s.source
        |ORDER BY f.source""".stripMargin
 
+  // -------------------------------------------------------------------
+  // Charter: incremental ingest dedup — a new crawl batch arrives
+  // (new docs + re-crawled replays) and must be deduplicated AGAINST
+  // THE EXISTING CORPUS, not just within itself. Shape: left-anti join
+  // of the incoming batch on the historical content-hash set — hashes
+  // shuffle, payloads don't; at 100 TB the historical side is a
+  // hash-only table that broadcast-joins while it fits and degrades to
+  // a shuffled anti-join beyond that (AQE picks). Here: historical =
+  // doc_id < 400, incoming = the newer docs plus a replay of the first
+  // 50 (a re-crawl), so the replays must drop and the new docs survive.
+  // -------------------------------------------------------------------
+  def incrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val histHashes = docs.filter(col("doc_id") < 400)
+      .select(md5(col("text")).as("h"))
+    val incoming = docs.filter(col("doc_id") >= 400)
+      .unionAll(docs.filter(col("doc_id") < 50))
+      .select(col("doc_id"), md5(col("text")).as("content_md5"),
+        col("source"))
+    incoming.join(histHashes, col("content_md5") === col("h"), "left_anti")
+      .orderBy("doc_id")
+  }
+
+  val incrementalDedupSql: String =
+    """SELECT doc_id, md5(text) AS content_md5, source
+      |FROM (
+      |  SELECT doc_id, text, source FROM documents WHERE doc_id >= 400
+      |  UNION ALL
+      |  SELECT doc_id, text, source FROM documents WHERE doc_id < 50)
+      |WHERE md5(text) NOT IN (
+      |  SELECT md5(text) FROM documents WHERE doc_id < 400)
+      |ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Charter capstone: training-example assembly — the query that
+  // materializes the actual training rows by joining every modality:
+  // curated text (flags from docFlags), its embedding + label, the
+  // media format, and a deterministic hash split. Dimension-style
+  // equi-joins on the entity id; the split is a pure key function so
+  // re-runs and retries assemble byte-identical batches.
+  // -------------------------------------------------------------------
+  def trainAssemble(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftExtensions.register(s)
+    val docs = docFlags(documents(s, d))
+      .filter(col("pass_lang") && col("pass_quality"))
+      .select(col("doc_id"), col("source"), col("text_md5"), col("n_tokens"))
+    val emb = graft.Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"))
+    val bucket = pmod(conv(substring(md5(concat(lit("mix:"), col("doc_id"))),
+      1, 15), 16, 10).cast("long"), lit(100))
+    val split = when(bucket < 80, "train").when(bucket < 90, "valid")
+      .otherwise("test")
+    docs.join(emb, col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("source"), col("text_md5"), col("n_tokens"),
+        col("label"),
+        element_at(array(lit("png"), lit("jpeg"), lit("wav")),
+          (col("doc_id") % 3 + 1).cast("int")).as("format"),
+        split.as("split"))
+      .orderBy("doc_id")
+  }
+
+  val trainAssembleSql: String =
+    s"""WITH flagged AS (
+       |  SELECT doc_id, source, md5(text) AS text_md5,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |  WHERE CAST(len(list_filter(string_split(text, ' '), x -> x IN $stopList)) AS DOUBLE)
+       |          / len(string_split(text, ' ')) > 0.12
+       |    AND ((CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text)) * 0.6
+       |      + (1.0 - (CAST(length(text) AS DOUBLE)
+       |                - length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+       |                - length(regexp_replace(text, '[^0-9]', '', 'g'))
+       |                - length(regexp_replace(text, '[^ ]', '', 'g'))) / length(text)) * 0.3
+       |      + (CASE WHEN (CAST(length(text) AS DOUBLE) - length(regexp_replace(text, '[^ ]', '', 'g')))
+       |                   / (length(regexp_replace(text, '[^ ]', '', 'g')) + 1.0) >= 3
+       |               AND (CAST(length(text) AS DOUBLE) - length(regexp_replace(text, '[^ ]', '', 'g')))
+       |                   / (length(regexp_replace(text, '[^ ]', '', 'g')) + 1.0) <= 10
+       |              THEN 0.1 ELSE 0.0 END)) > 0.8)
+       |SELECT f.doc_id, f.source, f.text_md5, f.n_tokens, e.label,
+       |  (['png','jpeg','wav'])[(f.doc_id % 3 + 1)] AS format,
+       |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid'
+       |       ELSE 'test' END AS split
+       |FROM (SELECT *,
+       |    CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS b
+       |  FROM flagged) f
+       |JOIN embeddings e ON f.doc_id = e.vec_id
+       |ORDER BY f.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_incremental" -> (incrementalDedup _),
+    "train_assemble" -> (trainAssemble _),
     "text_tfidf" -> (tfidf _),
     "dedup_passages" -> (passageDedup _),
     "text_curation_funnel" -> (curationFunnel _),
@@ -924,6 +1014,8 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "dedup_incremental" -> incrementalDedupSql,
+    "train_assemble" -> trainAssembleSql,
     "text_tfidf" -> tfidfSql,
     "dedup_passages" -> passageDedupSql,
     "text_curation_funnel" -> curationFunnelSql,
