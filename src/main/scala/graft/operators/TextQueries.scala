@@ -919,8 +919,10 @@ object TextQueries {
     val docs = documents(s, d)
     val histHashes = docs.filter(col("doc_id") < 400)
       .select(md5(col("text")).as("h"))
-    val incoming = docs.filter(col("doc_id") >= 400)
-      .unionAll(docs.filter(col("doc_id") < 50))
+    // one OR filter, not a union of two filters: a union would let the
+    // optimizer distribute the anti-join over the branches and build
+    // the historical-hash broadcast twice (verified in the plan)
+    val incoming = docs.filter(col("doc_id") >= 400 || col("doc_id") < 50)
       .select(col("doc_id"), md5(col("text")).as("content_md5"),
         col("source"))
     incoming.join(histHashes, col("content_md5") === col("h"), "left_anti")
@@ -929,12 +931,10 @@ object TextQueries {
 
   val incrementalDedupSql: String =
     """SELECT doc_id, md5(text) AS content_md5, source
-      |FROM (
-      |  SELECT doc_id, text, source FROM documents WHERE doc_id >= 400
-      |  UNION ALL
-      |  SELECT doc_id, text, source FROM documents WHERE doc_id < 50)
-      |WHERE md5(text) NOT IN (
-      |  SELECT md5(text) FROM documents WHERE doc_id < 400)
+      |FROM documents
+      |WHERE (doc_id >= 400 OR doc_id < 50)
+      |  AND md5(text) NOT IN (
+      |    SELECT md5(text) FROM documents WHERE doc_id < 400)
       |ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------------------
