@@ -26,9 +26,24 @@ object TextQueries {
   /** Tokenize on single spaces (the corpus is space-separated words). */
   private def toks: Column = split(col("text"), " ")
 
-  /** 60-bit cross-engine hash of a string column (see object doc). */
-  private def h60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  /** All text queries read through here: registers the native
+    * expressions (md5_top60, char_ngrams, word_shingles) on the
+    * (possibly driver-owned, vanilla) session before any column tree
+    * referencing them is analyzed.
+    */
+  private def documents(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftExtensions.register(s)
+    graft.Tables.documents(s, d)
+  }
+
+  /** 60-bit cross-engine hash of a string column (see object doc) —
+    * the native direct-from-digest form ([[graft.plans.Md5Top60]]):
+    * bit-identical to `conv(substring(md5(c),1,15),16,10)::long` but
+    * without the hex/substring/parse string round-trips, which rival
+    * the digest cost itself across the millions of per-gram
+    * evaluations in the dedup pipelines.
+    */
+  private def h60(c: Column): Column = call_function("md5_top60", c)
 
   private def h60Sql(e: String): String =
     s"CAST(('0x' || substr(md5($e), 1, 15)) AS BIGINT)"

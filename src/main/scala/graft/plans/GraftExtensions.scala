@@ -60,6 +60,9 @@ object GraftExtensions {
     ("portable_u128_json",
       new ExpressionInfo(classOf[PortableU128Json].getName, "portable_u128_json"),
       one("portable_u128_json", PortableU128Json)),
+    ("md5_top60",
+      new ExpressionInfo(classOf[Md5Top60].getName, "md5_top60"),
+      one("md5_top60", Md5Top60)),
     ("char_ngrams",
       new ExpressionInfo(classOf[CharNGrams].getName, "char_ngrams"),
       gram("char_ngrams", CharNGrams)),
