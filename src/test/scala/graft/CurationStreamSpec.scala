@@ -78,4 +78,37 @@ class CurationStreamSpec extends AnyFunSuite {
     runOnce(in, out, chk)
     assert(spark.read.parquet(out).count() == 2)
   }
+
+  test("duplicate arriving after the dedup window is re-admitted") {
+    // the bounded-state contract: state keyed by content hash is
+    // EVICTED once the watermark passes the window, so a duplicate
+    // arriving later than the window is treated as new content. That
+    // is the documented tradeoff of watermark-bounded dedup (state
+    // cannot grow forever at 100 TB) — this test pins the behavior
+    // instead of leaving it implicit.
+    val root = Files.createTempDirectory("curation-late").toString
+    val in = s"$root/in"; new java.io.File(in).mkdirs()
+    val out = s"$root/out"; val chk = s"$root/chk"
+    val base = 1700000000000000L
+    val window = 10L * 60 * 1000000 // the 10-minute default
+
+    // a third distinct curated text for the watermark-advancing batches
+    val goodC = "the key of the value is a part of the line in the order"
+
+    writeDocs(in, "b1.parquet", Seq((1L, "s0", goodA, base)))
+    // 2: inside the window → suppressed. Then two batches past the
+    // window: the first advances the max event time, the second RUNS
+    // with the advanced watermark and evicts expired state at its end
+    // (watermark propagation and eviction are both one batch behind).
+    // 3: the same text again, after eviction → re-admitted.
+    writeDocs(in, "b2.parquet", Seq((2L, "s0", goodA, base + 1000000L)))
+    writeDocs(in, "b3.parquet", Seq((4L, "s1", goodB, base + 3 * window)))
+    writeDocs(in, "b4.parquet", Seq((5L, "s1", goodC, base + 3 * window + 1000000L)))
+    writeDocs(in, "b5.parquet", Seq((3L, "s0", goodA, base + 3 * window + 2000000L)))
+    runOnce(in, out, chk)
+
+    val ids = spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 3L, 4L, 5L), ids.toString)
+  }
 }

@@ -176,6 +176,25 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("dedup over a hash-bucketed corpus aggregates without a shuffle") {
+    // the 100 TB exact-dedup shape: store the corpus bucketed by the
+    // content hash, and the dedup groupBy consumes the bucketing —
+    // no exchange anywhere in the plan
+    val warehouse = java.nio.file.Files.createTempDirectory("whd").toString
+    Tables.documents(spark, sf)
+      .withColumn("text_md5", md5(col("text")))
+      .write.mode("overwrite").bucketBy(8, "text_md5")
+      .option("path", s"$warehouse/docs_b").saveAsTable("docs_b")
+    try {
+      val deduped = spark.table("docs_b")
+        .groupBy("text_md5")
+        .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n"))
+      val plan = physical(deduped)
+      assert(!plan.contains("Exchange hashpartitioning"), plan)
+      assert(deduped.collect().nonEmpty)
+    } finally spark.sql("DROP TABLE IF EXISTS docs_b")
+  }
+
   test("staged fan-out queries return checkpoint-backed plans, no rescan") {
     // the expensive corpus subtree must be materialized once by
     // Stage.fanout: the RETURNED plan reads the checkpointed rows (plus
