@@ -371,9 +371,15 @@ object CdcQueries {
   // crossing 2^53, u32/u16 bounded), assembled by the codegen'd
   // cdcJsonBody concat tree — the same function the goldens pin.
   // -------------------------------------------------------------------
+  /** Native direct-from-digest form (graft.plans.Md5Top60) —
+    * bit-identical to conv(substring(md5(…),1,15),16,10)::long; at
+    * ~80 synthesized fields per sampled row the hex/parse round-trips
+    * of the declarative form dominated this query's runtime. Callers
+    * must register GraftExtensions before analysis.
+    */
   private def h60(tag: String): Column =
-    conv(substring(md5(concat(lit(tag + ":"), col("event_id"))), 1, 15), 16, 10)
-      .cast("long")
+    call_function("md5_top60",
+      concat(lit(tag + ":"), col("event_id"))).cast("long")
 
   private def h60Sql(tag: String): String =
     s"CAST(('0x' || substr(md5('$tag:' || CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT)"
@@ -397,6 +403,7 @@ object CdcQueries {
   private def u16Sql(tag: String): String = s"CAST(${h60Sql(tag)} % 65536 AS INT)"
 
   def fullEventJson(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.plans.GraftExtensions.register(spark)
     val ev = Tables.events(spark, sfDir)
     val typeCode = (pmod(col("event_id"), lit(5)) + 1).cast("int")
     val body = cdcJsonBody(
@@ -492,6 +499,7 @@ object CdcQueries {
   // per header so every value is individually hash-checked.
   // -------------------------------------------------------------------
   def headers(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.plans.GraftExtensions.register(spark)
     val ev = Tables.events(spark, sfDir)
     val typeCode = (pmod(col("event_id"), lit(5)) + 1).cast("int")
     val hm = headerMap(
