@@ -636,11 +636,14 @@ object TextQueries {
     graft.Stage.ensureCheckpointDir(s)
     // materialize the (expensive) LSH pair pipeline ONCE; the loop must
     // not re-derive it every round. neardupPairs is already
-    // checkpoint-backed (Stage.fanout), so this second checkpoint only
-    // re-materializes the slim 2-column projection with clean lineage —
-    // it holds no cache entry to release.
-    val pairsDf = neardupPairs(s, d)
-    val pairs = pairsDf.select("doc_a", "doc_b").checkpoint()
+    // checkpoint-backed (Stage.fanout), so the slim projection and the
+    // undirected edge union below are constant-depth lineage over those
+    // files — only ONE further materialization (edges, consumed every
+    // round by the propagation join) plus the initial labels (consumed
+    // four times before round 2) earn their actions; a further
+    // checkpoint of the slim projection would cost a full job for no
+    // lineage benefit.
+    val pairs = neardupPairs(s, d).select("doc_a", "doc_b")
     // undirected edge list (labels survive a round via the union with
     // the previous labels below, not via self-loops)
     val edges = pairs
