@@ -1010,7 +1010,49 @@ object TextQueries {
        |JOIN embeddings e ON f.doc_id = e.vec_id
        |ORDER BY f.doc_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // B28g: corpus bigram language-model statistics — the n-gram LM table
+  // a data pipeline materializes for perplexity-style quality filters:
+  // corpus bigram counts, left-unigram counts, and the conditional
+  // probability P(w2|w1) as an exact integer-ratio double. One corpus
+  // pass per relation (the bigram explode reuses the native
+  // word_shingles k=2 non-distinct builder), vocabulary-sized shuffles,
+  // top-25 by count via TakeOrderedAndProject.
+  // -------------------------------------------------------------------
+  def bigramLm(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val big = docs.select(explode(
+        call_function("word_shingles", col("text"), lit(2), lit(false)))
+        .as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c_bigram"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+    val uni = docs.select(explode(toks).as("w1u"))
+      .groupBy("w1u").agg(count(lit(1)).as("c_w1"))
+    big.join(uni, col("w1") === col("w1u"))
+      .select(col("w1"), col("w2"), col("c_bigram"), col("c_w1"),
+        (col("c_bigram").cast("double") / col("c_w1")).as("cond_p"))
+      .orderBy(col("c_bigram").desc, col("w1"), col("w2")).limit(25)
+  }
+
+  val bigramLmSql: String =
+    """WITH t AS (SELECT string_split(text, ' ') AS t FROM documents),
+      |big AS (
+      |  SELECT bg, count(*) AS c_bigram FROM (
+      |    SELECT unnest(list_transform(range(1, len(t)),
+      |      i -> t[i] || ' ' || t[i + 1])) AS bg FROM t
+      |    WHERE len(t) >= 2)
+      |  GROUP BY bg),
+      |uni AS (
+      |  SELECT w1u, count(*) AS c_w1 FROM (
+      |    SELECT unnest(t) AS w1u FROM t) GROUP BY w1u)
+      |SELECT string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2,
+      |  c_bigram, c_w1, CAST(c_bigram AS DOUBLE) / c_w1 AS cond_p
+      |FROM big JOIN uni ON string_split(bg, ' ')[1] = w1u
+      |ORDER BY c_bigram DESC, w1, w2 LIMIT 25""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bigram_lm" -> (bigramLm _),
     "dedup_incremental" -> (incrementalDedup _),
     "train_assemble" -> (trainAssemble _),
     "text_tfidf" -> (tfidf _),
@@ -1032,6 +1074,7 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_bigram_lm" -> bigramLmSql,
     "dedup_incremental" -> incrementalDedupSql,
     "train_assemble" -> trainAssembleSql,
     "text_tfidf" -> tfidfSql,

@@ -403,7 +403,47 @@ object VectorQueries {
       |  FROM embeddings)))
       |ORDER BY vec_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // B29h: per-label centroids over the int8 codes — the class-level
+  // embedding diagnostic (cluster compactness, label drift) computed on
+  // the QUANTIZED representation so the per-dimension aggregation is an
+  // integer sum: order-independent and exact at any parallelism, where
+  // a float centroid would hash-diverge on shuffle order. posexplode →
+  // one (label, dim)-keyed shuffle of integer pairs; means are exact
+  // integer-ratio doubles.
+  // -------------------------------------------------------------------
+  def centroids(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .withColumn("e", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("mx", expr("array_max(transform(e, x -> abs(x)))"))
+      .withColumn("q", expr(
+        "transform(e, x -> CAST(floor(x * 127.0 / mx + 0.5) AS BIGINT))"))
+      .select(col("label"), posexplode(col("q")).as(Seq("pos", "qv")))
+      .select(col("label"), (col("pos") + 1).as("dim"), col("qv"))
+      .groupBy("label", "dim")
+      .agg(count(lit(1)).as("n"), sum(col("qv")).as("q_sum"),
+        (sum(col("qv")).cast("double") / count(lit(1))).as("mean_q"))
+      .orderBy("label", "dim")
+
+  val centroidsSql: String =
+    """SELECT label, dim, n, q_sum, CAST(q_sum AS DOUBLE) / n AS mean_q
+      |FROM (
+      |  SELECT label, CAST(i AS INTEGER) AS dim, count(*) AS n,
+      |    CAST(sum(q[i]) AS BIGINT) AS q_sum
+      |  FROM (
+      |    SELECT label,
+      |      list_transform(e, x -> CAST(floor(x * 127.0 / mx + 0.5) AS BIGINT)) AS q
+      |    FROM (SELECT label, e,
+      |      list_max(list_transform(e, x -> abs(x))) AS mx
+      |    FROM (SELECT label,
+      |      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |    FROM embeddings))),
+      |  unnest(range(1, 65)) AS t(i)
+      |  GROUP BY label, i)
+      |ORDER BY label, dim""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vec_centroid" -> (centroids _),
     "vec_quantize" -> (quantize _),
     "vec_ann_recall" -> (annRecall _),
     "vec_ivf_lists" -> (ivfLists _),
@@ -416,6 +456,7 @@ object VectorQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "vec_centroid" -> centroidsSql,
     "vec_quantize" -> quantizeSql,
     "vec_ann_recall" -> annRecallSql,
     "vec_ivf_lists" -> ivfListsSql,
