@@ -746,6 +746,49 @@ object RelationalQueries {
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // B17b: gap-based sessionization via lag + running sum — the THIRD
+  // form of session semantics in the engine (rel_session_window uses
+  // the session_window built-in; SessionizeStream is the stateful
+  // streaming machine): new-session flag where the gap to the previous
+  // event exceeds 30 minutes, session id = running flag sum, then one
+  // aggregate per (user, session). Same 30-minute gap and strict->
+  // boundary as the streaming state machine. Integer epoch-micros
+  // everywhere; both windows and the aggregate share one user-keyed
+  // shuffle.
+  // -------------------------------------------------------------------
+  def sessionize(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    val gap = 30L * 60 * 1000000
+    events(s, d)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"))
+      .withColumn("new_sess",
+        when(col("tus") - lag(col("tus"), 1).over(w) > gap ||
+          lag(col("tus"), 1).over(w).isNull, 1L).otherwise(0L))
+      .withColumn("sess", sum(col("new_sess"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sess")
+      .agg(min(col("tus")).as("sess_start"), max(col("tus")).as("sess_end"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id", "sess")
+  }
+
+  val sessionizeSql: String =
+    """SELECT user_id, sess, min(tus) AS sess_start, max(tus) AS sess_end,
+      |  count(*) AS n_events
+      |FROM (
+      |  SELECT user_id, event_id, tus,
+      |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY tus, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess
+      |  FROM (
+      |    SELECT user_id, event_id, tus,
+      |      CASE WHEN tus - lag(tus, 1) OVER (PARTITION BY user_id ORDER BY tus, event_id)
+      |             > 1800000000
+      |           OR lag(tus, 1) OVER (PARTITION BY user_id ORDER BY tus, event_id) IS NULL
+      |           THEN 1 ELSE 0 END AS new_sess
+      |    FROM (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events)))
+      |GROUP BY user_id, sess ORDER BY user_id, sess""".stripMargin
+
+  // -------------------------------------------------------------------
   // B7+B18 composed: the TPC-H Q5 shape — a 6-table snowflake join.
   // region/nation/supplier are dimensions (broadcast); lineitem⋈orders
   // is the one big shuffle; customer-nation = supplier-nation enforces
@@ -1227,6 +1270,7 @@ object RelationalQueries {
     "rel_approx_quantile" -> (approxQuantile _),
     "rel_rolling_range" -> (rollingRange _),
     "rel_user_features" -> (userFeatures _),
+    "rel_sessionize" -> (sessionize _),
     "rel_snowflake_join" -> (snowflakeJoin _),
     "rel_above_avg" -> (aboveAvgBalance _),
     "rel_pivot" -> (pivotCounts _),
@@ -1275,6 +1319,7 @@ object RelationalQueries {
     "rel_approx_quantile" -> approxQuantileSql,
     "rel_rolling_range" -> rollingRangeSql,
     "rel_user_features" -> userFeaturesSql,
+    "rel_sessionize" -> sessionizeSql,
     "rel_snowflake_join" -> snowflakeJoinSql,
     "rel_above_avg" -> aboveAvgBalanceSql,
     "rel_pivot" -> pivotCountsSql,
