@@ -789,6 +789,54 @@ object RelationalQueries {
       |GROUP BY user_id, sess ORDER BY user_id, sess""".stripMargin
 
   // -------------------------------------------------------------------
+  // Charter: period-over-period change detection — the drift report a
+  // pipeline runs between ingestion windows (here: first vs second half
+  // of the corpus month, split on the raw nanos column so the predicate
+  // prunes row groups). One scan, conditional partial aggregates, and
+  // exact integer-ratio change percentages; a 100 TB deployment swaps
+  // the CASE split for partition pruning on the date column.
+  // -------------------------------------------------------------------
+  def changeDetect(s: SparkSession, d: String): DataFrame = {
+    val mid = lit(1705276800000000L) // 2024-01-15T00:00:00Z micros
+    val inA = unix_micros(col("ts")) < mid
+    events(s, d)
+      .groupBy("event_type")
+      .agg(
+        sum(when(inA, 1L).otherwise(0L)).as("n_before"),
+        sum(when(!inA, 1L).otherwise(0L)).as("n_after"),
+        sum(when(inA, round(col("value") * 100).cast("long"))
+          .otherwise(0L)).as("cents_before"),
+        sum(when(!inA, round(col("value") * 100).cast("long"))
+          .otherwise(0L)).as("cents_after"))
+      .select(col("event_type"), col("n_before"), col("n_after"),
+        ((col("n_after") - col("n_before")).cast("double") / col("n_before"))
+          .as("count_change"),
+        col("cents_before"), col("cents_after"),
+        ((col("cents_after") - col("cents_before")).cast("double") /
+          col("cents_before")).as("cents_change"))
+      .orderBy("event_type")
+  }
+
+  val changeDetectSql: String =
+    """SELECT event_type,
+      |  count(*) FILTER (WHERE epoch_us(ts) < 1705276800000000) AS n_before,
+      |  count(*) FILTER (WHERE epoch_us(ts) >= 1705276800000000) AS n_after,
+      |  CAST(count(*) FILTER (WHERE epoch_us(ts) >= 1705276800000000)
+      |     - count(*) FILTER (WHERE epoch_us(ts) < 1705276800000000) AS DOUBLE)
+      |    / count(*) FILTER (WHERE epoch_us(ts) < 1705276800000000) AS count_change,
+      |  CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT))
+      |    FILTER (WHERE epoch_us(ts) < 1705276800000000), 0) AS BIGINT) AS cents_before,
+      |  CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT))
+      |    FILTER (WHERE epoch_us(ts) >= 1705276800000000), 0) AS BIGINT) AS cents_after,
+      |  CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT))
+      |         FILTER (WHERE epoch_us(ts) >= 1705276800000000), 0)
+      |     - coalesce(sum(CAST(round(value * 100) AS BIGINT))
+      |         FILTER (WHERE epoch_us(ts) < 1705276800000000), 0) AS DOUBLE)
+      |    / coalesce(sum(CAST(round(value * 100) AS BIGINT))
+      |        FILTER (WHERE epoch_us(ts) < 1705276800000000), 0) AS cents_change
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // -------------------------------------------------------------------
   // B7+B18 composed: the TPC-H Q5 shape — a 6-table snowflake join.
   // region/nation/supplier are dimensions (broadcast); lineitem⋈orders
   // is the one big shuffle; customer-nation = supplier-nation enforces
@@ -1271,6 +1319,7 @@ object RelationalQueries {
     "rel_rolling_range" -> (rollingRange _),
     "rel_user_features" -> (userFeatures _),
     "rel_sessionize" -> (sessionize _),
+    "rel_change_detect" -> (changeDetect _),
     "rel_snowflake_join" -> (snowflakeJoin _),
     "rel_above_avg" -> (aboveAvgBalance _),
     "rel_pivot" -> (pivotCounts _),
@@ -1320,6 +1369,7 @@ object RelationalQueries {
     "rel_rolling_range" -> rollingRangeSql,
     "rel_user_features" -> userFeaturesSql,
     "rel_sessionize" -> sessionizeSql,
+    "rel_change_detect" -> changeDetectSql,
     "rel_snowflake_join" -> snowflakeJoinSql,
     "rel_above_avg" -> aboveAvgBalanceSql,
     "rel_pivot" -> pivotCountsSql,
