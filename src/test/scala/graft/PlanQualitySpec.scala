@@ -176,6 +176,14 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("sessionize shares one shuffle across both windows and the aggregate") {
+    // lag-window, cumsum-window, and the (user, sess) aggregate all
+    // consume the same user-keyed partitioning: exactly two exchanges
+    // total — one for the data, one for the final output ordering
+    val plan = physical(RelationalQueries.sessionize(spark, sf))
+    assert("Exchange".r.findAllIn(plan).size == 2, plan)
+  }
+
   test("dedup over a hash-bucketed corpus aggregates without a shuffle") {
     // the 100 TB exact-dedup shape: store the corpus bucketed by the
     // content hash, and the dedup groupBy consumes the bucketing —
