@@ -30,7 +30,17 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // isolate measurements: a staged query must not tax its
+      // successors with leftover cache entries / cleaner backlog
+      // (round-4 bench: untouched queries 2-8x slower downstream of
+      // the dedup family). clearCache is a no-op when queries release
+      // their own staging (Stage.fanout does), but guards the timing
+      // against any future leak; the GC nudges the ContextCleaner to
+      // reclaim unreachable checkpoint/shuffle state between runs.
+      spark.catalog.clearCache()
+      System.gc()
+      name -> dt
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -51,7 +61,11 @@ object Bench {
           missingHeadline.mkString(", "))
     val total = headline.flatMap(results.get).sum
     val totalAll = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"headline_total_15q","value":$total,"unit":"sec","n_headline":${headline.size - missingHeadline.size},"total_all":$totalAll,"n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
+    // "queries" FIRST, summary fields LAST: the driver keeps only the
+    // tail of the output, so anything printed before a long per-query
+    // map risks truncation (rounds 3-4 lost the headline total this
+    // way). Everything that matters must survive a head-truncated line.
+    println(s"""{"queries":$qs,"sf":"$sfDir","metric":"headline_total_15q","unit":"sec","n_headline":${headline.size - missingHeadline.size},"n_queries":${results.size},"total_all":$totalAll,"value":$total}""")
     spark.stop()
   }
 }

@@ -50,8 +50,38 @@ object Stage {
     // evaluation of the fan-out joins), the checkpoint write job then
     // replays that cache into reliable files
     val pinned = out.checkpoint()
-    out.unpersist(blocking = false)
-    staged.unpersist(blocking = false)
+    // blocking: lazy release leaves evicted-page/GC/cleaner debt that
+    // taxes every LATER query in the session (round-4 bench showed
+    // untouched queries running 2-8× slower downstream of staged ones);
+    // the pinned result is already on checkpoint files, so waiting for
+    // the block drop costs only the drop itself
+    out.unpersist(blocking = true)
+    staged.unpersist(blocking = true)
+    pinned
+  }
+
+  /** Two-level [[fanout]]: stage `shared`, stage a relation `derive`d
+    * from it, fan out over BOTH, checkpoint the slim result, release
+    * everything eagerly. For pipelines whose consumers need the raw
+    * staged relation (e.g. an exploded corpus) AND an aggregate of it
+    * (per-doc signatures) — staging the aggregate alone would recompute
+    * the raw subtree per consumer; staging only the raw relation would
+    * re-run the aggregation per consumer. Neither level is ever
+    * checkpointed, so no corpus-scale relation hits checkpoint files —
+    * only `build`'s slim output does.
+    */
+  def fanout2(shared: DataFrame)(derive: DataFrame => DataFrame)(
+      build: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    ensureCheckpointDir(shared.sparkSession)
+    val s1 = shared.persist(StorageLevel.MEMORY_AND_DISK)
+    s1.queryExecution.toRdd.count()
+    val s2 = derive(s1).persist(StorageLevel.MEMORY_AND_DISK)
+    s2.queryExecution.toRdd.count()
+    val out = build(s1, s2).persist(StorageLevel.MEMORY_AND_DISK)
+    val pinned = out.checkpoint()
+    out.unpersist(blocking = true)
+    s2.unpersist(blocking = true)
+    s1.unpersist(blocking = true)
     pinned
   }
 

@@ -232,27 +232,30 @@ object TextQueries {
   // for candidate pairs.
   // -------------------------------------------------------------------
   def neardupPairs(s: SparkSession, d: String): DataFrame = {
-    // ONE corpus pass total: the native shingle explode feeds the 8
-    // signature mins, the per-doc hash-set (Jaccard verification), and
-    // the set size in a single aggregation down to |docs| rows. The
-    // round-2 shape re-exploded and re-hashed the corpus once per
-    // consumer (4×); here the exploded relation exists only below one
-    // groupBy and is never recomputed OR cached — only the small
-    // per-doc relation is staged for the band/verify fan-out.
-    // (min over the distinct shingle set == min over the multiset, so
-    // signatures are unchanged; intersecting the per-shingle hash sets
-    // equals intersecting shingle sets modulo 60-bit collisions, which
-    // the oracle's string-equality join cross-checks.)
+    // ONE corpus explode total: the flat (doc_id, shingle-hash)
+    // relation is staged once and feeds BOTH the signature aggregation
+    // (8 mins + set size per doc) and the exact verification join; the
+    // per-doc signature relation is staged as the second level. No
+    // collect_list: round 4 carried every doc's full hash-set as an
+    // array column through the staged relation — corpus-scale block
+    // churn per run — where the same intersection falls out of a
+    // same-key (doc, h) hash join on the flat relation, which shuffles
+    // only candidate docs' hashes and holds nothing wider than 16
+    // bytes/row. (min over the distinct shingle set == min over the
+    // multiset, so signatures are unchanged; matching on the 60-bit
+    // hash equals matching shingles modulo collisions, which the
+    // oracle's string-equality join cross-checks.)
     graft.plans.GraftExtensions.register(s)
-    val exploded = documents(s, d)
+    val hashedRaw = documents(s, d)
       .select(col("doc_id"),
         explode(call_function("word_shingles", col("text"), lit(3), lit(true)))
           .as("sh"))
-    val hashed = exploded.select(col("doc_id"), h60(col("sh")).as("h"))
-    val aggs = MinhashSeeds.map(i => min(perm(i, col("h"))).as(s"sig_$i")) ++ Seq(
-      collect_list(col("h")).as("hset"), count(lit(1)).as("n"))
-    val docshRaw = hashed.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-    graft.Stage.fanout(docshRaw) { docsh =>
+      .select(col("doc_id"), h60(col("sh")).as("h"))
+    graft.Stage.fanout2(hashedRaw) { hashed =>
+      val aggs = MinhashSeeds.map(i => min(perm(i, col("h"))).as(s"sig_$i")) :+
+        count(lit(1)).as("n")
+      hashed.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    } { (hashed, docsh) =>
       // posexplode of the 4 band keys: ONE evaluation of the signature
       // subtree instead of a 4-way union that recomputes it per band
       val bandKeys = array((0 until 4).map { b =>
@@ -265,18 +268,24 @@ object TextQueries {
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         .distinct()
-      val a = docsh.select(col("doc_id").as("ida"), col("hset").as("hset_a"),
-        col("n").as("na"))
-      val b = docsh.select(col("doc_id").as("idb"), col("hset").as("hset_b"),
-        col("n").as("nb"))
-      // score slim BEFORE the jaccard cut (see ngramJaccard: a filter
-      // referencing n_common would be pushed into the join condition
-      // and re-evaluate the intersection per probe)
-      cand.join(a, col("doc_a") === col("ida"))
-        .join(b, col("doc_b") === col("idb"))
+      // exact intersection via the flat relation: candidate pairs
+      // (small — LSH collisions, not |docs|²) broadcast against the
+      // staged hashes, then a same-key (doc, h) join counts common
+      // shingles; AQE degrades to shuffle joins when cand outgrows
+      // the broadcast threshold at scale
+      val inter = cand
+        .join(hashed.as("ta"), col("doc_a") === col("ta.doc_id"))
+        .join(hashed.as("tb"),
+          col("doc_b") === col("tb.doc_id") && col("ta.h") === col("tb.h"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+      val sizes = docsh.select(col("doc_id"), col("n"))
+      inter
+        .join(sizes.select(col("doc_id").as("ida"), col("n").as("na")),
+          col("doc_a") === col("ida"))
+        .join(sizes.select(col("doc_id").as("idb"), col("n").as("nb")),
+          col("doc_b") === col("idb"))
         .select(col("doc_a"), col("doc_b"), col("na"), col("nb"),
-          size(array_intersect(col("hset_a"), col("hset_b"))).cast("bigint")
-            .as("n_common"))
+          col("n_common"))
     }.select(col("doc_a"), col("doc_b"), col("n_common"),
         (col("n_common").cast("double") /
           (col("na") + col("nb") - col("n_common"))).as("jaccard"))
@@ -947,13 +956,19 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  // NOT EXISTS, not NOT IN: left_anti keeps a NULL-keyed incoming row
+  // (its equality never evaluates true), and NOT EXISTS matches that —
+  // NOT IN would return ZERO rows if any historical hash were NULL.
+  // The testdata has no NULL text, but the oracle must encode the same
+  // semantics the engine ships with.
   val incrementalDedupSql: String =
-    """SELECT doc_id, md5(text) AS content_md5, source
-      |FROM documents
-      |WHERE (doc_id >= 400 OR doc_id < 50)
-      |  AND md5(text) NOT IN (
-      |    SELECT md5(text) FROM documents WHERE doc_id < 400)
-      |ORDER BY doc_id""".stripMargin
+    """SELECT dd.doc_id, md5(dd.text) AS content_md5, dd.source
+      |FROM documents dd
+      |WHERE (dd.doc_id >= 400 OR dd.doc_id < 50)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM documents h
+      |    WHERE h.doc_id < 400 AND md5(h.text) = md5(dd.text))
+      |ORDER BY dd.doc_id""".stripMargin
 
   // -------------------------------------------------------------------
   // Charter capstone: training-example assembly — the query that

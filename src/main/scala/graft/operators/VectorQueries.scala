@@ -369,7 +369,10 @@ object VectorQueries {
   // the max reconstruction error as the quality metric. Pure per-row
   // map work (higher-order transform over the array, no shuffle);
   // floor keeps the integer codes exact across engines where a bare
-  // round() would tie-break differently.
+  // round() would tie-break differently. The codes ship as ONE
+  // comma-joined string column — the oracle harness hashes scalar
+  // cells, so a raw array<bigint> column would be unhashable there,
+  // and the joined form is byte-comparable across engines anyway.
   // -------------------------------------------------------------------
   def quantize(s: SparkSession, d: String): DataFrame =
     embeddings(s, d)
@@ -384,7 +387,8 @@ object VectorQueries {
         round(expr(
           "array_max(zip_with(q, e, (qi, x) -> abs(qi * mx / 127.0 - x)))"),
           6).as("max_err"),
-        col("q").as("quant"))
+        expr("array_join(transform(q, x -> CAST(x AS STRING)), ',')")
+          .as("quant"))
       .orderBy("vec_id")
 
   val quantizeSql: String =
@@ -392,7 +396,7 @@ object VectorQueries {
       |  CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT) AS q_l1,
       |  round(list_max(list_transform(range(1, 65),
       |    i -> abs(q[i] * mx / 127.0 - e[i]))), 6) AS max_err,
-      |  q AS quant
+      |  array_to_string(q, ',') AS quant
       |FROM (
       |  SELECT vec_id, e, mx,
       |    list_transform(e, x -> CAST(floor(x * 127.0 / mx + 0.5) AS BIGINT)) AS q

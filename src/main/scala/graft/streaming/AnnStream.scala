@@ -2,7 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener}
+import org.apache.spark.storage.StorageLevel
 
 /** Online similarity retrieval — the serving form of the batch ANN
   * operators: a stream of query vectors is answered per micro-batch
@@ -13,10 +14,18 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * `array_dot`).
   *
   * Shape: `foreachBatch` re-uses the batch top-k logic verbatim — the
-  * corpus is analyzed once, broadcast per batch is the QUERY side
-  * (tiny), and the corpus scan is the per-batch cost, exactly the
-  * batch `vec_knn_multi` plan. Results append to a parquet sink keyed
-  * by (batch query id, rank).
+  * corpus (with its precomputed norms) is persisted ONCE at stream
+  * start and served from executor memory every micro-batch; the
+  * per-batch broadcast is the QUERY side (tiny). The cache is released
+  * when the query terminates (listener below), so a served-then-stopped
+  * stream leaves no session state behind.
+  *
+  * Delivery: foreachBatch is at-least-once — a crash between the sink
+  * write and the epoch commit replays the batch. Each batch therefore
+  * writes its own `batch_id=` partition with dynamic partition
+  * overwrite: the replay overwrites its previous attempt instead of
+  * appending duplicates, making the sink effectively-once (same
+  * contract the relay documents for its ack barrier).
   */
 object AnnStream {
 
@@ -32,9 +41,13 @@ object AnnStream {
       .withColumn("e", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
       .withColumn("nrm", sqrt(call_function("array_dot", col("e"), col("e"))))
       .select(col("vec_id"), col("label"), col("e"), col("nrm"))
-    queries.writeStream
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // materialize BEFORE batch 1, so the first query doesn't pay the
+    // parquet scan + norm computation under serving latency
+    corpus.queryExecution.toRdd.count()
+    val query = queries.writeStream
       .option("checkpointLocation", chkDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val q = batch.select(col("q_id"),
           col("q_embedding").as("qe"),
           sqrt(call_function("array_dot", col("q_embedding"),
@@ -47,9 +60,29 @@ object AnnStream {
           .partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
         scored.withColumn("rn", row_number().over(w))
           .filter(col("rn") <= k)
-          .write.mode("append").parquet(outDir)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outDir)
         ()
       }
       .start()
+    // release the serving cache when THIS query terminates — the stream
+    // handle outlives start(), so cleanup must be event-driven
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (e.id == query.id) {
+          corpus.unpersist(blocking = false)
+          spark.streams.removeListener(this)
+        }
+    }
+    spark.streams.addListener(listener)
+    query
   }
 }

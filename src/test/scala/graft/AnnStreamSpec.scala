@@ -40,7 +40,14 @@ class AnnStreamSpec extends AnyFunSuite {
       .option("maxFilesPerTrigger", 1).parquet(in)
     val q = graft.streaming.AnnStream.start(
       spark, queries, sf, s"$root/out", s"$root/chk", k = 3)
-    try q.processAllAvailable() finally q.stop()
+    try {
+      q.processAllAvailable()
+      // the corpus is served from the session cache, not re-scanned
+      // per micro-batch: after two batches the cached relation is
+      // still resident (it is released only on termination)
+      assert(!spark.sharedState.cacheManager.isEmpty,
+        "serving corpus must stay cached while the stream runs")
+    } finally q.stop()
 
     val got = spark.read.parquet(s"$root/out")
     assert(got.count() == 6) // 2 queries × top-3
@@ -49,5 +56,14 @@ class AnnStreamSpec extends AnyFunSuite {
       assert(r.getAs[Long]("q_id") == r.getAs[Long]("vec_id"), r.toString)
       assert(r.getAs[Double]("sim") == 1.0, r.toString)
     }
+    // one batch_id partition per micro-batch: the idempotence key a
+    // replayed batch overwrites instead of appending duplicates
+    assert(got.select("batch_id").distinct().count() == 2)
+    // termination releases the serving cache (listener fires async)
+    val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+    while (!spark.sharedState.cacheManager.isEmpty &&
+      System.nanoTime() < deadline) Thread.sleep(100)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "stream termination must release the serving corpus cache")
   }
 }

@@ -208,15 +208,47 @@ class PlanQualitySpec extends AnyFunSuite {
     // Stage.fanout: the RETURNED plan reads the checkpointed rows (plus
     // the final ordering) and holds no parquet scan and no cached
     // relation that would outlive the query
-    for (q <- Seq(
-        TextQueries.tfidf(spark, sf),
-        TextQueries.passageDedup(spark, sf),
-        TextQueries.curationFunnel(spark, sf))) {
+    for ((name, build) <- Seq[(String, () => DataFrame)](
+        ("tfidf", () => TextQueries.tfidf(spark, sf)),
+        ("passageDedup", () => TextQueries.passageDedup(spark, sf)),
+        ("curationFunnel", () => TextQueries.curationFunnel(spark, sf)),
+        ("neardupPairs", () => TextQueries.neardupPairs(spark, sf)))) {
+      val q = build()
       val plan = physical(q)
-      assert(plan.contains("Scan ExistingRDD"), plan)
-      assert(!plan.contains("Scan parquet"), plan)
+      assert(plan.contains("Scan ExistingRDD"), s"$name: $plan")
+      assert(!plan.contains("Scan parquet"), s"$name: $plan")
+      // per-query, not just at the end: a leak must name its culprit,
+      // and no staged block may survive into the NEXT query's run
+      // (round-4 bench: leaked session state taxed every later query)
+      assert(spark.sharedState.cacheManager.isEmpty,
+        s"$name left entries in the CacheManager")
     }
-    assert(spark.sharedState.cacheManager.isEmpty,
-      "fan-out staging must not leave entries in the CacheManager")
+  }
+
+  test("neardup staging checkpoints only the slim scored relation") {
+    // the corpus-scale legs (exploded hashes, per-doc signatures) stay
+    // persist-only; what hits checkpoint FILES is the per-pair scored
+    // relation — assert no array column anywhere in the returned plan's
+    // checkpoint-backed schema
+    val q = TextQueries.neardupPairs(spark, sf)
+    // collectLeaves treats the AQE wrapper itself as a leaf — recurse
+    // through it to reach the real scan nodes
+    def leaves(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        leaves(a.executedPlan)
+      case l if l.children.isEmpty => Seq(l)
+      case n => n.children.flatMap(leaves)
+    }
+    val rddScans = leaves(q.queryExecution.executedPlan)
+      .collect { case r: org.apache.spark.sql.execution.RDDScanExec => r }
+    assert(rddScans.nonEmpty, q.queryExecution.executedPlan.toString)
+    rddScans.foreach { scan =>
+      scan.schema.fields.foreach { f =>
+        assert(!f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType],
+          s"checkpointed column ${f.name} is an array — corpus-scale " +
+            s"relation reached checkpoint files")
+      }
+    }
   }
 }
