@@ -24,7 +24,14 @@ object Bench {
     // Execute through the noop sink: count() would let Catalyst prune
     // the very projections being measured (e.g. the JSON envelope);
     // noop forces every output column to be computed and discarded.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=comma,separated,names — iterate on a subset
+    // without paying the full 98-query sweep (local tuning loop only;
+    // the driver never sets it)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>

@@ -497,11 +497,19 @@ object TextQueries {
     // construction moves from interpreted higher-order functions to the
     // native codegen'd char_ngrams loop; (2) the exploded gram relation
     // collapses to ONE per-doc aggregate (hash array + blocking mins +
-    // size) consumed by a self-join, so nothing re-explodes the corpus
-    // — verification intersects the per-doc hash arrays directly
-    // instead of re-joining 881k exploded rows twice. Both sides of the
-    // self-join shuffle on the same block key from an identical child,
-    // which Spark evaluates once and reuses (ReusedExchange).
+    // size) consumed by a self-join, so nothing re-explodes the corpus.
+    // Verification intersects the per-doc hash ARRAYS per candidate
+    // pair — measured 1.7× faster than the flat same-key join that
+    // neardupPairs uses, because char grams are DENSE (one per
+    // codepoint; the flat relation is ~6× the word-shingle one, so
+    // staging and double-probing it dominates) while blocking yields
+    // only a few hundred candidate pairs to intersect. The arrays live
+    // in persist-only staging — the checkpoint holds just the slim
+    // scored pairs (Stage.fanout checkpoints build's output, never the
+    // staged input). For a corpus of multi-MB documents, flip to the
+    // neardupPairs flat-join shape: per-doc gram arrays grow with doc
+    // length and an 8 MB array cell is an executor-memory hazard the
+    // flat relation doesn't have.
     graft.plans.GraftExtensions.register(s)
     // the second, independent blocking min comes from an affine
     // permutation of the SAME 60-bit hash (one-hash minhash, see
@@ -1066,7 +1074,166 @@ object TextQueries {
       |FROM big JOIN uni ON string_split(bg, ' ')[1] = w1u
       |ORDER BY c_bigram DESC, w1, w2 LIMIT 25""".stripMargin
 
+  // -------------------------------------------------------------------
+  // Charter: benchmark decontamination — flag training docs sharing any
+  // 8-token passage with the held-out eval set (the standard n-gram
+  // overlap check run before training). Eval membership here is a
+  // deterministic id rule standing in for the benchmark corpus. Shape:
+  // the corpus is tokenized, windowed (stride 1 — decontamination must
+  // catch EVERY alignment, unlike the stride-4 dedup pass), and hashed
+  // ONCE into a flat (doc, passage-hash) relation staged for both
+  // branches; the eval hash set is tiny (distinct hashes of a small
+  // benchmark) and broadcast-joins against the training passages, so
+  // the corpus-side cost is one scan + one hash-key join at any scale.
+  // -------------------------------------------------------------------
+  def decontaminate(s: SparkSession, d: String): DataFrame = {
+    val ph = documents(s, d)
+      .select(col("doc_id"), toks.as("t"))
+      .filter(size(col("t")) >= 8)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t) - 8, 1)," +
+          " i -> concat_ws(' ', slice(t, i + 1, 8)))")).as("passage"))
+      .select(col("doc_id"), h60(col("passage")).as("ph"))
+    graft.Stage.fanout(ph) { p =>
+      val evalSet = p.filter(col("doc_id") % 13 === 0)
+        .select(col("ph").as("eph")).distinct()
+      p.filter(col("doc_id") % 13 =!= 0)
+        .join(evalSet, col("ph") === col("eph"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_passages"), count(col("eph")).as("n_hits"),
+          countDistinct(col("eph")).as("n_uniq_hits"))
+        .filter(col("n_hits") > 0)
+    }.select(col("doc_id"), col("n_passages"), col("n_hits"),
+        col("n_uniq_hits"),
+        (col("n_hits").cast("double") / col("n_passages")).as("contam_ratio"))
+      .orderBy("doc_id")
+  }
+
+  val decontaminateSql: String = {
+    val ph = h60Sql("passage")
+    s"""WITH wt AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 8),
+       |p AS (
+       |  SELECT doc_id, $ph AS ph FROM (
+       |    SELECT doc_id,
+       |      unnest(list_transform(range(0, len(t) - 8 + 1, 1),
+       |        i -> array_to_string(t[i + 1:i + 8], ' '))) AS passage
+       |    FROM wt)),
+       |ev AS (SELECT DISTINCT ph AS eph FROM p WHERE doc_id % 13 = 0)
+       |SELECT doc_id, n_passages, n_hits, n_uniq_hits,
+       |  CAST(n_hits AS DOUBLE) / n_passages AS contam_ratio
+       |FROM (
+       |  SELECT doc_id, count(*) AS n_passages, count(eph) AS n_hits,
+       |    count(DISTINCT eph) AS n_uniq_hits
+       |  FROM p LEFT JOIN ev ON p.ph = ev.eph
+       |  WHERE doc_id % 13 <> 0
+       |  GROUP BY doc_id)
+       |WHERE n_hits > 0
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // Charter: domain mixture reweighting — the sampling-weight table a
+  // training run uses to rebalance sources toward a target mixture
+  // (uniform here; swap the target expression for a learned one). Per
+  // source: doc/token mass, actual share, the weight that equalizes
+  // shares, the production cap (≤3 epochs before a source repeats too
+  // much), and the resulting sampled token count. One corpus scan into
+  // a |sources|-row aggregate; the global totals come from a window
+  // over THAT aggregate, so nothing rescans the corpus.
+  // -------------------------------------------------------------------
+  def trainMixture(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val weight = (col("total_tokens").cast("double") / col("n_sources")) /
+      col("tokens")
+    val capped = least(weight, lit(3.0))
+    documents(s, d)
+      .select(col("source"), size(toks).cast("bigint").as("n_tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens"))
+      .withColumn("total_tokens", sum(col("tokens")).over(w))
+      .withColumn("n_sources", count(lit(1)).over(w))
+      .select(col("source"), col("n_docs"), col("tokens"),
+        (col("tokens").cast("double") / col("total_tokens")).as("share"),
+        weight.as("weight"), capped.as("capped_weight"),
+        (col("tokens").cast("double") * capped).as("sampled_tokens"))
+      .orderBy("source")
+  }
+
+  val trainMixtureSql: String =
+    """WITH src AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+      |  FROM documents GROUP BY source),
+      |tot AS (
+      |  SELECT *, CAST(sum(tokens) OVER () AS BIGINT) AS total_tokens,
+      |    count(*) OVER () AS n_sources
+      |  FROM src)
+      |SELECT source, n_docs, tokens,
+      |  CAST(tokens AS DOUBLE) / total_tokens AS share,
+      |  (CAST(total_tokens AS DOUBLE) / n_sources) / tokens AS weight,
+      |  least((CAST(total_tokens AS DOUBLE) / n_sources) / tokens, 3.0)
+      |    AS capped_weight,
+      |  CAST(tokens AS DOUBLE)
+      |    * least((CAST(total_tokens AS DOUBLE) / n_sources) / tokens, 3.0)
+      |    AS sampled_tokens
+      |FROM tot
+      |ORDER BY source""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Charter: within-document repetition filter (Gopher-style) — the
+  // quality gate that drops boilerplate/looping docs by the fraction of
+  // repeated word bigrams and the mass of the single most frequent
+  // bigram. Multiset bigrams via the native shingle expression
+  // (distinct=false); two hash aggregations, the second over |docs|
+  // rows — shuffled bytes scale with distinct (doc, bigram) pairs,
+  // never the corpus text.
+  // -------------------------------------------------------------------
+  def repetition(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftExtensions.register(s)
+    val dupFrac = (col("n_bigrams") - col("n_distinct")).cast("double") /
+      col("n_bigrams")
+    val topFrac = col("top_c").cast("double") / col("n_bigrams")
+    documents(s, d)
+      .filter(size(toks) >= 2)
+      .select(col("doc_id"),
+        explode(call_function("word_shingles", col("text"), lit(2),
+          lit(false))).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_bigrams"), count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_c"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_distinct"),
+        dupFrac.as("dup_frac"), topFrac.as("top_frac"),
+        (dupFrac > 0.2 || topFrac > 0.1).as("flagged"))
+      .orderBy("doc_id")
+  }
+
+  val repetitionSql: String =
+    """SELECT doc_id, n_bigrams, n_distinct,
+      |  CAST(n_bigrams - n_distinct AS DOUBLE) / n_bigrams AS dup_frac,
+      |  CAST(top_c AS DOUBLE) / n_bigrams AS top_frac,
+      |  CAST(n_bigrams - n_distinct AS DOUBLE) / n_bigrams > 0.2
+      |    OR CAST(top_c AS DOUBLE) / n_bigrams > 0.1 AS flagged
+      |FROM (
+      |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+      |    count(*) AS n_distinct, CAST(max(c) AS BIGINT) AS top_c
+      |  FROM (
+      |    SELECT doc_id, bg, count(*) AS c FROM (
+      |      SELECT doc_id, unnest(list_transform(range(1, len(t)),
+      |        i -> t[i] || ' ' || t[i + 1])) AS bg
+      |      FROM (SELECT doc_id, string_split(text, ' ') AS t
+      |            FROM documents
+      |            WHERE len(string_split(text, ' ')) >= 2))
+      |    GROUP BY doc_id, bg)
+      |  GROUP BY doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_decontaminate" -> (decontaminate _),
+    "train_mixture" -> (trainMixture _),
+    "text_repetition" -> (repetition _),
     "text_bigram_lm" -> (bigramLm _),
     "dedup_incremental" -> (incrementalDedup _),
     "train_assemble" -> (trainAssemble _),
@@ -1089,6 +1256,9 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "dedup_decontaminate" -> decontaminateSql,
+    "train_mixture" -> trainMixtureSql,
+    "text_repetition" -> repetitionSql,
     "text_bigram_lm" -> bigramLmSql,
     "dedup_incremental" -> incrementalDedupSql,
     "train_assemble" -> trainAssembleSql,
