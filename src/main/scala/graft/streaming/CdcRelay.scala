@@ -85,7 +85,18 @@ object CdcRelay {
         * before the epoch commit — the replay window of the at-least-
         * once contract (reference README.md:55-61).
         */
-      crashOnceAfterWrite: Option[String] = None) {
+      crashOnceAfterWrite: Option[String] = None,
+      /** A18 single-writer lease (reference runner.go:607-724): when
+        * true, [[start]] acquires an advisory [[CheckpointLease]] on
+        * the checkpoint dir BEFORE the stream starts — a second driver
+        * pointed at the same dir fails fast at startup naming the
+        * holder, instead of at its first offset-commit conflict. The
+        * lease auto-releases on query termination. Off by default:
+        * Spark's one-query-per-checkpoint model already guarantees the
+        * invariant (SURVEY §1.1); the lease adds the reference's
+        * diagnostics.
+        */
+      singleWriterLease: Boolean = false) {
 
     /** Every config violation (empty = valid). Messages mirror the
       * reference's (config.go:164-371): named field, expected range.
@@ -212,6 +223,13 @@ object CdcRelay {
     SinkProvisioner.ensure(spark,
       SinkProvisioner.SinkSpec(cfg.outputDir, envelopeSchema,
         partitionColumns = partCols), cfg.provision)
+    // A18: fail fast (naming the holder) if another cooperating driver
+    // already owns this checkpoint dir
+    val lease =
+      if (cfg.singleWriterLease)
+        Some(CheckpointLease.acquire(spark, cfg.checkpointDir,
+          version = s"graft-relay/${cfg.clusterId}"))
+      else None
     val in = spark.readStream
       .schema(inputSchema)
       // A5: the rate ceiling shrinks the per-trigger admission cap
@@ -220,26 +238,44 @@ object CdcRelay {
     val enveloped = transform(in, cfg)
       .withWatermark("ts", cfg.dedupeWindow)
       .dropDuplicatesWithinWatermark("msg_id")
-    enveloped.writeStream
-      .option("checkpointLocation", cfg.checkpointDir)
-      .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        // publish (write) → ack barrier (write completes) → progress
-        // (epoch commit, done by the engine after this returns)
-        val writer = batch.write.mode("append")
-        (if (cfg.partitionBySubject) writer.partitionBy("subject") else writer)
-          .parquet(cfg.outputDir)
-        cfg.crashOnceAfterWrite.foreach { flag =>
-          val f = new java.io.File(flag)
-          if (!f.exists()) {
-            f.createNewFile()
-            throw new RuntimeException(
-              s"injected crash after sink write, before commit of epoch $epochId")
+    val query =
+      try enveloped.writeStream
+        .option("checkpointLocation", cfg.checkpointDir)
+        .trigger(trigger)
+        .foreachBatch { (batch: DataFrame, epochId: Long) =>
+          // publish (write) → ack barrier (write completes) → progress
+          // (epoch commit, done by the engine after this returns)
+          val writer = batch.write.mode("append")
+          (if (cfg.partitionBySubject) writer.partitionBy("subject") else writer)
+            .parquet(cfg.outputDir)
+          cfg.crashOnceAfterWrite.foreach { flag =>
+            val f = new java.io.File(flag)
+            if (!f.exists()) {
+              f.createNewFile()
+              throw new RuntimeException(
+                s"injected crash after sink write, before commit of epoch $epochId")
+            }
           }
+          ()
         }
-        ()
+        .start()
+      catch { case e: Throwable => lease.foreach(_.release()); throw e }
+    lease.foreach { l =>
+      val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+        override def onQueryTerminated(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+          if (e.id == query.id) {
+            l.release()
+            spark.streams.removeListener(this)
+          }
       }
-      .start()
+      spark.streams.addListener(listener)
+    }
+    query
   }
 
   /** Long-running relay paced by the configured idle interval (A4): one

@@ -230,4 +230,31 @@ class CdcRelaySpec extends AnyFunSuite {
     CdcRelay.start(spark, cfg).awaitTermination() // idle restart
     assert(spark.read.parquet(cfg.outputDir).count() == 1)
   }
+
+  test("A18 lease: a second relay on the same checkpoint fails fast naming the holder") {
+    val root = Files.createTempDirectory("relay3").toString
+    val in = s"$root/in"; new java.io.File(in).mkdirs()
+    val cfg = RelayConfig(in, s"$root/out", s"$root/chk",
+      singleWriterLease = true)
+    writeEvents(in, "b1.parquet", Seq((1L, 1700000000000000L, 1L, "view")))
+    // long-running trigger so the lease is held while we probe
+    val q = CdcRelay.start(spark, cfg,
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime(100))
+    try {
+      q.processAllAvailable()
+      val err = intercept[IllegalStateException] {
+        CdcRelay.start(spark, cfg.copy(clusterId = "intruder"))
+      }
+      assert(err.getMessage.contains("already held"), err.getMessage)
+      assert(err.getMessage.contains("graft-relay/graft"), err.getMessage)
+    } finally q.stop()
+    // termination releases the lease (listener fires async); a restart
+    // must then succeed
+    val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+    while (new java.io.File(s"$root/chk",
+        graft.streaming.CheckpointLease.LeaseFile).exists() &&
+      System.nanoTime() < deadline) Thread.sleep(100)
+    CdcRelay.start(spark, cfg).awaitTermination()
+    assert(spark.read.parquet(cfg.outputDir).count() == 1)
+  }
 }
