@@ -676,10 +676,9 @@ object TextQueries {
     // coalesce: sum over an EMPTY frame is SQL NULL — a corpus with no
     // near-dup pairs must converge to an empty result, not NPE in the
     // BigDecimal compare
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
-        lit(0).cast("decimal(38,0)"))).head().getDecimal(0)
-    var prevSum = labelSum(labels)
+    val sumExpr = coalesce(sum(col("label").cast("decimal(38,0)")),
+      lit(0).cast("decimal(38,0)"))
+    var prevSum = labels.agg(sumExpr).head().getDecimal(0)
     var converged = false
     var rounds = 0
     val maxRounds = 64 // log2(diameter) with jumping; 64 is a hard cap
@@ -695,12 +694,30 @@ object TextQueries {
         .select(col("l1.doc").as("doc"), col("l2.label").as("label"))
       // checkpoint each round: the plan otherwise doubles per iteration
       // (labels appears three times in `next`) and would grow
-      // exponentially
+      // exponentially. The convergence sum rides the SAME job as an
+      // observed metric — one pass per round over the label relation
+      // (billions of rows at corpus scale) instead of two.
+      val obs = new org.apache.spark.sql.Observation()
       val next = labels.select("doc", "label")
         .union(viaNeighbors).union(jumped)
         .groupBy("doc").agg(min("label").as("label"))
+        .observe(obs, sumExpr.as("label_sum"))
         .checkpoint()
-      val nextSum = labelSum(next)
+      // bounded wait for the metric (listener delivery is async); if it
+      // never lands, fall back to the direct agg — correctness never
+      // depends on the optimization
+      import org.apache.spark.sql.graftbridge.DatasetBridge.observedOrEmpty
+      var waitedMs = 0L
+      var metrics = observedOrEmpty(obs)
+      while (metrics.isEmpty && waitedMs < 30000) {
+        Thread.sleep(50); waitedMs += 50; metrics = observedOrEmpty(obs)
+      }
+      val nextSum = metrics.get("label_sum") match {
+        case Some(d: java.math.BigDecimal) => d
+        case Some(d: scala.math.BigDecimal) => d.bigDecimal
+        case Some(other) => new java.math.BigDecimal(other.toString)
+        case None => next.agg(sumExpr).head().getDecimal(0)
+      }
       labels = next
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum

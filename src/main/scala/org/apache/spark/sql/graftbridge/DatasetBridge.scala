@@ -13,4 +13,12 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 object DatasetBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** `Observation.getOrEmpty` is `private[sql]`; the public `get`
+    * blocks forever if the observed action's listener never fires —
+    * iterative drivers need the non-blocking probe to poll with a
+    * bounded wait and fall back.
+    */
+  def observedOrEmpty(obs: org.apache.spark.sql.Observation): Map[String, Any] =
+    obs.getOrEmpty
 }

@@ -212,7 +212,8 @@ class PlanQualitySpec extends AnyFunSuite {
         ("tfidf", () => TextQueries.tfidf(spark, sf)),
         ("passageDedup", () => TextQueries.passageDedup(spark, sf)),
         ("curationFunnel", () => TextQueries.curationFunnel(spark, sf)),
-        ("neardupPairs", () => TextQueries.neardupPairs(spark, sf)))) {
+        ("neardupPairs", () => TextQueries.neardupPairs(spark, sf)),
+        ("decontaminate", () => TextQueries.decontaminate(spark, sf)))) {
       val q = build()
       val plan = physical(q)
       assert(plan.contains("Scan ExistingRDD"), s"$name: $plan")
@@ -223,6 +224,22 @@ class PlanQualitySpec extends AnyFunSuite {
       assert(spark.sharedState.cacheManager.isEmpty,
         s"$name left entries in the CacheManager")
     }
+  }
+
+  test("mixture reweighting scans the corpus exactly once") {
+    // the global totals come from a window over the |sources|-row
+    // aggregate — a second corpus scan for the denominator would double
+    // the 100 TB cost
+    val plan = physical(TextQueries.trainMixture(spark, sf))
+    assert("documents\\.parquet".r.findAllIn(plan).size == 1, plan)
+    // partial aggregation runs before the source-keyed exchange
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+  }
+
+  test("repetition filter aggregates with map-side partials") {
+    val plan = physical(TextQueries.repetition(spark, sf))
+    assert("documents\\.parquet".r.findAllIn(plan).size == 1, plan)
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"), plan)
   }
 
   test("neardup staging checkpoints only the slim scored relation") {
