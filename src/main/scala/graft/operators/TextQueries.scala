@@ -1247,7 +1247,49 @@ object TextQueries {
       |  GROUP BY doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // Charter: heavy hitters via a hand-built count-min sketch (the
+  // "novel sketch" custom-operator path — functions/CountMin.scala).
+  // The exact top-20 terms are computed alongside and each sketch
+  // estimate is checked against its CM guarantee (est ≥ true, and
+  // within the εN band). The oracle pins the exact counts and expects
+  // every bound to hold — the same sketch-verification pattern as
+  // rel_approx_quantile. The sketch pass is what runs at 100 TB (fixed
+  // 8 KiB state per partition, one merge tree); the exact pass exists
+  // to certify it.
+  // -------------------------------------------------------------------
+  def heavyHitters(s: SparkSession, d: String): DataFrame = {
+    val termsRaw = documents(s, d)
+      .select(explode(toks).as("term"))
+      .filter(col("term") =!= "")
+    graft.Stage.fanout(termsRaw) { terms =>
+      import s.implicits._
+      val exact = terms.groupBy("term").agg(count(lit(1)).as("c"))
+        .withColumn("total",
+          sum(col("c")).over(Window.partitionBy(lit(1))))
+      val top = exact.orderBy(col("c").desc, col("term")).limit(20)
+      val sketch = terms.select(col("term")).as[String]
+        .select(graft.functions.CountMin.Agg.toColumn)
+        .toDF("sk")
+      val est = udf((term: String, sk: Seq[Long]) =>
+        graft.functions.CountMin.estimate(sk.toArray, term))
+      top.crossJoin(broadcast(sketch))
+        .withColumn("est", est(col("term"), col("sk")))
+        .select(col("term"), col("c"),
+          (col("est") >= col("c") &&
+            col("est") <= col("c") + col("total") / 16).as("est_ok"))
+    }.orderBy(col("c").desc, col("term"))
+  }
+
+  val heavyHittersSql: String =
+    """SELECT term, c, TRUE AS est_ok FROM (
+      |  SELECT term, count(*) AS c FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+      |  WHERE term <> '' GROUP BY term)
+      |ORDER BY c DESC, term LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_heavy_hitters" -> (heavyHitters _),
     "dedup_decontaminate" -> (decontaminate _),
     "train_mixture" -> (trainMixture _),
     "text_repetition" -> (repetition _),
@@ -1273,6 +1315,7 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_heavy_hitters" -> heavyHittersSql,
     "dedup_decontaminate" -> decontaminateSql,
     "train_mixture" -> trainMixtureSql,
     "text_repetition" -> repetitionSql,
