@@ -1288,7 +1288,75 @@ object TextQueries {
       |  WHERE term <> '' GROUP BY term)
       |ORDER BY c DESC, term LIMIT 20""".stripMargin
 
+  // -------------------------------------------------------------------
+  // Charter: curriculum binning — the token-mass schedule a
+  // quality-ordered training run consumes (low bands first or last,
+  // per curriculum policy). Bands are FIXED quality intervals
+  // (floor(q*10)), not population deciles: an ntile would funnel the
+  // whole corpus through one global sort partition, while fixed bands
+  // are a pure per-row map + 10-group aggregate at any scale. The
+  // cumulative token column (the schedule position) windows over the
+  // 10-row aggregate, not the corpus.
+  // -------------------------------------------------------------------
+  def trainCurriculum(s: SparkSession, d: String): DataFrame = {
+    val len = length(col("text")).cast("double")
+    val nAlpha = length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double")
+    val nDigit = length(regexp_replace(col("text"), "[^0-9]", "")).cast("double")
+    val nSpace = length(regexp_replace(col("text"), "[^ ]", "")).cast("double")
+    val nPunct = len - nAlpha - nDigit - nSpace
+    val wordLen = (len - nSpace) / (nSpace + lit(1.0))
+    // same per-doc score as text_quality — one definition of quality
+    val score = (nAlpha / len) * lit(0.6) +
+      (lit(1.0) - nPunct / len) * lit(0.3) +
+      when(wordLen >= 3 && wordLen <= 10, lit(0.1)).otherwise(lit(0.0))
+    documents(s, d)
+      .select(col("doc_id"), score.as("q"),
+        size(toks).cast("bigint").as("n_tok"))
+      .withColumn("band", least(floor(round(col("q"), 6) * 10), lit(9.0))
+        .cast("int"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens"),
+        // exact decimal sum of the rounded scores: order-independent,
+        // so the mean is bit-stable at any parallelism
+        sum(round(col("q"), 6).cast("decimal(18,6)")).as("qsum"))
+      .select(col("band"), col("n_docs"), col("tokens"),
+        (col("qsum").cast("double") / col("n_docs")).as("mean_quality"))
+      .withColumn("cum_tokens",
+        sum(col("tokens")).over(Window.orderBy("band")))
+      .orderBy("band")
+  }
+
+  val trainCurriculumSql: String =
+    """WITH scored AS (
+      |  SELECT doc_id,
+      |    (nalpha / len) * 0.6
+      |      + (1.0 - (len - nalpha - ndigit - nspace) / len) * 0.3
+      |      + (CASE WHEN (len - nspace) / (nspace + 1.0) >= 3
+      |               AND (len - nspace) / (nspace + 1.0) <= 10
+      |         THEN 0.1 ELSE 0.0 END) AS q,
+      |    n_tok
+      |  FROM (
+      |    SELECT doc_id,
+      |      CAST(length(text) AS DOUBLE) AS len,
+      |      CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS nalpha,
+      |      CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS ndigit,
+      |      CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE) AS nspace,
+      |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |    FROM documents)),
+      |bands AS (
+      |  SELECT CAST(least(floor(round(q, 6) * 10), 9.0) AS INT) AS band,
+      |    count(*) AS n_docs,
+      |    CAST(sum(n_tok) AS BIGINT) AS tokens,
+      |    CAST(sum(CAST(round(q, 6) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS qsum
+      |  FROM scored GROUP BY 1)
+      |SELECT band, n_docs, tokens,
+      |  CAST(qsum AS DOUBLE) / n_docs AS mean_quality,
+      |  CAST(sum(tokens) OVER (ORDER BY band) AS BIGINT) AS cum_tokens
+      |FROM bands
+      |ORDER BY band""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "train_curriculum" -> (trainCurriculum _),
     "text_heavy_hitters" -> (heavyHitters _),
     "dedup_decontaminate" -> (decontaminate _),
     "train_mixture" -> (trainMixture _),
@@ -1315,6 +1383,7 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "train_curriculum" -> trainCurriculumSql,
     "text_heavy_hitters" -> heavyHittersSql,
     "dedup_decontaminate" -> decontaminateSql,
     "train_mixture" -> trainMixtureSql,

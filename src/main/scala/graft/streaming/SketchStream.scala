@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.functions.CountMin
+
+/** Online heavy-hitter maintenance: the streaming form of the
+  * count-min operator (`text_heavy_hitters`). Each micro-batch folds
+  * its documents into a partial sketch (fixed 8 KiB of state per
+  * partition), merges it onto the previous batch's snapshot, and
+  * writes the running sketch as a `batch_id`-partitioned single-row
+  * snapshot.
+  *
+  * Why this scales where a streaming groupBy on terms wouldn't: the
+  * per-batch shuffle moves one sketch per partition — never the term
+  * stream — and the running state is CONSTANT-size regardless of
+  * vocabulary, so an unbounded stream needs no watermark/eviction
+  * policy at all. Mergeability (CountMinSpec) is what makes the
+  * incremental fold exact: stream-end state is bit-identical to a
+  * batch sketch over the concatenated input.
+  *
+  * Recovery contract: batch `n` merges onto snapshot `n-1`, so a
+  * replay after a crash between snapshot write and epoch commit
+  * rebuilds batch `n` from the same base and overwrites its own
+  * partition (dynamic overwrite) — effectively-once, like the relay
+  * and AnnStream sinks.
+  */
+object SketchStream {
+
+  /** Running snapshot of `upTo` (the latest committed batch id), or
+    * the zero sketch when `upTo < 0`. Partition pruning makes the read
+    * touch exactly one snapshot file.
+    */
+  def snapshot(spark: SparkSession, outDir: String, upTo: Long): Array[Long] =
+    if (upTo < 0) CountMin.Agg.zero
+    else spark.read.parquet(outDir)
+      .filter(col("batch_id") === upTo)
+      .select("sk").head().getSeq[Long](0).toArray
+
+  /** Estimate a term's frequency from the latest snapshot ≤ `upTo`. */
+  def estimate(spark: SparkSession, outDir: String, upTo: Long,
+      term: String): Long =
+    CountMin.estimate(snapshot(spark, outDir, upTo), term)
+
+  /** Start the sketch-maintenance stream over a streaming frame of
+    * documents with a `text` column.
+    */
+  def start(spark: SparkSession, docs: DataFrame, outDir: String,
+      chkDir: String): StreamingQuery = {
+    import spark.implicits._
+    docs.writeStream
+      .option("checkpointLocation", chkDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val partial = batch
+          .select(explode(split(col("text"), " ")).as("term"))
+          .filter(col("term") =!= "")
+          .as[String]
+          .select(CountMin.Agg.toColumn)
+          .head()
+        val merged = CountMin.Agg.merge(
+          snapshot(spark, outDir, batchId - 1), partial)
+        spark.createDataset(Seq(merged)).toDF("sk")
+          .withColumn("batch_id", lit(batchId))
+          .coalesce(1)
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outDir)
+        ()
+      }
+      .start()
+  }
+}
