@@ -1355,7 +1355,52 @@ object TextQueries {
       |FROM bands
       |ORDER BY band""".stripMargin
 
+  // -------------------------------------------------------------------
+  // Charter: sequence packing — assign docs to fixed-capacity context
+  // windows (2048 tokens) by contiguous fill, the pre-tokenization
+  // packing plan a training run uses to bound padding waste. Greedy
+  // first-fit is inherently sequential, so the parallel form packs
+  // CONTIGUOUSLY per source: a prefix-sum over (source, doc_id) order
+  // gives each doc its start offset, and floor(start / capacity) is
+  // its bin — one window + one aggregate, parallel across sources.
+  // Capacity is a power of two, so the double division is exact in
+  // both engines (binary-fp divide by 2^11 never rounds).
+  // -------------------------------------------------------------------
+  def trainPacking(s: SparkSession, d: String): DataFrame = {
+    val cap = 2048
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    documents(s, d)
+      .select(col("source"), col("doc_id"),
+        size(toks).cast("bigint").as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("bin", floor((col("cum") - col("n_tok")) / lit(cap.toDouble)))
+      .groupBy("source", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .withColumn("fill_ratio", col("tokens").cast("double") / lit(cap))
+      .orderBy("source", "bin")
+  }
+
+  val trainPackingSql: String =
+    """WITH t AS (
+      |  SELECT source, doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |c AS (
+      |  SELECT *, CAST(sum(n_tok) OVER (
+      |    PARTITION BY source ORDER BY doc_id) AS BIGINT) AS cum
+      |  FROM t)
+      |SELECT source, bin, count(*) AS n_docs,
+      |  CAST(sum(n_tok) AS BIGINT) AS tokens,
+      |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+      |  CAST(sum(n_tok) AS DOUBLE) / 2048 AS fill_ratio
+      |FROM (SELECT *,
+      |  CAST(floor((cum - n_tok) / 2048.0) AS BIGINT) AS bin FROM c)
+      |GROUP BY source, bin
+      |ORDER BY source, bin""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "train_packing" -> (trainPacking _),
     "train_curriculum" -> (trainCurriculum _),
     "text_heavy_hitters" -> (heavyHitters _),
     "dedup_decontaminate" -> (decontaminate _),
@@ -1383,6 +1428,7 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "train_packing" -> trainPackingSql,
     "train_curriculum" -> trainCurriculumSql,
     "text_heavy_hitters" -> heavyHittersSql,
     "dedup_decontaminate" -> decontaminateSql,
