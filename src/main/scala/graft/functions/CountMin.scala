@@ -56,9 +56,10 @@ object CountMin {
     h >>> 4 // 64 bits read, keep the leading 60
   }
 
-  /** Column index of `term` in sketch row `row`. */
-  def bucket(row: Int, term: String): Int =
-    ((RowA(row) * (hash60(term) % P) + RowB(row)) % P % Width).toInt
+  /** Column index of `term` in sketch row `row` (point form of
+    * [[buckets]] — single source of truth for the hashing).
+    */
+  def bucket(row: Int, term: String): Int = buckets(term)(row)
 
   /** Buckets for one term across all rows — one md5 per term, reused
     * by every row's affine permutation (the one-hash minhash trick).

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener}
+import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.storage.StorageLevel
 
 /** Online similarity retrieval — the serving form of the batch ANN
@@ -45,7 +45,7 @@ object AnnStream {
     // materialize BEFORE batch 1, so the first query doesn't pay the
     // parquet scan + norm computation under serving latency
     corpus.queryExecution.toRdd.count()
-    val query = queries.writeStream
+    val query = try queries.writeStream
       .option("checkpointLocation", chkDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val q = batch.select(col("q_id"),
@@ -68,21 +68,17 @@ object AnnStream {
         ()
       }
       .start()
-    // release the serving cache when THIS query terminates — the stream
-    // handle outlives start(), so cleanup must be event-driven
-    val listener = new StreamingQueryListener {
-      override def onQueryStarted(
-          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
-      override def onQueryProgress(
-          e: StreamingQueryListener.QueryProgressEvent): Unit = ()
-      override def onQueryTerminated(
-          e: StreamingQueryListener.QueryTerminatedEvent): Unit =
-        if (e.id == query.id) {
-          corpus.unpersist(blocking = false)
-          spark.streams.removeListener(this)
-        }
+    catch {
+      // a failed start must not leak the materialized corpus into the
+      // session cache (the cross-query tax Stage.fanout guards against)
+      case e: Throwable => corpus.unpersist(blocking = true); throw e
     }
-    spark.streams.addListener(listener)
+    // release the serving cache when THIS query terminates — the stream
+    // handle outlives start(), so cleanup must be event-driven (and
+    // race-hardened: StreamLifecycle also covers a query that died
+    // before the listener registered)
+    StreamLifecycle.onTerminated(spark, query)(
+      () => corpus.unpersist(blocking = false))
     query
   }
 }

@@ -261,19 +261,15 @@ object CdcRelay {
         .start()
       catch { case e: Throwable => lease.foreach(_.release()); throw e }
     lease.foreach { l =>
-      val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
-        override def onQueryStarted(
-            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
-        override def onQueryProgress(
-            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
-        override def onQueryTerminated(
-            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
-          if (e.id == query.id) {
-            l.release()
-            spark.streams.removeListener(this)
-          }
-      }
-      spark.streams.addListener(listener)
+      // keep the lease fresh while the query makes progress (the
+      // reference's refreshLoop): a holder that stops refreshing goes
+      // stale and a restarted driver takes over after the TTL. A
+      // refresh failure means the lease was lost — stop the run, like
+      // runner.go:130-131.
+      StreamLifecycle.onProgress(spark, query)(
+        () => { l.refresh(); () },
+        _ => try query.stop() catch { case _: Exception => () })
+      StreamLifecycle.onTerminated(spark, query)(() => l.release())
     }
     query
   }

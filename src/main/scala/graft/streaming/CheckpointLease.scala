@@ -21,11 +21,12 @@ import org.apache.spark.sql.SparkSession
   *     any dir.
   *
   * Both come from one advisory lease file inside the checkpoint dir,
-  * created atomically via the Hadoop FileSystem API (`create` with
-  * overwrite=false — atomic on HDFS and local FS; on S3 use a
-  * consistent store or accept first-commit detection as the backstop).
-  * The lease is ADVISORY: it guards cooperating graft drivers and
-  * never blocks Spark itself.
+  * created via the Hadoop FileSystem API (`create` with
+  * overwrite=false — atomic on HDFS; best-effort exists-then-create on
+  * the local FS and object stores, which is why the lease is ADVISORY:
+  * it guards cooperating graft drivers with fail-fast diagnostics,
+  * while Spark's own offset-commit conflict remains the hard backstop
+  * and the lease never blocks Spark itself).
   */
 object CheckpointLease {
 
@@ -75,11 +76,20 @@ object CheckpointLease {
     } yield LeaseRecord(owner, host, pid, version, updatedAt, revision)
   }
 
-  /** Acquire the lease or throw `IllegalStateException` naming the
-    * current holder (the reference's "lock %q is already held: %s").
+  /** Default staleness horizon, mirroring the reference's 30 s lock
+    * TTL (config.go:37): a holder that has not refreshed within it is
+    * presumed dead and its lease is broken on the next acquire.
     */
-  def acquire(spark: SparkSession, checkpointDir: String,
-      version: String): Lease = {
+  val DefaultStaleAfterMs: Long = 30000L
+
+  /** Acquire the lease, taking over a STALE one (holder's `updatedAt`
+    * older than `staleAfterMs` — the reference's TTL-expiry semantics,
+    * which is what lets restarts recover from a kill -9 that never ran
+    * the release path). A live conflict throws `IllegalStateException`
+    * naming the holder (the reference's "lock %q is already held: %s").
+    */
+  def acquire(spark: SparkSession, checkpointDir: String, version: String,
+      staleAfterMs: Long = DefaultStaleAfterMs): Lease = {
     val path = new Path(checkpointDir, LeaseFile)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(path.getParent)
@@ -91,19 +101,44 @@ object CheckpointLease {
       owner = s"$hostname/$pid/${System.nanoTime()}",
       hostname = hostname, pid = pid, version = version,
       updatedAt = java.time.Instant.now.toString, revision = 1L)
-    val out =
-      try fs.create(path, /* overwrite = */ false)
-      catch {
-        case e: java.io.IOException =>
-          val holder =
-            try holderDescription(readFully(fs, path))
-            catch { case _: Exception => "owner unknown" }
+    def tryCreate(): Option[java.io.IOException] =
+      try {
+        val out = fs.create(path, /* overwrite = */ false)
+        try out.write(record.json.getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+        None
+      } catch { case e: java.io.IOException => Some(e) }
+    tryCreate() match {
+      case None => new Lease(fs, path, record)
+      case Some(e) if !fs.exists(path) =>
+        // a create failure with NO competing file is a real I/O error
+        // (disk full, permissions) — surface it, don't blame a phantom
+        // holder
+        throw e
+      case Some(e) =>
+        val raw = try Some(readFully(fs, path)) catch { case _: Exception => None }
+        val stale = raw.flatMap(parseRecord).exists { r =>
+          try java.time.Instant.parse(r.updatedAt)
+            .isBefore(java.time.Instant.now.minusMillis(staleAfterMs))
+          catch { case _: Exception => true } // unparseable timestamp
+        }
+        if (stale) {
+          // break the dead holder's lease and retry ONCE; a concurrent
+          // breaker winning the re-create is reported as a live conflict
+          fs.delete(path, false)
+          tryCreate() match {
+            case None => new Lease(fs, path, record)
+            case Some(e2) =>
+              throw new IllegalStateException(
+                s"lease '$path' re-acquired concurrently after stale-break",
+                e2)
+          }
+        } else {
+          val holder = raw.map(holderDescription).getOrElse("owner unknown")
           throw new IllegalStateException(
             s"lease '$path' is already held: $holder", e)
-      }
-    try out.write(record.json.getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    new Lease(fs, path, record)
+        }
+    }
   }
 
   /** The lease handle: [[Lease.refresh]] bumps revision/updatedAt (the
@@ -113,20 +148,29 @@ object CheckpointLease {
   final class Lease private[CheckpointLease] (fs: FileSystem, path: Path,
       private var rec: LeaseRecord) {
     def record: LeaseRecord = rec
+    /** Refresh = ownership check + overwrite, approximating the
+      * reference's KV `Update(revision)` CAS with the primitives a
+      * filesystem offers: first VERIFY the on-disk record is still
+      * ours — if a stale-break took the lease while this holder was
+      * wedged, refreshing must fail (and abort the run, reference
+      * runner.go:130-131), not clobber the new owner. The verify→write
+      * window is not atomic; the TTL horizon is chosen (30 s vs a
+      * sub-second refresh) so a live holder can't be mistaken for
+      * stale in that window.
+      */
     def refresh(): LeaseRecord = synchronized {
+      val current = try Some(readFully(fs, path)) catch { case _: Exception => None }
+      current.flatMap(parseRecord) match {
+        case Some(r) if r.owner == rec.owner => // still ours
+        case other =>
+          throw new IllegalStateException(
+            s"lease '$path' lost: now ${other.map(_.owner).getOrElse("absent")}")
+      }
       rec = rec.copy(updatedAt = java.time.Instant.now.toString,
         revision = rec.revision + 1)
-      // overwrite-in-place via temp + rename: readers see the old or
-      // the new payload, never a torn write
-      val tmp = new Path(path.getParent, s"${LeaseFile}.tmp${rec.pid}")
-      val out = fs.create(tmp, true)
+      val out = fs.create(path, true)
       try out.write(rec.json.getBytes(StandardCharsets.UTF_8))
       finally out.close()
-      if (!fs.rename(tmp, path)) {
-        fs.delete(path, false)
-        if (!fs.rename(tmp, path))
-          throw new java.io.IOException(s"refresh lease '$path': rename failed")
-      }
       rec
     }
     def release(): Unit =

@@ -28,15 +28,24 @@ import graft.functions.CountMin
   */
 object SketchStream {
 
-  /** Running snapshot of `upTo` (the latest committed batch id), or
-    * the zero sketch when `upTo < 0`. Partition pruning makes the read
-    * touch exactly one snapshot file.
+  /** Running sketch at the LATEST snapshot with `batch_id <= upTo`, or
+    * the zero sketch when none exists yet (negative `upTo`, missing
+    * output dir, or no committed batch) — so serving-side estimates
+    * are total functions, never path errors. Partition pruning keeps
+    * the read to the matching snapshot files.
     */
   def snapshot(spark: SparkSession, outDir: String, upTo: Long): Array[Long] =
     if (upTo < 0) CountMin.Agg.zero
-    else spark.read.parquet(outDir)
-      .filter(col("batch_id") === upTo)
-      .select("sk").head().getSeq[Long](0).toArray
+    else try {
+      val rows = spark.read.parquet(outDir)
+        .filter(col("batch_id") <= upTo)
+        .orderBy(col("batch_id").desc)
+        .select("sk").limit(1).collect()
+      if (rows.isEmpty) CountMin.Agg.zero
+      else rows(0).getSeq[Long](0).toArray
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException => CountMin.Agg.zero
+    }
 
   /** Estimate a term's frequency from the latest snapshot ≤ `upTo`. */
   def estimate(spark: SparkSession, outDir: String, upTo: Long,

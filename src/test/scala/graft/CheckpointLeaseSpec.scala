@@ -42,6 +42,35 @@ class CheckpointLeaseSpec extends AnyFunSuite {
     again.release()
   }
 
+  test("a stale lease is broken on acquire; refresh detects the loss") {
+    val dir = Files.createTempDirectory("lease").toString
+    val dead = CheckpointLease.acquire(spark, dir, version = "dead")
+    // dead holder never refreshes; with a zero staleness horizon the
+    // next acquire must take over (the reference's TTL expiry)
+    Thread.sleep(5)
+    val taker = CheckpointLease.acquire(spark, dir, version = "taker",
+      staleAfterMs = 1L)
+    assert(taker.record.version == "taker")
+    // the usurped holder's refresh must FAIL (abort-the-run semantics),
+    // not clobber the new owner
+    val err = intercept[IllegalStateException] { dead.refresh() }
+    assert(err.getMessage.contains("lost"), err.getMessage)
+    // and the new owner's refresh keeps working
+    assert(taker.refresh().revision == 2L)
+    taker.release()
+  }
+
+  test("a live lease is NOT broken within the staleness horizon") {
+    val dir = Files.createTempDirectory("lease").toString
+    val live = CheckpointLease.acquire(spark, dir, version = "live")
+    val err = intercept[IllegalStateException] {
+      CheckpointLease.acquire(spark, dir, version = "intruder",
+        staleAfterMs = 60000L)
+    }
+    assert(err.getMessage.contains("already held"), err.getMessage)
+    live.release()
+  }
+
   test("describe reports lease holder and Spark's own checkpoint state") {
     val root = Files.createTempDirectory("lease-desc").toString
     val in = s"$root/in"; new java.io.File(in).mkdirs()

@@ -60,5 +60,8 @@ class SketchStreamSpec extends AnyFunSuite {
     // mid-stream snapshot reflects only batch 1
     assert(SketchStream.estimate(spark, s"$root/out", 0, "delta") == 0)
     assert(SketchStream.estimate(spark, s"$root/out", 0, "beta") == 3)
+    // estimates are total functions: missing dir / no committed batch
+    // answer from the zero sketch instead of throwing
+    assert(SketchStream.estimate(spark, s"$root/absent", 5, "alpha") == 0)
   }
 }
