@@ -321,6 +321,55 @@ object VectorQueries {
   }
 
   // -------------------------------------------------------------------
+  // B29e+: multi-probe IVF — probe the query's `nprobe` NEAREST
+  // centroid lists instead of only the argmax list: the standard
+  // recall/cost knob of a production IVF index (recall rises with
+  // nprobe, scan cost stays nprobe/nlists of the corpus). The probe
+  // set is a 16-row centroid ranking (broadcast); the corpus side
+  // still touches only the probed lists via the broadcast hash join
+  // on list_id.
+  // -------------------------------------------------------------------
+  private val IvfNprobe = 4
+
+  def ivfMultiprobe(s: SparkSession, d: String): DataFrame =
+    graft.Stage.fanout(ivfAssigned(s, d)) { assigned =>
+      val q = assigned.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_embedding"), col("nrm").as("q_nrm"))
+      val cents = embeddings(s, d).filter(col("vec_id") < IvfSeeds)
+        .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
+      val probes = cents.crossJoin(broadcast(q))
+        .withColumn("pd", round(dot("c_emb", "q_embedding"), 6))
+        .orderBy(col("pd").desc, col("cid"))
+        .limit(IvfNprobe)
+        .select(col("cid").as("probe_list"))
+      assigned.filter(col("vec_id") > 0)
+        .join(broadcast(probes), col("list_id") === col("probe_list"))
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), col("label"),
+          cosinePre("embedding", "q_embedding", col("nrm"), col("q_nrm")).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(10)
+    }
+
+  val ivfMultiprobeSql: String = {
+    val cos = s"round((${dotSql("a.embedding", "q.q_embedding")}) / (a.nrm * q.q_nrm), 6)"
+    s"""WITH assigned AS ($ivfAssignedSql),
+       |q AS (SELECT embedding AS q_embedding, nrm AS q_nrm
+       |      FROM assigned WHERE vec_id = 0),
+       |probes AS (
+       |  SELECT cid AS probe_list FROM (
+       |    SELECT c.cid,
+       |      round(${dotSql("c.c_emb", "q.q_embedding")}, 6) AS pd
+       |    FROM (SELECT vec_id AS cid, embedding AS c_emb FROM embeddings
+       |          WHERE vec_id < $IvfSeeds) c, q)
+       |  ORDER BY pd DESC, cid LIMIT $IvfNprobe)
+       |SELECT a.vec_id, a.label, $cos AS sim
+       |FROM assigned a JOIN probes ON a.list_id = probes.probe_list, q
+       |WHERE a.vec_id > 0
+       |ORDER BY sim DESC, a.vec_id LIMIT 10""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // B29f: ANN quality metric — recall@10 of the LSH index against the
   // exact brute-force top-10 for the same query vector. The production
   // "is my index good enough" check: both legs ARE the library's own
@@ -452,6 +501,7 @@ object VectorQueries {
     "vec_ann_recall" -> (annRecall _),
     "vec_ivf_lists" -> (ivfLists _),
     "vec_ivf_ann" -> (ivfAnn _),
+    "vec_ivf_multiprobe" -> (ivfMultiprobe _),
     "vec_cosine_neardup" -> (cosineNeardup _),
     "vec_knn_bruteforce" -> (knnBruteForce _),
     "vec_knn_multi" -> (knnMulti _),
@@ -465,6 +515,7 @@ object VectorQueries {
     "vec_ann_recall" -> annRecallSql,
     "vec_ivf_lists" -> ivfListsSql,
     "vec_ivf_ann" -> ivfAnnSql,
+    "vec_ivf_multiprobe" -> ivfMultiprobeSql,
     "vec_cosine_neardup" -> cosineNeardupSql,
     "vec_knn_bruteforce" -> knnBruteForceSql,
     "vec_knn_multi" -> knnMultiSql,
