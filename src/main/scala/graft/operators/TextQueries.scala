@@ -1103,14 +1103,23 @@ object TextQueries {
   // benchmark) and broadcast-joins against the training passages, so
   // the corpus-side cost is one scan + one hash-key join at any scale.
   // -------------------------------------------------------------------
-  def decontaminate(s: SparkSession, d: String): DataFrame = {
-    val ph = documents(s, d)
-      .select(col("doc_id"), toks.as("t"))
+  /** Flat (doc_id, ph) relation of 8-token passage hashes at the given
+    * stride — ONE definition shared by the batch decontamination pass
+    * and [[graft.streaming.DecontaminateStream]], so batch and
+    * streaming contamination decisions agree by construction (the
+    * docFlags pattern). Pure narrow projection + explode:
+    * streaming-safe, no shuffle.
+    */
+  def passageHashes(df: DataFrame, stride: Int): DataFrame =
+    df.select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 8)
       .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(t) - 8, 1)," +
+        s"transform(sequence(0, size(t) - 8, $stride)," +
           " i -> concat_ws(' ', slice(t, i + 1, 8)))")).as("passage"))
       .select(col("doc_id"), h60(col("passage")).as("ph"))
+
+  def decontaminate(s: SparkSession, d: String): DataFrame = {
+    val ph = passageHashes(documents(s, d), stride = 1)
     graft.Stage.fanout(ph) { p =>
       val evalSet = p.filter(col("doc_id") % 13 === 0)
         .select(col("ph").as("eph")).distinct()

@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.DecontaminateStream
+
+/** Streaming decontamination must flag a doc that copies eval text the
+  * moment its batch arrives, pass clean docs through, and stay
+  * batch-identical in its per-doc passage accounting.
+  */
+class DecontaminateStreamSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private val schema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType)))
+
+  test("an eval-copying doc is flagged in its arrival batch") {
+    val root = Files.createTempDirectory("decon-stream").toString
+    val in = s"$root/in"; new java.io.File(in).mkdirs()
+
+    // batch 1: genuine corpus docs (train side). batch 2: one doc that
+    // verbatim-copies an eval doc (doc_id 0 % 13 == 0) — guaranteed
+    // contamination — plus one clean synthetic doc.
+    val evalText = graft.Tables.documents(spark, sf)
+      .filter(col("doc_id") === 0).select("text").head().getString(0)
+    import scala.jdk.CollectionConverters._
+    def writeBatch(name: String, rows: Seq[(Long, String)]): Unit = {
+      spark.createDataFrame(
+          rows.map { case (id, t) => org.apache.spark.sql.Row(id, t) }.asJava,
+          schema)
+        .coalesce(1).write.mode("overwrite").parquet(s"$in/_stage")
+      val part = new java.io.File(s"$in/_stage").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, new java.io.File(s"$in/$name").toPath)
+    }
+    writeBatch("b1.parquet", Seq(
+      (1001L, "one two three four five six seven eight nine ten")))
+    writeBatch("b2.parquet", Seq(
+      (9999L, evalText),
+      (1002L, "red orange yellow green blue indigo violet white black")))
+
+    val docs = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val q = DecontaminateStream.start(
+      spark, docs, sf, s"$root/out", s"$root/chk")
+    try q.processAllAvailable() finally q.stop()
+
+    val out = spark.read.parquet(s"$root/out")
+    assert(out.select("batch_id").distinct().count() == 2)
+
+    // the copier is contaminated on EVERY passage; the clean docs
+    // aren't flagged; passage accounting matches the shared definition
+    val copier = out.filter(col("doc_id") === 9999L).head()
+    assert(copier.getAs[Boolean]("contaminated"), copier.toString)
+    assert(copier.getAs[Long]("n_hits") == copier.getAs[Long]("n_passages"),
+      copier.toString)
+    val evalPassages = graft.operators.TextQueries
+      .passageHashes(
+        graft.Tables.documents(spark, sf).filter(col("doc_id") === 0), 1)
+      .count()
+    assert(copier.getAs[Long]("n_passages") == evalPassages)
+    out.filter(col("doc_id").isin(1001L, 1002L)).collect().foreach { r =>
+      assert(!r.getAs[Boolean]("contaminated"), r.toString)
+      assert(r.getAs[Long]("n_hits") == 0L, r.toString)
+    }
+    // lifecycle: the cached eval set is released on termination
+    val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+    while (!spark.sharedState.cacheManager.isEmpty &&
+      System.nanoTime() < deadline) Thread.sleep(100)
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
+}
