@@ -18,8 +18,11 @@ class CodegenGateSpec extends AnyFunSuite {
 
   private val names = Seq(
     "vec_knn_bruteforce", "vec_knn_multi", "vec_lsh_buckets", "vec_lsh_ann",
-    "vec_ivf_lists", "vec_ivf_ann", "vec_cosine_neardup",
-    "cdc_full_event_json")
+    "vec_ivf_lists", "vec_ivf_ann", "vec_ivf_multiprobe", "vec_cosine_neardup",
+    "vec_quantize", "cdc_full_event_json",
+    // round-5 additions: staged fan-outs + the sketch UDAF path
+    "dedup_decontaminate", "text_heavy_hitters", "train_packing",
+    "text_repetition")
 
   test("codegen-heavy queries run with all codegen fallbacks disabled") {
     val conf = spark.conf
