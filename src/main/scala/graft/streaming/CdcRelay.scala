@@ -261,12 +261,12 @@ object CdcRelay {
         .start()
       catch { case e: Throwable => lease.foreach(_.release()); throw e }
     lease.foreach { l =>
-      // keep the lease fresh while the query makes progress (the
+      // keep the lease fresh on every trigger — progress AND idle (the
       // reference's refreshLoop): a holder that stops refreshing goes
       // stale and a restarted driver takes over after the TTL. A
       // refresh failure means the lease was lost — stop the run, like
       // runner.go:130-131.
-      StreamLifecycle.onProgress(spark, query)(
+      StreamLifecycle.onActivity(spark, query)(
         () => { l.refresh(); () },
         _ => try query.stop() catch { case _: Exception => () })
       StreamLifecycle.onTerminated(spark, query)(() => l.release())

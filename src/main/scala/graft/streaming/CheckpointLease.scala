@@ -117,15 +117,27 @@ object CheckpointLease {
         throw e
       case Some(e) =>
         val raw = try Some(readFully(fs, path)) catch { case _: Exception => None }
-        val stale = raw.flatMap(parseRecord).exists { r =>
-          try java.time.Instant.parse(r.updatedAt)
-            .isBefore(java.time.Instant.now.minusMillis(staleAfterMs))
-          catch { case _: Exception => true } // unparseable timestamp
+        // a torn/unparseable record counts as STALE, same policy as an
+        // unparseable timestamp: a kill -9 mid-write must not wedge
+        // every future acquire behind an unreadable file
+        val stale = raw.flatMap(parseRecord) match {
+          case None => true
+          case Some(r) =>
+            try java.time.Instant.parse(r.updatedAt)
+              .isBefore(java.time.Instant.now.minusMillis(staleAfterMs))
+            catch { case _: Exception => true }
         }
         if (stale) {
-          // break the dead holder's lease and retry ONCE; a concurrent
-          // breaker winning the re-create is reported as a live conflict
-          fs.delete(path, false)
+          // break the dead holder's lease and retry ONCE. The delete is
+          // guarded: only remove the file if it still carries the SAME
+          // payload we judged stale — a competing breaker that already
+          // re-created it must see a conflict, not have its fresh lease
+          // deleted out from under it. (Check-then-delete is still a
+          // window, which is why the lease stays advisory.)
+          val unchanged =
+            try raw.contains(readFully(fs, path))
+            catch { case _: Exception => raw.isEmpty }
+          if (unchanged) fs.delete(path, false)
           tryCreate() match {
             case None => new Lease(fs, path, record)
             case Some(e2) =>
@@ -173,9 +185,17 @@ object CheckpointLease {
       finally out.close()
       rec
     }
+    /** Ownership-checked delete: a USURPED holder's shutdown (stale
+      * break happened while it was wedged; its refresh already threw)
+      * must not destroy the new owner's live lease — only the record
+      * we actually wrote gets removed. Tolerates absence, like the
+      * reference's Delete (runner.go:718-724).
+      */
     def release(): Unit =
-      try { fs.delete(path, false); () }
-      catch { case _: java.io.FileNotFoundException => () }
+      try {
+        val ours = parseRecord(readFully(fs, path)).exists(_.owner == rec.owner)
+        if (ours) { fs.delete(path, false); () }
+      } catch { case _: Exception => () }
   }
 
   /** Ownership report for any checkpoint dir — lease holder (if one is

@@ -40,12 +40,20 @@ object DecontaminateStream {
     val query = try docs.writeStream
       .option("checkpointLocation", chkDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.operators.TextQueries.passageHashes(batch, stride = 1)
+        val perDoc = graft.operators.TextQueries
+          .passageHashes(batch, stride = 1)
           .join(evalSet, col("ph") === col("eph"), "left")
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_passages"), count(col("eph")).as("n_hits"))
-          .select(col("doc_id"), col("n_passages"), col("n_hits"),
-            (col("n_hits") > 0).as("contaminated"))
+        // EVERY doc in the batch gets a verdict row: a sub-8-token doc
+        // has no passages to test, so it reports (0, 0, clean) rather
+        // than silently vanishing from a report consumers gate on
+        batch.select(col("doc_id")).distinct()
+          .join(perDoc, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_passages"), lit(0L)).as("n_passages"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+            (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
           .withColumn("batch_id", lit(batchId))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")

@@ -55,7 +55,9 @@ class CheckpointLeaseSpec extends AnyFunSuite {
     // not clobber the new owner
     val err = intercept[IllegalStateException] { dead.refresh() }
     assert(err.getMessage.contains("lost"), err.getMessage)
-    // and the new owner's refresh keeps working
+    // ...and its RELEASE must be an ownership-checked no-op: the dying
+    // usurped holder's shutdown path cannot destroy the live lease
+    dead.release()
     assert(taker.refresh().revision == 2L)
     taker.release()
   }

@@ -28,18 +28,12 @@ class DecontaminateStreamSpec extends AnyFunSuite {
     // contamination — plus one clean synthetic doc.
     val evalText = graft.Tables.documents(spark, sf)
       .filter(col("doc_id") === 0).select("text").head().getString(0)
-    import scala.jdk.CollectionConverters._
-    def writeBatch(name: String, rows: Seq[(Long, String)]): Unit = {
-      spark.createDataFrame(
-          rows.map { case (id, t) => org.apache.spark.sql.Row(id, t) }.asJava,
-          schema)
-        .coalesce(1).write.mode("overwrite").parquet(s"$in/_stage")
-      val part = new java.io.File(s"$in/_stage").listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      Files.move(part.toPath, new java.io.File(s"$in/$name").toPath)
-    }
+    def writeBatch(name: String, rows: Seq[(Long, String)]): Unit =
+      StreamFiles.writeOneFile(spark, in, name,
+        rows.map { case (id, t) => org.apache.spark.sql.Row(id, t) }, schema)
     writeBatch("b1.parquet", Seq(
-      (1001L, "one two three four five six seven eight nine ten")))
+      (1001L, "one two three four five six seven eight nine ten"),
+      (1003L, "too short")))
     writeBatch("b2.parquet", Seq(
       (9999L, evalText),
       (1002L, "red orange yellow green blue indigo violet white black")))
@@ -68,6 +62,11 @@ class DecontaminateStreamSpec extends AnyFunSuite {
       assert(!r.getAs[Boolean]("contaminated"), r.toString)
       assert(r.getAs[Long]("n_hits") == 0L, r.toString)
     }
+    // a sub-8-token doc still gets an explicit clean verdict (0
+    // passages tested), not a silent absence from the report
+    val short = out.filter(col("doc_id") === 1003L).head()
+    assert(!short.getAs[Boolean]("contaminated"), short.toString)
+    assert(short.getAs[Long]("n_passages") == 0L, short.toString)
     // lifecycle: the cached eval set is released on termination
     val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
     while (!spark.sharedState.cacheManager.isEmpty &&

@@ -27,14 +27,8 @@ class SketchStreamSpec extends AnyFunSuite {
     val batch2 = Seq((3L, "alpha alpha delta"), (4L, "delta beta alpha"))
     Seq(("b1.parquet", batch1), ("b2.parquet", batch2)).foreach {
       case (name, rows) =>
-        import scala.jdk.CollectionConverters._
-        spark.createDataFrame(
-            rows.map { case (id, t) => org.apache.spark.sql.Row(id, t) }.asJava,
-            schema)
-          .coalesce(1).write.mode("overwrite").parquet(s"$in/_stage")
-        val part = new java.io.File(s"$in/_stage").listFiles()
-          .find(_.getName.endsWith(".parquet")).get
-        Files.move(part.toPath, new java.io.File(s"$in/$name").toPath)
+        StreamFiles.writeOneFile(spark, in, name,
+          rows.map { case (id, t) => org.apache.spark.sql.Row(id, t) }, schema)
     }
 
     val docs = spark.readStream.schema(schema)
