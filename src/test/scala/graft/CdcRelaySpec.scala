@@ -247,6 +247,20 @@ class CdcRelaySpec extends AnyFunSuite {
       }
       assert(err.getMessage.contains("already held"), err.getMessage)
       assert(err.getMessage.contains("graft-relay/graft"), err.getMessage)
+      // the refreshLoop analog rides progress AND idle triggers: with
+      // no new input the stream goes idle, and the lease revision must
+      // still advance — a quiet relay may never be stale-broken
+      def revision(): Long = {
+        val raw = new String(java.nio.file.Files.readAllBytes(
+          new java.io.File(s"$root/chk",
+            graft.streaming.CheckpointLease.LeaseFile).toPath))
+        """"revision":(\d+)""".r.findFirstMatchIn(raw).get.group(1).toLong
+      }
+      val r0 = revision()
+      val deadline0 = System.nanoTime() + 20L * 1000 * 1000 * 1000
+      while (revision() <= r0 && System.nanoTime() < deadline0)
+        Thread.sleep(100)
+      assert(revision() > r0, "lease revision must advance on idle triggers")
     } finally q.stop()
     // termination releases the lease (listener fires async); a restart
     // must then succeed
