@@ -96,7 +96,15 @@ object CdcRelay {
         * invariant (SURVEY §1.1); the lease adds the reference's
         * diagnostics.
         */
-      singleWriterLease: Boolean = false) {
+      singleWriterLease: Boolean = false,
+      /** A2 resume override (reference `--timestamp-last`,
+        * config.go:215): relay only events with raw timestamp STRICTLY
+        * greater than this nanosecond value, regardless of checkpoint
+        * state — the operator's manual-rewind/skip-ahead lever. The
+        * checkpoint still governs which FILES replay; this filter
+        * bounds which EVENTS pass.
+        */
+      timestampLast: Option[Long] = None) {
 
     /** Every config violation (empty = valid). Messages mirror the
       * reference's (config.go:164-371): named field, expected range.
@@ -116,6 +124,9 @@ object CdcRelay {
       maxFilesPerSecond.foreach { r =>
         if (!(r > 0))
           b += s"maxFilesPerSecond must be greater than zero (got $r)"
+      }
+      timestampLast.foreach { t =>
+        if (t < 0) b += s"timestampLast must be non-negative (got $t)"
       }
       subjectMode match {
         case "structured" =>
@@ -235,7 +246,12 @@ object CdcRelay {
       // A5: the rate ceiling shrinks the per-trigger admission cap
       .option("maxFilesPerTrigger", cfg.effectiveMaxFilesPerTrigger)
       .parquet(cfg.inputDir)
-    val enveloped = transform(in, cfg)
+    // A2 override: strict > on the event timestamp (reference resumes
+    // from last+1); ts is micros here, the flag value raw nanos
+    val bounded = cfg.timestampLast.fold(in) { ns =>
+      in.filter(col("ts") > timestamp_micros(lit(ns / 1000L)))
+    }
+    val enveloped = transform(bounded, cfg)
       .withWatermark("ts", cfg.dedupeWindow)
       .dropDuplicatesWithinWatermark("msg_id")
     val query =
