@@ -56,13 +56,25 @@ object RelayCli {
         case eq => kv(bare(a.substring(0, eq))) = a.substring(eq + 1); i += 1
       }
     }
+    // Go's flag package accepts booleans both bare (--provision) and
+    // valued (--provision=false); honor both forms
+    def bool(k: String): Boolean =
+      flags.contains(k) || kv.get(k).exists { v =>
+        v.toLowerCase match {
+          case "true" | "1" => true
+          case "false" | "0" => false
+          case other =>
+            throw new IllegalArgumentException(s"invalid --$k: '$other'")
+        }
+      }
+    val boolFlags = Set("drain", "provision", "single-writer-lease",
+      "stream-update")
     val known = Set("cluster", "cluster-id", "input-dir", "output-dir",
       "checkpoint-dir", "subject-mode", "subject-prefix", "subject",
       "dedupe-window", "event-count-max", "idle-interval-ms",
       "requests-per-second-limit", "timestamp-last")
     val unknown = (kv.keySet ++ flags) --
-      known -- IgnoredValueFlags --
-      Set("drain", "provision", "single-writer-lease", "stream-update")
+      known -- IgnoredValueFlags -- boolFlags
     if (unknown.nonEmpty)
       throw new IllegalArgumentException(
         s"flag provided but not defined: ${unknown.toSeq.sorted.map("--" + _).mkString(", ")}")
@@ -91,10 +103,13 @@ object RelayCli {
       idleIntervalMs = long("idle-interval-ms").getOrElse(base.idleIntervalMs),
       maxFilesPerSecond =
         long("requests-per-second-limit").map(_.toDouble),
-      provision = flags.contains("provision") || base.provision,
-      singleWriterLease = flags.contains("single-writer-lease"),
+      provision =
+        if (flags.contains("provision") || kv.contains("provision"))
+          bool("provision")
+        else base.provision,
+      singleWriterLease = bool("single-writer-lease"),
       timestampLast = long("timestamp-last"))
-    Parsed(cfg.validated, drain = flags.contains("drain"),
+    Parsed(cfg.validated, drain = bool("drain"),
       ignored = kv.keySet.intersect(IgnoredValueFlags).toSeq.sorted)
   }
 

@@ -36,6 +36,19 @@ class RelayCliSpec extends AnyFunSuite {
     assert(p.ignored == Seq("nats-url", "stream-replicas"))
   }
 
+  test("booleans accept both bare and valued forms, like Go's flag pkg") {
+    def base(extra: String*) = RelayCli.parse(Seq("--cluster-id", "1",
+      "--input-dir", "/in", "--output-dir", "/out",
+      "--checkpoint-dir", "/chk") ++ extra)
+    assert(!base("--provision=false").config.provision)
+    assert(base("--provision=true").config.provision)
+    assert(base().config.provision) // default stays true
+    assert(base("--single-writer-lease=true").config.singleWriterLease)
+    assert(base("--drain=true").drain && !base().drain)
+    val bad = intercept[IllegalArgumentException] { base("--drain=maybe") }
+    assert(bad.getMessage == "invalid --drain: 'maybe'")
+  }
+
   test("error shapes mirror the reference parser") {
     val miss = intercept[IllegalArgumentException] {
       RelayCli.parse(Seq("--input-dir", "/in", "--output-dir", "/out",
