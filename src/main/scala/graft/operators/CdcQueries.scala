@@ -33,10 +33,19 @@ object CdcQueries {
     * by string concat with the portable-number rule so the DuckDB oracle
     * can construct the identical bytes.
     */
+  /** Sort FIRST, widen AFTER: the total ordering exchanges the narrow
+    * source rows (~80 B), and the 564-byte envelope is built above the
+    * Sort — plan-asserted in PlanQualitySpec. Projecting before the
+    * orderBy would range-shuffle the built JSON instead: ~7× the
+    * exchange bytes for identical output (measured ~25-40% slower at
+    * sf0.1; at 100 TB the shuffle delta is the whole game). The same
+    * shape is applied to every wide-payload CDC query below.
+    */
   def envelope(spark: SparkSession, sfDir: String): DataFrame =
-    envelopeProjection(Tables.events(spark, sfDir), SubjectPrefix, ClusterId)
+    envelopeProjection(
+      Tables.events(spark, sfDir).orderBy("event_id"),
+      SubjectPrefix, ClusterId)
       .drop("ts")
-      .orderBy("event_id")
 
   /** Oracle SQL for [[envelope]] (same string assembly in DuckDB). */
   val envelopeSql: String =
@@ -76,7 +85,7 @@ object CdcQueries {
       lit(",\"value_cents\":"), cents.cast("string"),
       lit(",\"k\":"), k,
       lit("}"))
-    ev.select(
+    ev.orderBy("event_id").select(
       col("event_id"),
       msgId(ClusterId, tsMicros).as("msg_id"),
       subjectFor(SubjectPrefix, col("user_id"), col("event_type")).as("subject"),
@@ -90,7 +99,7 @@ object CdcQueries {
       pmod(col("event_id"), lit(65536L)).cast("string")
         .as("h_credit_account_code"),
       body.as("body")
-    ).orderBy("event_id")
+    )
   }
 
   /** B6: nested struct + `to_json` projection — the engine-native JSON
@@ -106,12 +115,12 @@ object CdcQueries {
       col("user_id").as("ledger"),
       col("event_type").as("type"),
       cents.as("cents")))
-    ev.select(
+    ev.orderBy("event_id").select(
       col("event_id"),
       doc.as("doc"),
       get_json_object(doc, "$.ledger").cast("long").as("ledger_rt"),
       get_json_object(doc, "$.type").as("type_rt")
-    ).orderBy("event_id")
+    )
   }
 
   val structJsonSql: String =
@@ -194,12 +203,12 @@ object CdcQueries {
     // (event_id % 1000) * 2e13 spans [0, 2e16] around the 9.007e15
     // boundary (~55% below, 45% above), and never overflows a long
     val big = pmod(col("event_id"), lit(1000)) * lit(20000000000000L) + col("user_id")
-    ev.select(
+    ev.orderBy("event_id").select(
       col("event_id"),
       big.as("v"),
       (big <= lit(9007199254740991L)).as("is_safe"),
       portableU64Json(big).as("encoded")
-    ).orderBy("event_id")
+    )
   }
 
   val portableSql: String =
@@ -433,12 +442,12 @@ object CdcQueries {
     // scaffolding (~80 hashes/row), not operator cost — the operator
     // under test (cdcJsonBody) is a cheap codegen'd concat
     ev.filter(pmod(col("event_id"), lit(17)) === 0)
+      .orderBy("event_id")
       .select(
         col("event_id"),
         eventTypeName(typeCode).as("type_name"),
         body.as("body"),
         length(body).as("body_len"))
-      .orderBy("event_id")
   }
 
   val fullEventJsonSql: String = {

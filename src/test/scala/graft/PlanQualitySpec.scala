@@ -226,6 +226,23 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("envelope queries build the payload ABOVE the ordering exchange") {
+    // sort narrow rows, widen after: everything below the range
+    // exchange must be payload-free — a concat below it means the
+    // shuffle is carrying built JSON (~7x the bytes)
+    for ((name, q) <- Seq(
+        ("cdc_envelope", CdcQueries.envelope(spark, sf)),
+        ("cdc_envelope_native", CdcQueries.envelopeNative(spark, sf)),
+        ("cdc_full_event_json", CdcQueries.fullEventJson(spark, sf)))) {
+      val plan = physical(q)
+      val ex = plan.indexOf("Exchange rangepartitioning")
+      assert(ex >= 0, s"$name: $plan")
+      val below = plan.substring(ex)
+      assert(!below.contains("concat("),
+        s"$name shuffles built payload below the ordering exchange")
+    }
+  }
+
   test("mixture reweighting scans the corpus exactly once") {
     // the global totals come from a window over the |sources|-row
     // aggregate — a second corpus scan for the denominator would double
