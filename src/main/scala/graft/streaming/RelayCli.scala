@@ -86,6 +86,20 @@ object RelayCli {
           throw new IllegalArgumentException(s"invalid --$k: '$v'")
       }
     }
+    def dbl(k: String): Option[Double] = kv.get(k).map { v =>
+      try v.toDouble catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(s"invalid --$k: '$v'")
+      }
+    }
+    // bounds-checked here (not via silent .toInt truncation): the
+    // reference's parser rejects out-of-range values at parse time
+    val eventCountMax = long("event-count-max").map { v =>
+      if (v < 1 || v > Int.MaxValue)
+        throw new IllegalArgumentException(
+          s"--event-count-max must be in [1, ${Int.MaxValue}]")
+      v.toInt
+    }
     def dir(k: String): String = kv.getOrElse(k,
       throw new IllegalArgumentException(s"--$k is required"))
     val base = CdcRelay.RelayConfig(
@@ -98,11 +112,10 @@ object RelayCli {
       subjectPrefix = kv.getOrElse("subject-prefix", base.subjectPrefix),
       singleSubject = kv.getOrElse("subject", base.singleSubject),
       dedupeWindow = kv.getOrElse("dedupe-window", base.dedupeWindow),
-      maxFilesPerTrigger =
-        long("event-count-max").map(_.toInt).getOrElse(base.maxFilesPerTrigger),
+      maxFilesPerTrigger = eventCountMax.getOrElse(base.maxFilesPerTrigger),
       idleIntervalMs = long("idle-interval-ms").getOrElse(base.idleIntervalMs),
-      maxFilesPerSecond =
-        long("requests-per-second-limit").map(_.toDouble),
+      // fractional rates are meaningful (floor(rps x idleInterval))
+      maxFilesPerSecond = dbl("requests-per-second-limit"),
       provision =
         if (flags.contains("provision") || kv.contains("provision"))
           bool("provision")
@@ -110,7 +123,8 @@ object RelayCli {
       singleWriterLease = bool("single-writer-lease"),
       timestampLast = long("timestamp-last"))
     Parsed(cfg.validated, drain = bool("drain"),
-      ignored = kv.keySet.intersect(IgnoredValueFlags).toSeq.sorted)
+      // bare AND valued broker-only flags are both reported
+      ignored = (kv.keySet ++ flags).intersect(IgnoredValueFlags).toSeq.sorted)
   }
 
   def main(args: Array[String]): Unit = {
@@ -123,9 +137,12 @@ object RelayCli {
       }
     parsed.ignored.foreach(f =>
       System.err.println(s"[relay-cli] ignoring broker-only flag --$f"))
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .config("spark.sql.session.timeZone", "UTC")
-      .getOrCreate()
+    // spark-submit provides spark.master; a bare `sbt runMain` doesn't
+    if (!sys.props.contains("spark.master"))
+      builder.master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
+    val spark = builder.getOrCreate()
     val query =
       if (parsed.drain) CdcRelay.start(spark, parsed.config,
         Trigger.AvailableNow())

@@ -250,12 +250,17 @@ class CdcRelaySpec extends AnyFunSuite {
       // the refreshLoop analog rides progress AND idle triggers: with
       // no new input the stream goes idle, and the lease revision must
       // still advance — a quiet relay may never be stale-broken
-      def revision(): Long = {
-        val raw = new String(java.nio.file.Files.readAllBytes(
-          new java.io.File(s"$root/chk",
-            graft.streaming.CheckpointLease.LeaseFile).toPath))
-        """"revision":(\d+)""".r.findFirstMatchIn(raw).get.group(1).toLong
-      }
+      // refresh overwrites the file in place, so a concurrent read may
+      // see truncated/absent content — treat that as "not yet" and keep
+      // polling rather than crashing the test
+      def revision(): Long =
+        try {
+          val raw = new String(java.nio.file.Files.readAllBytes(
+            new java.io.File(s"$root/chk",
+              graft.streaming.CheckpointLease.LeaseFile).toPath))
+          """"revision":(\d+)""".r.findFirstMatchIn(raw)
+            .map(_.group(1).toLong).getOrElse(-1L)
+        } catch { case _: java.io.IOException => -1L }
       val r0 = revision()
       val deadline0 = System.nanoTime() + 20L * 1000 * 1000 * 1000
       while (revision() <= r0 && System.nanoTime() < deadline0)

@@ -49,6 +49,24 @@ class RelayCliSpec extends AnyFunSuite {
     assert(bad.getMessage == "invalid --drain: 'maybe'")
   }
 
+  test("numeric flags are range-checked and rates accept fractions") {
+    def base(extra: String*) = RelayCli.parse(Seq("--cluster-id", "1",
+      "--input-dir", "/in", "--output-dir", "/out",
+      "--checkpoint-dir", "/chk") ++ extra)
+    // above Int range must ERROR, not silently truncate to a wrong cap
+    val over = intercept[IllegalArgumentException] {
+      base("--event-count-max", "4294967297")
+    }
+    assert(over.getMessage.contains("must be in [1,"), over.getMessage)
+    // sub-1.0 rates are meaningful with long idle intervals
+    val frac = base("--requests-per-second-limit", "0.5",
+      "--idle-interval-ms", "4000")
+    assert(frac.config.maxFilesPerSecond.contains(0.5))
+    assert(frac.config.effectiveMaxFilesPerTrigger == 2)
+    // a bare broker-only flag is still reported as ignored
+    assert(base("--stream-update").ignored == Seq("stream-update"))
+  }
+
   test("error shapes mirror the reference parser") {
     val miss = intercept[IllegalArgumentException] {
       RelayCli.parse(Seq("--input-dir", "/in", "--output-dir", "/out",
@@ -74,6 +92,22 @@ class RelayCliSpec extends AnyFunSuite {
         "--timestamp-last", "-5"))
     }
     assert(range.getMessage.contains("timestampLast"), range.getMessage)
+  }
+
+  test("main() relays end-to-end with --drain") {
+    val root = Files.createTempDirectory("relay-cli-main").toString
+    val in = s"$root/in"; new java.io.File(in).mkdirs()
+    val base = 1700000000000000L
+    StreamFiles.writeOneFile(spark, in, "b1.parquet",
+      Seq(1L, 2L).map { id =>
+        Row(id, new java.sql.Timestamp((base + id * 1000000L) / 1000), id,
+          "view", 1.0, """{"k": 1}""")
+      }, CdcRelay.inputSchema)
+    RelayCli.main(Array("--cluster-id", "1",
+      "--input-dir", in, "--output-dir", s"$root/out",
+      "--checkpoint-dir", s"$root/chk", "--drain",
+      "--nats-url", "nats://ignored:4222"))
+    assert(spark.read.parquet(s"$root/out").count() == 2)
   }
 
   test("--timestamp-last bounds relayed events with a strict >") {
