@@ -17,7 +17,10 @@ class OperatorSmokeSpec extends AnyFunSuite {
       "dedup_ngram_jaccard", "dedup_clusters")
 
   // Queries that are intentionally rows-only (no deterministic oracle).
-  private val rowsOnly = Set("rel_approx_distinct")
+  // empty since round 5: every registered query is oracle-paired (the
+  // approx sketches are certified via within-tolerance booleans against
+  // exact values, so even they hash-compare)
+  private val rowsOnly = Set.empty[String]
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs on sf0.001") {
