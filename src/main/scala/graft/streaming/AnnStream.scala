@@ -76,7 +76,10 @@ object AnnStream {
     // release the serving cache when THIS query terminates — the stream
     // handle outlives start(), so cleanup must be event-driven (and
     // race-hardened: StreamLifecycle also covers a query that died
-    // before the listener registered)
+    // before the listener registered). Non-blocking here, unlike
+    // Stage.fanout: this runs on the listener bus thread, where a
+    // blocking drop would stall event dispatch, and no query is
+    // waiting behind a terminated stream.
     StreamLifecycle.onTerminated(spark, query)(
       () => corpus.unpersist(blocking = false))
     query

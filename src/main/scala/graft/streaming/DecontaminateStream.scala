@@ -65,6 +65,8 @@ object DecontaminateStream {
     catch {
       case e: Throwable => evalSet.unpersist(blocking = true); throw e
     }
+    // non-blocking: listener-bus thread (see AnnStream) — blocking
+    // release is for the per-query batch path, not stream teardown
     StreamLifecycle.onTerminated(spark, query)(
       () => evalSet.unpersist(blocking = false))
     query
