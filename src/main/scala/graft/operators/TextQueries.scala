@@ -1408,7 +1408,94 @@ object TextQueries {
       |GROUP BY source, bin
       |ORDER BY source, bin""".stripMargin
 
+  // -------------------------------------------------------------------
+  // Charter: dedup method-agreement audit — the QA report an operator
+  // reads before committing to thresholds: per method pair, how many
+  // docs each dedup method flags (diagonal), how many both flag, and
+  // the Jaccard agreement of the flag sets. Exact = duplicated content
+  // hash; near = member of any LSH-verified near-dup pair; passage =
+  // majority-duplicate passage windows. The flag relations are slim
+  // (method, doc_id) sets, so the pairwise comparison is a same-key
+  // self-join over |flagged docs| rows — the expensive legs are the
+  // dedup pipelines themselves, each already staged/checkpoint-backed.
+  // -------------------------------------------------------------------
+  def dedupAgreement(s: SparkSession, d: String): DataFrame = {
+    val exactDocs = documents(s, d)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .withColumn("nh", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("nh") > 1).select("doc_id")
+    val nearDocs = neardupPairs(s, d)
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val passDocs = passageDedup(s, d).filter(col("flagged")).select("doc_id")
+    val rel = exactDocs.withColumn("method", lit("exact"))
+      .unionByName(nearDocs.withColumn("method", lit("near")))
+      .unionByName(passDocs.withColumn("method", lit("passage")))
+      .select("method", "doc_id")
+    val sizes = rel.groupBy("method").agg(count(lit(1)).as("n"))
+    val a = rel.select(col("method").as("method_a"), col("doc_id").as("ida"))
+    val b = rel.select(col("method").as("method_b"), col("doc_id").as("idb"))
+    a.join(b, col("ida") === col("idb") && col("method_a") <= col("method_b"))
+      .groupBy("method_a", "method_b").agg(count(lit(1)).as("n_both"))
+      .join(sizes.select(col("method").as("ma"), col("n").as("na")),
+        col("method_a") === col("ma"))
+      .join(sizes.select(col("method").as("mb"), col("n").as("nb")),
+        col("method_b") === col("mb"))
+      .select(col("method_a"), col("method_b"), col("na"), col("nb"),
+        col("n_both"), (col("na") + col("nb") - col("n_both")).as("n_either"),
+        (col("n_both").cast("double") /
+          (col("na") + col("nb") - col("n_both"))).as("agreement"))
+      .orderBy("method_a", "method_b")
+  }
+
+  val dedupAgreementSql: String = {
+    val nearSql = neardupPairsSql.replace("ORDER BY doc_a, doc_b", "")
+    val ph = h60Sql("passage")
+    s"""WITH near_pairs AS (SELECT doc_a, doc_b FROM ($nearSql)),
+       |nearrel AS (
+       |  SELECT DISTINCT doc_id FROM (
+       |    SELECT doc_a AS doc_id FROM near_pairs
+       |    UNION ALL SELECT doc_b FROM near_pairs)),
+       |exactrel AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, count(*) OVER (PARTITION BY md5(text)) AS nh
+       |    FROM documents) WHERE nh > 1),
+       |pwt AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 8),
+       |pp AS (
+       |  SELECT doc_id, $ph AS ph FROM (
+       |    SELECT doc_id,
+       |      unnest(list_transform(range(0, len(t) - 8 + 1, 4),
+       |        i -> array_to_string(t[i + 1:i + 8], ' '))) AS passage
+       |    FROM pwt)),
+       |pshared AS (
+       |  SELECT ph AS ph_s FROM pp GROUP BY ph
+       |  HAVING count(DISTINCT doc_id) > 1),
+       |passrel AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, count(*) AS n_passages, count(ph_s) AS n_dup
+       |    FROM pp LEFT JOIN pshared ON pp.ph = pshared.ph_s
+       |    GROUP BY doc_id)
+       |  WHERE n_dup * 2 >= n_passages),
+       |rel AS (
+       |  SELECT 'exact' AS method, doc_id FROM exactrel
+       |  UNION ALL SELECT 'near', doc_id FROM nearrel
+       |  UNION ALL SELECT 'passage', doc_id FROM passrel),
+       |sizes AS (SELECT method, count(*) AS n FROM rel GROUP BY method)
+       |SELECT a.method AS method_a, b.method AS method_b,
+       |  sa.n AS na, sb.n AS nb, count(*) AS n_both,
+       |  CAST(sa.n + sb.n - count(*) AS BIGINT) AS n_either,
+       |  CAST(count(*) AS DOUBLE) / (sa.n + sb.n - count(*)) AS agreement
+       |FROM rel a JOIN rel b ON a.doc_id = b.doc_id AND a.method <= b.method
+       |JOIN sizes sa ON sa.method = a.method
+       |JOIN sizes sb ON sb.method = b.method
+       |GROUP BY a.method, b.method, sa.n, sb.n
+       |ORDER BY method_a, method_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_agreement" -> (dedupAgreement _),
     "train_packing" -> (trainPacking _),
     "train_curriculum" -> (trainCurriculum _),
     "text_heavy_hitters" -> (heavyHitters _),
@@ -1437,6 +1524,7 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "dedup_agreement" -> dedupAgreementSql,
     "train_packing" -> trainPackingSql,
     "train_curriculum" -> trainCurriculumSql,
     "text_heavy_hitters" -> heavyHittersSql,
