@@ -50,8 +50,11 @@ object Bench {
       System.gc()
       name -> dt
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def jsonMap(m: Map[String, Double], decimals: Int): String =
+      m.toSeq.sortBy(_._1).map { case (k, v) =>
+        "\"" + k + "\":" + (s"%.${decimals}f".format(v))
+      }.mkString("{", ",", "}")
+    val qs = jsonMap(results, 6)
     // headline = a FIXED representative subset, stable across rounds, so
     // the recorded baseline stays comparable as the inventory grows;
     // per-query times for everything remain in "queries"
@@ -69,11 +72,36 @@ object Bench {
           missingHeadline.mkString(", "))
     val total = headline.flatMap(results.get).sum
     val totalAll = if (results.nonEmpty) results.values.sum else 0.0
-    // "queries" FIRST, summary fields LAST: the driver keeps only the
-    // tail of the output, so anything printed before a long per-query
-    // map risks truncation (rounds 3-4 lost the headline total this
-    // way). Everything that matters must survive a head-truncated line.
-    println(s"""{"queries":$qs,"sf":"$sfDir","metric":"headline_total_15q","unit":"sec","n_headline":${headline.size - missingHeadline.size},"n_queries":${results.size},"total_all":$totalAll,"value":$total}""")
+    // The driver keeps only the LAST ~2000 chars of output and parses
+    // the final JSON line. With 100+ queries the full per-query map
+    // alone exceeds that window (r3-r5 all recorded "parsed": null), so:
+    //  1. the full-precision detail line prints FIRST (head-truncated
+    //     in the driver artifact, complete in local logs),
+    //  2. the full results are also written to bench_full.json in the
+    //     repo root for post-hoc per-query comparison,
+    //  3. the FINAL line is a compact, complete JSON summary — totals
+    //     plus the fixed 15-query headline map at 3 decimals (~700
+    //     chars) — sized to survive the tail window with room for
+    //     sbt's own trailer lines.
+    val detail = s"""{"queries":$qs,"sf":"$sfDir","n_queries":${results.size},"total_all":$totalAll}"""
+    println(detail)
+    try {
+      val out = sys.env.getOrElse(
+        "SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_full.json")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(out),
+        detail.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] bench_full.json write failed: ${e.getMessage}")
+    }
+    // metric-first: rounds 1-2 (metric-first) parsed in the driver
+    // artifact; rounds 3-5 (queries-first) all recorded "parsed": null
+    // even when the summary fields survived in the tail — so the
+    // driver plausibly keys on a line starting with {"metric". This
+    // line is short enough to sit complete inside the tail window
+    // either way.
+    val headlineQs = jsonMap(results.filter(kv => headline.contains(kv._1)), 3)
+    println(s"""{"metric":"headline_total_15q","value":$total,"unit":"sec","sf":"$sfDir","n_headline":${headline.size - missingHeadline.size},"n_queries":${results.size},"total_all":${"%.3f".format(totalAll)},"queries":$headlineQs}""")
     spark.stop()
   }
 }

@@ -1428,24 +1428,31 @@ object TextQueries {
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
     val passDocs = passageDedup(s, d).filter(col("flagged")).select("doc_id")
-    val rel = exactDocs.withColumn("method", lit("exact"))
+    val relRaw = exactDocs.withColumn("method", lit("exact"))
       .unionByName(nearDocs.withColumn("method", lit("near")))
       .unionByName(passDocs.withColumn("method", lit("passage")))
       .select("method", "doc_id")
-    val sizes = rel.groupBy("method").agg(count(lit(1)).as("n"))
-    val a = rel.select(col("method").as("method_a"), col("doc_id").as("ida"))
-    val b = rel.select(col("method").as("method_b"), col("doc_id").as("idb"))
-    a.join(b, col("ida") === col("idb") && col("method_a") <= col("method_b"))
-      .groupBy("method_a", "method_b").agg(count(lit(1)).as("n_both"))
-      .join(sizes.select(col("method").as("ma"), col("n").as("na")),
-        col("method_a") === col("ma"))
-      .join(sizes.select(col("method").as("mb"), col("n").as("nb")),
-        col("method_b") === col("mb"))
-      .select(col("method_a"), col("method_b"), col("na"), col("nb"),
-        col("n_both"), (col("na") + col("nb") - col("n_both")).as("n_either"),
-        (col("n_both").cast("double") /
-          (col("na") + col("nb") - col("n_both"))).as("agreement"))
-      .orderBy("method_a", "method_b")
+    // The flag relation fans out three ways (sizes + both self-join
+    // sides); without staging, everything upstream of the pipelines'
+    // own checkpoints — the exact-dup window, the pair explode, the
+    // passage flag projection — re-evaluates per consumer (3× the
+    // corpus-side work; bench r5 measured 20 s vs ~6 s staged).
+    graft.Stage.fanout(relRaw) { rel =>
+      val sizes = rel.groupBy("method").agg(count(lit(1)).as("n"))
+      val a = rel.select(col("method").as("method_a"), col("doc_id").as("ida"))
+      val b = rel.select(col("method").as("method_b"), col("doc_id").as("idb"))
+      a.join(b, col("ida") === col("idb") && col("method_a") <= col("method_b"))
+        .groupBy("method_a", "method_b").agg(count(lit(1)).as("n_both"))
+        .join(sizes.select(col("method").as("ma"), col("n").as("na")),
+          col("method_a") === col("ma"))
+        .join(sizes.select(col("method").as("mb"), col("n").as("nb")),
+          col("method_b") === col("mb"))
+        .select(col("method_a"), col("method_b"), col("na"), col("nb"),
+          col("n_both"),
+          (col("na") + col("nb") - col("n_both")).as("n_either"),
+          (col("n_both").cast("double") /
+            (col("na") + col("nb") - col("n_both"))).as("agreement"))
+    }.orderBy("method_a", "method_b")
   }
 
   val dedupAgreementSql: String = {
