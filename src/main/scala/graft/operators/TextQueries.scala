@@ -981,6 +981,60 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  // -------------------------------------------------------------------
+  // Charter: bloom-prefiltered incremental dedup — the 100 TB shape of
+  // dedup_incremental, restructured so THE CORPUS SIDE NEVER SHUFFLES.
+  // Scan 1 folds the historical content hashes into a bloom filter
+  // (Spark's own runtime-filter sketch: partials merge executor-side,
+  // so only bloom bytes — a few MB regardless of corpus size — ever
+  // leave a task). The batch probes the bloom as a scalar subquery:
+  // bloom-negative rows are DEFINITELY novel (no false negatives) and
+  // skip joining entirely. Scan 2 verifies the few bloom-positive
+  // candidates by broadcasting their distinct hashes INTO a corpus
+  // semi-scan. A false positive therefore costs one broadcast probe,
+  // never a corpus shuffle, and the result is exactly the anti-join's
+  // (the oracle is the plain NOT EXISTS). The probed CTE fans out to
+  // both output branches, but the textually-identical scalar subqueries
+  // canonicalize equal, so ReuseSubquery builds the bloom once
+  // (asserted in BloomPrefilterSpec).
+  // -------------------------------------------------------------------
+  def bloomPrefilter(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftExtensions.register(s)
+    documents(s, d).createOrReplaceTempView("graft_bloom_docs")
+    // 10^6-item estimate ⇒ ~1 MB of bits: generous at test SF, and the
+    // knob a deployment sizes from its corpus row-count statistics
+    s.sql("""
+      WITH corpus AS (
+        SELECT md5(text) AS ch FROM graft_bloom_docs WHERE doc_id % 7 <> 0),
+      batch AS (
+        SELECT doc_id, md5(text) AS h FROM graft_bloom_docs
+        WHERE doc_id % 7 = 0),
+      probed AS (
+        SELECT doc_id, h,
+          graft_might_contain(
+            (SELECT graft_bloom_agg(xxhash64(ch), 1000000L) FROM corpus),
+            xxhash64(h)) AS maybe_dup
+        FROM batch),
+      confirmed AS (
+        SELECT DISTINCT ch FROM corpus LEFT SEMI JOIN
+          (SELECT DISTINCT h FROM probed WHERE maybe_dup) c
+          ON corpus.ch = c.h)
+      SELECT doc_id, h FROM probed WHERE NOT maybe_dup
+      UNION ALL
+      SELECT p.doc_id, p.h FROM probed p
+      WHERE p.maybe_dup AND p.h NOT IN (SELECT ch FROM confirmed)
+      ORDER BY doc_id""")
+  }
+
+  val bloomPrefilterSql: String =
+    """WITH corpus AS (
+      |  SELECT md5(text) AS ch FROM documents WHERE doc_id % 7 <> 0),
+      |batch AS (
+      |  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 7 = 0)
+      |SELECT doc_id, h FROM batch b
+      |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.ch = b.h)
+      |ORDER BY doc_id""".stripMargin
+
   // NOT EXISTS, not NOT IN: left_anti keeps a NULL-keyed incoming row
   // (its equality never evaluates true), and NOT EXISTS matches that —
   // NOT IN would return ZERO rows if any historical hash were NULL.
@@ -1511,6 +1565,7 @@ object TextQueries {
     "text_repetition" -> (repetition _),
     "text_bigram_lm" -> (bigramLm _),
     "dedup_incremental" -> (incrementalDedup _),
+    "dedup_bloom_prefilter" -> (bloomPrefilter _),
     "train_assemble" -> (trainAssemble _),
     "text_tfidf" -> (tfidf _),
     "dedup_passages" -> (passageDedup _),
@@ -1540,6 +1595,7 @@ object TextQueries {
     "text_repetition" -> repetitionSql,
     "text_bigram_lm" -> bigramLmSql,
     "dedup_incremental" -> incrementalDedupSql,
+    "dedup_bloom_prefilter" -> bloomPrefilterSql,
     "train_assemble" -> trainAssembleSql,
     "text_tfidf" -> tfidfSql,
     "dedup_passages" -> passageDedupSql,

@@ -149,6 +149,64 @@ object VectorQueries {
       .orderBy("q_id", "rn")
   }
 
+  // -------------------------------------------------------------------
+  // Charter: hard-negative mining for contrastive training — per anchor,
+  // the 5 most-similar vectors with a DIFFERENT label (the negatives a
+  // contrastive loss learns most from), plus the nearest same-label
+  // similarity and the margin against each negative. ONE broadcast
+  // cross-score pass, then both signals ride a single q_id shuffle: the
+  // nearest-positive is a conditional-max window BEFORE the negative
+  // filter, the top-5 cut a row_number window after it — Catalyst
+  // stacks the two Window nodes over one exchange. Anchors with no
+  // same-label peer keep NULL pos_sim/margin in both engines.
+  // -------------------------------------------------------------------
+  def hardNegatives(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d).withColumn("nrm", norm("embedding"))
+    val q = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("embedding").as("q_embedding"), col("nrm").as("q_nrm"))
+    val scored = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("q_label"), col("vec_id"), col("label"),
+        cosinePre("embedding", "q_embedding", col("nrm"), col("q_nrm")).as("sim"))
+    val wAll = Window.partitionBy("q_id")
+    val wTop = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
+    scored
+      .withColumn("pos_sim",
+        max(when(col("label") === col("q_label"), col("sim"))).over(wAll))
+      .filter(col("label") =!= col("q_label"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= 5)
+      .select(col("q_id"), col("rn"), col("vec_id").as("neg_id"),
+        col("label").as("neg_label"), col("sim"), col("pos_sim"),
+        round(col("pos_sim") - col("sim"), 6).as("margin"))
+      .orderBy("q_id", "rn")
+  }
+
+  val hardNegativesSql: String = {
+    val cos = s"round((${dotSql("a.embedding", "q.q_embedding")}) / (a.nrm * q.q_nrm), 6)"
+    s"""WITH be AS (SELECT vec_id, label, embedding,
+       |            sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, label AS q_label,
+       |        embedding AS q_embedding, nrm AS q_nrm
+       |      FROM be WHERE vec_id % 50 = 0),
+       |scored AS (
+       |  SELECT q.q_id, q.q_label, a.vec_id, a.label, $cos AS sim
+       |  FROM be a, q WHERE a.vec_id <> q.q_id),
+       |wp AS (
+       |  SELECT *, max(CASE WHEN label = q_label THEN sim END)
+       |    OVER (PARTITION BY q_id) AS pos_sim
+       |  FROM scored),
+       |negs AS (
+       |  SELECT q_id, vec_id, label, sim, pos_sim,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY sim DESC, vec_id) AS INTEGER) AS rn
+       |  FROM wp WHERE label <> q_label)
+       |SELECT q_id, rn, vec_id AS neg_id, label AS neg_label, sim, pos_sim,
+       |  round(pos_sim - sim, 6) AS margin
+       |FROM negs WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
+  }
+
   val knnMultiSql: String = {
     val cos = s"round((${dotSql("a.embedding", "q.q_embedding")}) / (a.nrm * q.q_nrm), 6)"
     s"""WITH be AS (SELECT vec_id, label, embedding,
@@ -505,6 +563,7 @@ object VectorQueries {
     "vec_cosine_neardup" -> (cosineNeardup _),
     "vec_knn_bruteforce" -> (knnBruteForce _),
     "vec_knn_multi" -> (knnMulti _),
+    "vec_hard_negatives" -> (hardNegatives _),
     "vec_lsh_buckets" -> (lshBuckets _),
     "vec_lsh_ann" -> (lshAnn _)
   )
@@ -519,6 +578,7 @@ object VectorQueries {
     "vec_cosine_neardup" -> cosineNeardupSql,
     "vec_knn_bruteforce" -> knnBruteForceSql,
     "vec_knn_multi" -> knnMultiSql,
+    "vec_hard_negatives" -> hardNegativesSql,
     "vec_lsh_buckets" -> lshBucketsSql,
     "vec_lsh_ann" -> lshAnnSql
   )

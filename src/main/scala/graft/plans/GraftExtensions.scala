@@ -3,7 +3,8 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
 /** Session extension registering the engine's native expressions as SQL
   * functions. Two entry points:
@@ -38,10 +39,11 @@ object GraftExtensions {
       s"$name expects exactly 2 arguments, got ${exprs.length}")
   }
 
+  import org.apache.spark.sql.catalyst.expressions.Literal
+  import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType}
+
   /** (text, n literal, distinct literal) builder for the gram exprs. */
   private def gram(name: String, f: (Expression, Int, Boolean) => Expression): Builder = {
-    import org.apache.spark.sql.catalyst.expressions.Literal
-    import org.apache.spark.sql.types.{BooleanType, IntegerType}
     {
       case Seq(t, Literal(n: Int, IntegerType), Literal(d: Boolean, BooleanType)) =>
         f(t, n, d)
@@ -68,7 +70,23 @@ object GraftExtensions {
       gram("char_ngrams", CharNGrams)),
     ("word_shingles",
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
-      gram("word_shingles", WordShingles))
+      gram("word_shingles", WordShingles)),
+    // Spark's own runtime-filter sketch pair, surfaced as SQL functions:
+    // the aggregate folds a corpus of xxhash64 keys into a few-MB bloom
+    // (partials merge executor-side, so only bloom bytes ever shuffle)
+    // and the probe is a codegen'd membership test against a constant /
+    // scalar-subquery bloom. Used by dedup_bloom_prefilter for the
+    // corpus-never-shuffles incremental-dedup shape.
+    ("graft_bloom_agg",
+      new ExpressionInfo(classOf[BloomFilterAggregate].getName, "graft_bloom_agg"),
+      {
+        case Seq(c, Literal(n: Long, LongType)) => new BloomFilterAggregate(c, n)
+        case exprs => throw new IllegalArgumentException(
+          s"graft_bloom_agg expects (hash column, long literal item estimate), got $exprs")
+      }: Builder),
+    ("graft_might_contain",
+      new ExpressionInfo(classOf[BloomFilterMightContain].getName, "graft_might_contain"),
+      two("graft_might_contain", BloomFilterMightContain(_, _)))
   )
 
   /** Idempotently register the functions on a live session. */
