@@ -50,9 +50,13 @@ object Bench {
       System.gc()
       name -> dt
     }.toMap
+    // Locale.ROOT everywhere a number is formatted: under a
+    // comma-decimal default locale the emitted JSON would be unparseable
+    def num(v: Double, decimals: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${decimals}f", v)
     def jsonMap(m: Map[String, Double], decimals: Int): String =
       m.toSeq.sortBy(_._1).map { case (k, v) =>
-        "\"" + k + "\":" + (s"%.${decimals}f".format(v))
+        "\"" + k + "\":" + num(v, decimals)
       }.mkString("{", ",", "}")
     val qs = jsonMap(results, 6)
     // headline = a FIXED representative subset, stable across rounds, so
@@ -83,11 +87,38 @@ object Bench {
     //     plus the fixed 15-query headline map at 3 decimals (~700
     //     chars) — sized to survive the tail window with room for
     //     sbt's own trailer lines.
-    val detail = s"""{"queries":$qs,"sf":"$sfDir","n_queries":${results.size},"total_all":$totalAll}"""
+    // Streaming perf is otherwise invisible to the bench artifact: run
+    // the full relay pipeline (scan → envelope → dedup → sink with
+    // epoch commits) over the sf events table staged as ~4096-event
+    // files (one file ≈ one reference source batch) and record
+    // events/sec alongside the query timings. SPARK_GRAFT_RELAY=0
+    // skips it in local single-query tuning loops.
+    val relayEps: Double =
+      if (sys.env.get("SPARK_GRAFT_RELAY").contains("0")) 0.0
+      else try {
+        val root = java.nio.file.Files.createTempDirectory("bench-relay").toString
+        val ev = graft.Tables.events(spark, sfDir)
+        val nEv = ev.count()
+        val files = math.max(1, math.ceil(nEv / 4096.0).toInt)
+        ev.repartition(files).write.parquet(s"$root/in")
+        val cfg = graft.streaming.CdcRelay.RelayConfig(
+          s"$root/in", s"$root/out", s"$root/chk", maxFilesPerTrigger = 32)
+        val t0 = System.nanoTime()
+        graft.streaming.CdcRelay.start(spark, cfg).awaitTermination()
+        val secs = (System.nanoTime() - t0) / 1e9
+        val relayed = spark.read.parquet(s"$root/out").count()
+        graft.Stage.deleteRecursively(new java.io.File(root))
+        relayed / secs
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] relay throughput failed: ${e.getMessage}")
+        0.0
+      }
+    val detail = s"""{"queries":$qs,"sf":"$sfDir","n_queries":${results.size},"total_all":${num(totalAll, 6)},"events_per_sec":${num(relayEps, 1)}}"""
     println(detail)
     try {
-      val out = sys.env.getOrElse(
-        "SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_full.json")
+      // cwd-relative default so the build isn't coupled to one machine's
+      // layout; the driver runs sbt from the repo root
+      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
       java.nio.file.Files.write(
         java.nio.file.Paths.get(out),
         detail.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
@@ -101,7 +132,7 @@ object Bench {
     // line is short enough to sit complete inside the tail window
     // either way.
     val headlineQs = jsonMap(results.filter(kv => headline.contains(kv._1)), 3)
-    println(s"""{"metric":"headline_total_15q","value":$total,"unit":"sec","sf":"$sfDir","n_headline":${headline.size - missingHeadline.size},"n_queries":${results.size},"total_all":${"%.3f".format(totalAll)},"queries":$headlineQs}""")
+    println(s"""{"metric":"headline_total_15q","value":${num(total, 6)},"unit":"sec","sf":"$sfDir","n_headline":${headline.size - missingHeadline.size},"n_queries":${results.size},"total_all":${num(totalAll, 3)},"events_per_sec":${num(relayEps, 1)},"queries":$headlineQs}""")
     spark.stop()
   }
 }

@@ -1022,7 +1022,8 @@ object TextQueries {
       SELECT doc_id, h FROM probed WHERE NOT maybe_dup
       UNION ALL
       SELECT p.doc_id, p.h FROM probed p
-      WHERE p.maybe_dup AND p.h NOT IN (SELECT ch FROM confirmed)
+      WHERE p.maybe_dup
+        AND NOT EXISTS (SELECT 1 FROM confirmed c WHERE c.ch = p.h)
       ORDER BY doc_id""")
   }
 

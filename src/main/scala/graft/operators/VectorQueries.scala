@@ -519,9 +519,12 @@ object VectorQueries {
   // embedding diagnostic (cluster compactness, label drift) computed on
   // the QUANTIZED representation so the per-dimension aggregation is an
   // integer sum: order-independent and exact at any parallelism, where
-  // a float centroid would hash-diverge on shuffle order. posexplode →
-  // one (label, dim)-keyed shuffle of integer pairs; means are exact
-  // integer-ratio doubles.
+  // a float centroid would hash-diverge on shuffle order. The
+  // element-wise array_sum_agg folds each code array straight into one
+  // long[64] buffer per label per partition — no posexplode, so the
+  // corpus rowcount is never inflated 64× before the partial aggregate;
+  // the shuffle carries |labels| array rows and the 64-way unnest
+  // happens on the |labels|-row result only.
   // -------------------------------------------------------------------
   def centroids(s: SparkSession, d: String): DataFrame =
     embeddings(s, d)
@@ -529,11 +532,12 @@ object VectorQueries {
       .withColumn("mx", expr("array_max(transform(e, x -> abs(x)))"))
       .withColumn("q", expr(
         "transform(e, x -> CAST(floor(x * 127.0 / mx + 0.5) AS BIGINT))"))
-      .select(col("label"), posexplode(col("q")).as(Seq("pos", "qv")))
-      .select(col("label"), (col("pos") + 1).as("dim"), col("qv"))
-      .groupBy("label", "dim")
-      .agg(count(lit(1)).as("n"), sum(col("qv")).as("q_sum"),
-        (sum(col("qv")).cast("double") / count(lit(1))).as("mean_q"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        call_function("array_sum_agg", col("q")).as("sums"))
+      .select(col("label"), col("n"), posexplode(col("sums")).as(Seq("pos", "q_sum")))
+      .select(col("label"), (col("pos") + 1).as("dim"), col("n"),
+        col("q_sum"), (col("q_sum").cast("double") / col("n")).as("mean_q"))
       .orderBy("label", "dim")
 
   val centroidsSql: String =
@@ -553,8 +557,54 @@ object VectorQueries {
       |  GROUP BY label, i)
       |ORDER BY label, dim""".stripMargin
 
+  // -------------------------------------------------------------------
+  // B29i: one Lloyd (k-means) iteration over the IVF coarse quantizer —
+  // the index-training step the seed-centroid IVF deliberately deferred:
+  // assign every vector to its argmax seed list (the existing broadcast
+  // assignment pass), then recompute each list's centroid as the
+  // element-wise mean of its members. Means aggregate QUANTIZED int8
+  // codes via array_sum_agg (exact, order-independent, mergeable — a
+  // float mean would hash-diverge on shuffle order), so the shuffle
+  // carries |lists| array rows; the 64-way unnest runs on the 16-row
+  // result only. Iterating this query to convergence IS k-means; one
+  // step exercises the full assign→recompute machinery.
+  // -------------------------------------------------------------------
+  def kmeansStep(s: SparkSession, d: String): DataFrame =
+    ivfAssigned(s, d)
+      .withColumn("e", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("mx", expr("array_max(transform(e, x -> abs(x)))"))
+      .withColumn("q", expr(
+        "transform(e, x -> CAST(floor(x * 127.0 / mx + 0.5) AS BIGINT))"))
+      .groupBy("list_id")
+      .agg(count(lit(1)).as("n_vectors"),
+        call_function("array_sum_agg", col("q")).as("sums"))
+      .select(col("list_id"), col("n_vectors"),
+        posexplode(col("sums")).as(Seq("pos", "q_sum")))
+      .select(col("list_id"), (col("pos") + 1).as("dim"), col("n_vectors"),
+        col("q_sum"),
+        (col("q_sum").cast("double") / col("n_vectors")).as("new_mean_q"))
+      .orderBy("list_id", "dim")
+
+  val kmeansStepSql: String =
+    s"""WITH assigned AS ($ivfAssignedSql),
+       |qq AS (
+       |  SELECT list_id,
+       |    list_transform(e, x -> CAST(floor(x * 127.0 / mx + 0.5) AS BIGINT)) AS q
+       |  FROM (SELECT list_id, e,
+       |          list_max(list_transform(e, x -> abs(x))) AS mx
+       |        FROM (SELECT list_id,
+       |          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |        FROM assigned)))
+       |SELECT list_id, CAST(i AS INTEGER) AS dim, count(*) AS n_vectors,
+       |  CAST(sum(q[i]) AS BIGINT) AS q_sum,
+       |  CAST(sum(q[i]) AS DOUBLE) / count(*) AS new_mean_q
+       |FROM qq, unnest(range(1, 65)) AS t(i)
+       |GROUP BY list_id, i
+       |ORDER BY list_id, dim""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "vec_centroid" -> (centroids _),
+    "vec_kmeans_step" -> (kmeansStep _),
     "vec_quantize" -> (quantize _),
     "vec_ann_recall" -> (annRecall _),
     "vec_ivf_lists" -> (ivfLists _),
@@ -570,6 +620,7 @@ object VectorQueries {
 
   val oracles: Map[String, String] = Map(
     "vec_centroid" -> centroidsSql,
+    "vec_kmeans_step" -> kmeansStepSql,
     "vec_quantize" -> quantizeSql,
     "vec_ann_recall" -> annRecallSql,
     "vec_ivf_lists" -> ivfListsSql,

@@ -86,7 +86,12 @@ object GraftExtensions {
       }: Builder),
     ("graft_might_contain",
       new ExpressionInfo(classOf[BloomFilterMightContain].getName, "graft_might_contain"),
-      two("graft_might_contain", BloomFilterMightContain(_, _)))
+      two("graft_might_contain", BloomFilterMightContain(_, _))),
+    // element-wise ARRAY<BIGINT> sum — the centroid accumulator (see
+    // ArraySumAgg: kills the 64× posexplode row inflation)
+    ("array_sum_agg",
+      new ExpressionInfo(classOf[ArraySumAgg].getName, "array_sum_agg"),
+      one("array_sum_agg", e => ArraySumAgg(e)))
   )
 
   /** Idempotently register the functions on a live session. */
