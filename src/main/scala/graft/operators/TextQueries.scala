@@ -1556,7 +1556,203 @@ object TextQueries {
        |ORDER BY method_a, method_b""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // Charter: wordlist redaction (the PII-scrub shape) — count and
+  // replace term-list matches per document, emit the scrubbed-content
+  // hash for downstream exact dedup. A real pipeline swaps the wordlist
+  // pattern for email/phone/ID regexes; the plumbing (regexp_count +
+  // global regexp_replace + content hash in ONE narrow projection over
+  // one scan, no shuffle until the output ordering) is the operator.
+  // \b works identically in Java regex (Spark) and RE2 (DuckDB) for
+  // this ASCII corpus.
+  // -------------------------------------------------------------------
+  private val ScrubPat = "\\b(value|hash|key)\\b"
+
+  def textScrub(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit(ScrubPat)).cast("bigint").as("n_hits"),
+        regexp_replace(col("text"), ScrubPat, "[REDACTED]").as("scrubbed"))
+      .select(col("doc_id"), col("n_hits"),
+        length(col("scrubbed")).cast("bigint").as("scrub_len"),
+        md5(col("scrubbed")).as("scrub_md5"))
+      .orderBy("doc_id")
+
+  val textScrubSql: String =
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '\b(value|hash|key)\b')) AS BIGINT)
+      |    AS n_hits,
+      |  CAST(length(scrubbed) AS BIGINT) AS scrub_len,
+      |  md5(scrubbed) AS scrub_md5
+      |FROM (SELECT doc_id, text,
+      |        regexp_replace(text, '\b(value|hash|key)\b', '[REDACTED]', 'g')
+      |          AS scrubbed
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Charter: deterministic global training shuffle — the epoch-order
+  // primitive: hash every doc with a seeded 60-bit key, shard by the
+  // hash, position within the shard by (hash, doc_id). Reproducible
+  // from the seed alone (no RNG state), and the plan is exactly one
+  // hash exchange on `shard` plus an in-partition sort — at 100 TB
+  // each shard writer streams its slice without any global sort.
+  // -------------------------------------------------------------------
+  def trainShuffle(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    documents(s, d)
+      .select(col("doc_id"),
+        h60(concat(lit("shuf42:"), col("doc_id").cast("string"))).as("h"))
+      .withColumn("shard", (col("h") % 8).cast("int"))
+      .withColumn("pos", row_number().over(w))
+      .select(col("shard"), col("pos"), col("doc_id"))
+      .orderBy("shard", "pos")
+  }
+
+  val trainShuffleSql: String = {
+    val h = h60Sql("'shuf42:' || CAST(doc_id AS VARCHAR)")
+    s"""SELECT CAST(h % 8 AS INT) AS shard,
+       |  CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id)
+       |    AS INTEGER) AS pos,
+       |  doc_id
+       |FROM (SELECT doc_id, $h AS h FROM documents)
+       |ORDER BY shard, pos""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // Charter: corpus-driven stopword stripping — derive the stoplist
+  // from the corpus itself (top-20 terms by frequency), then filter
+  // every document's tokens against it. The stoplist aggregates to ONE
+  // array row cross-joined onto the corpus — a broadcast nested loop by
+  // construction, so the corpus-side pass stays shuffle-free at any
+  // scale; membership via array_contains is O(20) per token.
+  // -------------------------------------------------------------------
+  def stopwordStrip(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val stop = docs
+      .select(explode(toks).as("term")).filter(col("term") =!= "")
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("term")).limit(20)
+      .agg(collect_list(col("term")).as("stop"))
+    docs
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), x -> x <> '')").as("tk"))
+      .join(broadcast(stop))
+      .select(col("doc_id"), size(col("tk")).cast("bigint").as("n_tok"),
+        expr("filter(tk, t -> NOT array_contains(stop, t))").as("kept"))
+      .select(col("doc_id"), col("n_tok"),
+        size(col("kept")).cast("bigint").as("n_kept"),
+        md5(concat_ws(" ", col("kept"))).as("kept_md5"))
+      .orderBy("doc_id")
+  }
+
+  val stopwordStripSql: String =
+    """WITH stop AS (
+      |  SELECT list(term ORDER BY n DESC, term) AS stop FROM (
+      |    SELECT term, count(*) AS n FROM (
+      |      SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+      |        AS term FROM documents)
+      |    GROUP BY term ORDER BY n DESC, term LIMIT 20)),
+      |tk AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      |  FROM documents)
+      |SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tok,
+      |  CAST(len(kept) AS BIGINT) AS n_kept,
+      |  md5(coalesce(array_to_string(kept, ' '), '')) AS kept_md5
+      |FROM (SELECT doc_id, tk,
+      |        list_filter(tk, t -> NOT list_contains(stop, t)) AS kept
+      |      FROM tk CROSS JOIN stop)
+      |ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Charter: asymmetric containment dedup — |A∩B| / min(|A|,|B|) over
+  // char-4-gram sets. Jaccard misses the quote/subset case (a short doc
+  // embedded in a long one scores low on union but high on containment);
+  // this is the operator that catches it. Blocking: agreement on the
+  // raw gram-hash min AND three one-hash minhash permutation mins (a
+  // single min degenerates to near-all-pairs blocks on a tiny
+  // vocabulary; each extra min splits the blocks — measured 380k → 112k
+  // candidate pairs at sf0.1) but deliberately NOT length-bucketed,
+  // because containment pairs have dissimilar lengths by definition.
+  // Same staged slim-pair shape as ngramJaccard: the gram arrays stay
+  // in persist-only staging, the checkpoint holds scored pairs only.
+  // -------------------------------------------------------------------
+  def containment(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftExtensions.register(s)
+    val grams = documents(s, d)
+      .select(col("doc_id"),
+        explode(call_function("char_ngrams", col("text"), lit(4), lit(true)))
+          .as("g"))
+      .select(col("doc_id"), h60(col("g")).as("gh"))
+    val docgr = grams.groupBy("doc_id")
+      .agg(collect_list(col("gh")).as("ghs"), min(col("gh")).as("min_gh"),
+        min(perm(0, col("gh"))).as("min_p0"),
+        min(perm(1, col("gh"))).as("min_p1"),
+        min(perm(2, col("gh"))).as("min_p2"),
+        count(lit(1)).as("n"))
+    val blockKeys = Seq("min_gh", "min_p0", "min_p1", "min_p2")
+    val pairs = graft.Stage.fanout(docgr) { dg =>
+      val slim = dg.select(
+        (Seq("doc_id", "n") ++ blockKeys).map(col): _*)
+      val cand = slim.as("x").join(slim.as("y"),
+          blockKeys.map(k => col(s"x.$k") === col(s"y.$k"))
+            .reduce(_ && _)
+            && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          col("x.n").as("na"), col("y.n").as("nb"))
+      cand
+        .join(dg.select(col("doc_id").as("ida"), col("ghs").as("ghs_a")),
+          col("doc_a") === col("ida"))
+        .join(dg.select(col("doc_id").as("idb"), col("ghs").as("ghs_b")),
+          col("doc_b") === col("idb"))
+        .select(col("doc_a"), col("doc_b"), col("na"), col("nb"),
+          size(array_intersect(col("ghs_a"), col("ghs_b"))).cast("bigint")
+            .as("n_common"))
+    }
+    pairs
+      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"), col("n_common"),
+        (col("n_common").cast("double") / least(col("na"), col("nb")))
+          .as("containment"))
+      .filter(col("containment") >= 0.8)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val containmentSql: String = {
+    val gh = h60Sql("g")
+    s"""WITH grams AS (
+       |  SELECT doc_id, gh, ${permSql(0, "gh")} AS p0,
+       |    ${permSql(1, "gh")} AS p1, ${permSql(2, "gh")} AS p2
+       |  FROM (SELECT doc_id, $gh AS gh FROM (
+       |    SELECT doc_id, unnest(list_distinct($char4gramsSql)) AS g
+       |    FROM documents))),
+       |docgr AS (
+       |  SELECT doc_id, min(gh) AS min_gh, min(p0) AS min_p0,
+       |    min(p1) AS min_p1, min(p2) AS min_p2, count(*) AS n
+       |  FROM grams GROUP BY doc_id),
+       |cand AS (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.n AS na, y.n AS nb
+       |  FROM docgr x JOIN docgr y
+       |    ON x.min_gh = y.min_gh AND x.min_p0 = y.min_p0
+       |    AND x.min_p1 = y.min_p1 AND x.min_p2 = y.min_p2
+       |    AND x.doc_id < y.doc_id),
+       |inter AS (
+       |  SELECT doc_a, doc_b, na, nb, count(*) AS n_common
+       |  FROM cand
+       |  JOIN grams ga ON ga.doc_id = doc_a
+       |  JOIN grams gb ON gb.doc_id = doc_b AND gb.gh = ga.gh
+       |  GROUP BY doc_a, doc_b, na, nb)
+       |SELECT doc_a, doc_b, na, nb, CAST(n_common AS BIGINT) AS n_common,
+       |  CAST(n_common AS DOUBLE) / least(na, nb) AS containment
+       |FROM inter
+       |WHERE CAST(n_common AS DOUBLE) / least(na, nb) >= 0.8
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_scrub" -> (textScrub _),
+    "train_shuffle" -> (trainShuffle _),
+    "text_stopword_strip" -> (stopwordStrip _),
+    "dedup_containment" -> (containment _),
     "dedup_agreement" -> (dedupAgreement _),
     "train_packing" -> (trainPacking _),
     "train_curriculum" -> (trainCurriculum _),
@@ -1587,6 +1783,10 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_scrub" -> textScrubSql,
+    "train_shuffle" -> trainShuffleSql,
+    "text_stopword_strip" -> stopwordStripSql,
+    "dedup_containment" -> containmentSql,
     "dedup_agreement" -> dedupAgreementSql,
     "train_packing" -> trainPackingSql,
     "train_curriculum" -> trainCurriculumSql,

@@ -159,6 +159,19 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("partial_min"), plan)
   }
 
+  test("centroid aggregation shuffles arrays, never exploded rows") {
+    // the array_sum_agg shape: one partial+final aggregate pair around
+    // a single hash exchange carrying |labels| array rows; the 64-way
+    // posexplode runs only on the aggregated result (downstream of the
+    // final aggregate), never on the corpus side of the shuffle
+    val plan = physical(VectorQueries.centroids(spark, sf))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+    assert("Generate".r.findAllIn(plan).size == 1, plan)
+    // plan text prints top-down: the Generate (unnest) must sit above
+    // the aggregate, i.e. it consumes the 16-row result
+    assert(plan.indexOf("Generate") < plan.indexOf("ObjectHashAggregate"), plan)
+  }
+
   test("stratified sample shares one shuffle across both windows") {
     // rank and per-stratum count both partition by the stratum: the
     // plan must shuffle the input once, not once per window function
