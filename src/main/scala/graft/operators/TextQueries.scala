@@ -1748,7 +1748,101 @@ object TextQueries {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // Charter: per-document LM scoring — score every doc under the
+  // corpus's own bigram LM (avg ln P(w2|w1)), the model-based quality
+  // filter that ranks "typical" text above outliers. Determinism: each
+  // bigram's ln-prob is fixed to 6 decimals and summed in MICRO units
+  // as a BIGINT — exact and order-independent at any parallelism, where
+  // a raw double sum would diverge across shuffle orders (and between
+  // Java and C ln, which differ by 1 ulp). The LM relation is
+  // vocabulary-sized → broadcast onto the corpus pass.
+  // -------------------------------------------------------------------
+  def lmScore(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val big = docs.select(explode(
+        call_function("word_shingles", col("text"), lit(2), lit(false)))
+        .as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c_bigram"))
+    val uni = docs.select(explode(toks).as("w1u"))
+      .groupBy("w1u").agg(count(lit(1)).as("c_w1"))
+    val lm = big
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(uni, col("w1") === col("w1u"))
+      .select(col("bg").as("lm_bg"),
+        (col("c_bigram").cast("double") / col("c_w1")).as("p"))
+    docs.select(col("doc_id"), explode(
+        call_function("word_shingles", col("text"), lit(2), lit(false)))
+        .as("bg"))
+      .join(broadcast(lm), col("bg") === col("lm_bg"))
+      .select(col("doc_id"),
+        round(log(col("p")) * lit(1000000.0), 0).cast("bigint").as("lp_micro"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_micro")).as("lp_micro_sum"))
+      .select(col("doc_id"), col("n_bigrams"), col("lp_micro_sum"),
+        (col("lp_micro_sum").cast("double") /
+          (col("n_bigrams") * lit(1000000L)).cast("double")).as("lm_score"))
+      .orderBy("doc_id")
+  }
+
+  val lmScoreSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |big AS (
+      |  SELECT bg, count(*) AS c_bigram FROM (
+      |    SELECT unnest(list_transform(range(1, len(t)),
+      |      i -> t[i] || ' ' || t[i + 1])) AS bg FROM t
+      |    WHERE len(t) >= 2)
+      |  GROUP BY bg),
+      |uni AS (
+      |  SELECT w1u, count(*) AS c_w1 FROM (
+      |    SELECT unnest(t) AS w1u FROM t) GROUP BY w1u),
+      |lm AS (
+      |  SELECT bg, CAST(c_bigram AS DOUBLE) / c_w1 AS p
+      |  FROM big JOIN uni ON string_split(bg, ' ')[1] = w1u),
+      |docbg AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+      |    i -> t[i] || ' ' || t[i + 1])) AS bg FROM t
+      |  WHERE len(t) >= 2)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  CAST(sum(lp_micro) AS BIGINT) AS lp_micro_sum,
+      |  CAST(sum(lp_micro) AS DOUBLE) / (count(*) * 1000000) AS lm_score
+      |FROM (SELECT doc_id, CAST(round(ln(p) * 1000000) AS BIGINT) AS lp_micro
+      |      FROM docbg JOIN lm USING (bg))
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Charter: keep-canonical dedup materialization — the step that
+  // actually DROPS rows: every doc flagged by the MinHash-LSH near-dup
+  // pass points at its smallest near-dup partner (`dup_of`); docs with
+  // no smaller partner are kept. The pair relation is tiny next to the
+  // corpus, so the final left join broadcasts it — one corpus pass, no
+  // corpus shuffle. (Greedy non-minimal-drop policy; transitive-closure
+  // canonicalization is dedup_clusters.)
+  // -------------------------------------------------------------------
+  def dedupKeep(s: SparkSession, d: String): DataFrame = {
+    val dupOf = neardupPairs(s, d)
+      .groupBy(col("doc_b").as("flagged_id"))
+      .agg(min(col("doc_a")).as("dup_of"))
+    documents(s, d).select(col("doc_id"))
+      .join(broadcast(dupOf), col("doc_id") === col("flagged_id"), "left")
+      .select(col("doc_id"), col("dup_of"), col("dup_of").isNull.as("kept"))
+      .orderBy("doc_id")
+  }
+
+  val dedupKeepSql: String = {
+    val pairsSql = neardupPairsSql.replace("ORDER BY doc_a, doc_b", "")
+    s"""WITH pairs AS ($pairsSql),
+       |dup AS (SELECT doc_b AS flagged_id, min(doc_a) AS dup_of
+       |        FROM pairs GROUP BY doc_b)
+       |SELECT d.doc_id, dup.dup_of, dup.dup_of IS NULL AS kept
+       |FROM documents d LEFT JOIN dup ON d.doc_id = dup.flagged_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_lm_score" -> (lmScore _),
+    "dedup_keep" -> (dedupKeep _),
     "text_scrub" -> (textScrub _),
     "train_shuffle" -> (trainShuffle _),
     "text_stopword_strip" -> (stopwordStrip _),
@@ -1783,6 +1877,8 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_lm_score" -> lmScoreSql,
+    "dedup_keep" -> dedupKeepSql,
     "text_scrub" -> textScrubSql,
     "train_shuffle" -> trainShuffleSql,
     "text_stopword_strip" -> stopwordStripSql,

@@ -172,6 +172,33 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.indexOf("Generate") < plan.indexOf("ObjectHashAggregate"), plan)
   }
 
+  test("train shuffle reads only doc_id and shuffles once by shard") {
+    // the deterministic-epoch-order shape: pruned single-column scan,
+    // one hash exchange on the shard key for the position window, and
+    // only the output ordering after it — no global sort of the corpus
+    val plan = physical(TextQueries.queries("train_shuffle")(spark, sf))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("doc_id") && !readSchema.contains("text"),
+      readSchema)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+  }
+
+  test("stopword strip broadcasts the stoplist; corpus side never shuffles") {
+    // the stoplist aggregates to one array row and broadcasts; the
+    // corpus-side token filter is a map over one scan. The only hash
+    // exchange in the plan belongs to the (tiny) term-count aggregate
+    // under the broadcast, and the stoplist top-20 is a TakeOrdered,
+    // not a global sort
+    val plan = physical(TextQueries.queries("text_stopword_strip")(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    val bcast = plan.indexOf("BroadcastExchange")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).matchData
+      .map(_.start).toSeq
+    assert(hashEx.size == 1 && hashEx.head > bcast, plan)
+  }
+
   test("stratified sample shares one shuffle across both windows") {
     // rank and per-stratum count both partition by the stratum: the
     // plan must shuffle the input once, not once per window function
