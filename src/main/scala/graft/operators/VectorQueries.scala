@@ -602,7 +602,59 @@ object VectorQueries {
        |GROUP BY list_id, i
        |ORDER BY list_id, dim""".stripMargin
 
+  // -------------------------------------------------------------------
+  // B29j: product quantization — the memory-compression step real ANN
+  // indexes (IVF-PQ) run after coarse assignment: split each vector
+  // into 8 contiguous 8-dim subvectors and quantize each independently
+  // with its own scale, so reconstruction error concentrates where the
+  // vector is locally large instead of being dominated by one global
+  // max. Pure per-row map (explode ×8 then higher-order fns inside one
+  // projection) — no shuffle until the output ordering; at 100 TB this
+  // runs as a single scan. Codes emit as a CSV string (the driver's
+  // compare is scalar-only), scales/errors rounded to 6 like
+  // vec_quantize.
+  // -------------------------------------------------------------------
+  def productQuantize(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .withColumn("e", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .select(col("vec_id"), explode(expr("sequence(0, 7)")).as("sub"), col("e"))
+      .withColumn("sv", expr("slice(e, sub * 8 + 1, 8)"))
+      .withColumn("mx", expr("array_max(transform(sv, x -> abs(x)))"))
+      .withColumn("q", expr(
+        "transform(sv, x -> CAST(floor(x * 127.0 / mx + 0.5) AS BIGINT))"))
+      .select(col("vec_id"), (col("sub") + 1).as("sub_id"),
+        round(col("mx"), 6).as("scale"),
+        expr("aggregate(q, 0L, (a, x) -> a + abs(x))").as("q_l1"),
+        round(expr(
+          "array_max(zip_with(q, sv, (qi, x) -> abs(qi * mx / 127.0 - x)))"),
+          6).as("max_err"),
+        expr("array_join(transform(q, x -> CAST(x AS STRING)), ',')")
+          .as("codes"))
+      .orderBy("vec_id", "sub_id")
+
+  val productQuantizeSql: String =
+    """SELECT vec_id, CAST(sub + 1 AS INTEGER) AS sub_id,
+      |  round(mx, 6) AS scale,
+      |  CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT) AS q_l1,
+      |  round(list_max(list_transform(range(1, 9),
+      |    i -> abs(q[i] * mx / 127.0 - sv[i]))), 6) AS max_err,
+      |  array_to_string(q, ',') AS codes
+      |FROM (
+      |  SELECT vec_id, sub, sv, mx,
+      |    list_transform(sv, x -> CAST(floor(x * 127.0 / mx + 0.5) AS BIGINT)) AS q
+      |  FROM (
+      |    SELECT vec_id, sub, sv,
+      |      list_max(list_transform(sv, x -> abs(x))) AS mx
+      |    FROM (
+      |      SELECT vec_id, sub, e[sub * 8 + 1 : sub * 8 + 8] AS sv
+      |      FROM (SELECT vec_id,
+      |              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |            FROM embeddings)
+      |      CROSS JOIN (SELECT unnest(range(0, 8)) AS sub))))
+      |ORDER BY vec_id, sub_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vec_pq" -> (productQuantize _),
     "vec_centroid" -> (centroids _),
     "vec_kmeans_step" -> (kmeansStep _),
     "vec_quantize" -> (quantize _),
@@ -619,6 +671,7 @@ object VectorQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "vec_pq" -> productQuantizeSql,
     "vec_centroid" -> centroidsSql,
     "vec_kmeans_step" -> kmeansStepSql,
     "vec_quantize" -> quantizeSql,
