@@ -299,6 +299,43 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("partial_count") || plan.contains("partial_sum"), plan)
   }
 
+  test("no query plans a cartesian product; nested-loop joins only on " +
+      "declared broadcast-tiny sides") {
+    // Sweep EVERY registered query: per-query discipline (each crossJoin
+    // carries an explicit broadcast() of a provably tiny side) becomes a
+    // regression guard. A CartesianProduct node means a non-broadcast
+    // cross join reached the physical plan — at 100 TB that is |N|×|M|
+    // work, never acceptable. BroadcastNestedLoopJoin is acceptable ONLY
+    // where the build side is a deliberate tiny relation (1-row
+    // aggregate, ≤16-row centroid/query set) — those queries are named
+    // here so a new unlisted BNLJ fails loudly.
+    val tinyBroadcastOk = Set(
+      "vec_knn_bruteforce", "vec_knn_multi", "vec_hard_negatives", // 1-10 query vectors
+      "vec_ivf_lists", "vec_ivf_ann", "vec_ivf_multiprobe", // 16-row centroid set
+      "vec_ann_recall", // 1-row exact-vs-ann count pair
+      "vec_kmeans_step", "vec_kmeans_loop", // k≤16-row centroid matrix
+      "vec_cosine_neardup", // staged bucket relation vs itself (equi-join; listed for the AQE local fallback)
+      "text_tfidf", "text_bigram_lm", "text_lm_score", // 1-row corpus-size aggregate
+      "text_heavy_hitters", // 1-row merged count-min sketch
+      "text_stopword_strip", // 1-row collected 20-term stoplist
+      "rel_funnel", "rel_profile") // 1-row stage-count aggregates
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = physical(fn(spark, sf))
+        val cart = plan.contains("CartesianProduct")
+        val bnlj = plan.contains("BroadcastNestedLoopJoin") &&
+          !tinyBroadcastOk(name)
+        val leak = !spark.sharedState.cacheManager.isEmpty
+        if (leak) spark.catalog.clearCache()
+        Seq(
+          if (cart) Some(s"$name: CartesianProduct in plan") else None,
+          if (bnlj) Some(s"$name: undeclared BroadcastNestedLoopJoin") else None,
+          if (leak) Some(s"$name: left entries in the CacheManager") else None
+        ).flatten
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
   test("neardup staging checkpoints only the slim scored relation") {
     // the corpus-scale legs (exploded hashes, per-doc signatures) stay
     // persist-only; what hits checkpoint FILES is the per-pair scored
