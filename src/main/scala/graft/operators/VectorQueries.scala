@@ -653,8 +653,73 @@ object VectorQueries {
       |      CROSS JOIN (SELECT unnest(range(0, 8)) AS sub))))
       |ORDER BY vec_id, sub_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // B29k: PQ asymmetric-distance search (ADC) — the query side of
+  // IVF-PQ: the query vector stays full-precision while every corpus
+  // vector is scored against its RECONSTRUCTION from the 8×8 PQ codes
+  // of vec_pq, so search cost is one scan over codes (at 100 TB the
+  // codes + scales are ~17 bytes/vector instead of 256 — the index
+  // fits in memory where the raw vectors don't). Reconstruction
+  // (floor-quantize then rescale) is generated as explicit
+  // left-associated terms in BOTH engines, zero-scale subvectors
+  // contribute 0 by CASE, scores rounded to 6 with vec_id tiebreaks —
+  // same determinism contract as the brute-force dot. exact_dot rides
+  // along so the result doubles as the quantization-error report.
+  // -------------------------------------------------------------------
+  def pqAnn(s: SparkSession, d: String): DataFrame = {
+    val base = embeddings(s, d)
+      .withColumn("e", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+    val q = base.filter(col("vec_id") === 0).select(col("e").as("qe"))
+    var c = base.filter(col("vec_id") > 0)
+    for (sub <- 0 until 8)
+      c = c.withColumn(s"mx$sub",
+        expr(s"array_max(transform(slice(e, ${sub * 8 + 1}, 8), x -> abs(x)))"))
+    val adc = (0 until Dim).map { i =>
+      val mx = col(s"mx${i / 8}")
+      val recon =
+        floor(col("e").getItem(i) * lit(127.0) / mx + lit(0.5)) * mx / lit(127.0)
+      when(mx === 0.0, lit(0.0)).otherwise(col("qe").getItem(i) * recon)
+    }.reduce(_ + _)
+    c.crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        round(adc, 6).as("adc_dot"),
+        round(call_function("array_dot", col("e"), col("qe")), 6)
+          .as("exact_dot"),
+        round(abs(adc - call_function("array_dot", col("e"), col("qe"))), 6)
+          .as("adc_err"))
+      .orderBy(desc("adc_dot"), asc("vec_id"))
+      .limit(10)
+  }
+
+  val pqAnnSql: String = {
+    val mxDefs = (0 until 8).map { sub =>
+      s"list_max(list_transform(e[${sub * 8 + 1}:${sub * 8 + 8}], x -> abs(x))) AS mx$sub"
+    }.mkString(",\n       |    ")
+    val adc = (0 until Dim).map { i =>
+      val mx = s"mx${i / 8}"
+      s"(CASE WHEN $mx = 0 THEN 0.0 ELSE qe[${i + 1}] * " +
+        s"(floor(e[${i + 1}] * 127.0 / $mx + 0.5) * $mx / 127.0) END)"
+    }.mkString(" + ")
+    val exact = (1 to Dim).map(i => s"e[$i] * qe[$i]").mkString(" + ")
+    s"""WITH base AS (
+       |  SELECT vec_id, label,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |q AS (SELECT e AS qe FROM base WHERE vec_id = 0),
+       |c AS (
+       |  SELECT vec_id, label, e,
+       |    $mxDefs
+       |  FROM base WHERE vec_id > 0)
+       |SELECT vec_id, label, round($adc, 6) AS adc_dot,
+       |  round($exact, 6) AS exact_dot,
+       |  round(abs(($adc) - ($exact)), 6) AS adc_err
+       |FROM c CROSS JOIN q
+       |ORDER BY adc_dot DESC, vec_id LIMIT 10""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "vec_pq" -> (productQuantize _),
+    "vec_pq_ann" -> (pqAnn _),
     "vec_centroid" -> (centroids _),
     "vec_kmeans_step" -> (kmeansStep _),
     "vec_quantize" -> (quantize _),
@@ -672,6 +737,7 @@ object VectorQueries {
 
   val oracles: Map[String, String] = Map(
     "vec_pq" -> productQuantizeSql,
+    "vec_pq_ann" -> pqAnnSql,
     "vec_centroid" -> centroidsSql,
     "vec_kmeans_step" -> kmeansStepSql,
     "vec_quantize" -> quantizeSql,
