@@ -1840,7 +1840,148 @@ object TextQueries {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // Charter: bag-of-words dedup — canonicalize each document to its
+  // SORTED token multiset before hashing, so token-reordered rewrites
+  // (shuffled sentences, reordered lists) collapse into one group that
+  // byte-exact dedup misses. One scan; both windows (group size and
+  // canonical-min) share the single bag_md5 exchange, and the shuffle
+  // carries (doc_id, 32-char hash) — never text.
+  // -------------------------------------------------------------------
+  def bagDedup(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("bag_md5")
+    documents(s, d)
+      .select(col("doc_id"),
+        md5(concat_ws(" ",
+          sort_array(expr("filter(split(text, ' '), x -> x <> '')"))))
+          .as("bag_md5"))
+      .withColumn("n_bag", count(lit(1)).over(w))
+      .withColumn("keep", col("doc_id") === min(col("doc_id")).over(w))
+      .orderBy("doc_id")
+  }
+
+  val bagDedupSql: String =
+    """SELECT doc_id, bag_md5,
+      |  count(*) OVER (PARTITION BY bag_md5) AS n_bag,
+      |  doc_id = min(doc_id) OVER (PARTITION BY bag_md5) AS keep
+      |FROM (SELECT doc_id,
+      |  md5(coalesce(array_to_string(list_sort(
+      |    list_filter(string_split(text, ' '), x -> x <> '')), ' '), ''))
+      |    AS bag_md5
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Charter: token-budget sampling — fill each source's token budget
+  // longest-document-first (the deterministic priority order a mixture
+  // builder uses when a source over-delivers). The per-source prefix
+  // sum is one window over (n_tok DESC, doc_id); the report aggregates
+  // to |sources| rows, so nothing corpus-scale ever leaves the
+  // source-keyed exchange.
+  // -------------------------------------------------------------------
+  private val TokenBudget = 1000L
+
+  def tokenBudget(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("source")
+      .orderBy(col("n_tok").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents(s, d)
+      .select(col("source"), col("doc_id"),
+        size(expr("filter(split(text, ' '), x -> x <> '')"))
+          .cast("bigint").as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(when(col("cum") <= TokenBudget, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("cum") <= TokenBudget, col("n_tok")).otherwise(0L))
+          .as("tok_kept"))
+      .withColumn("fill_ratio",
+        col("tok_kept").cast("double") / lit(TokenBudget.toDouble))
+      .orderBy("source")
+  }
+
+  val tokenBudgetSql: String =
+    s"""WITH t AS (
+       |  SELECT source, doc_id,
+       |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+       |      AS BIGINT) AS n_tok
+       |  FROM documents),
+       |c AS (
+       |  SELECT *, CAST(sum(n_tok) OVER (
+       |    PARTITION BY source ORDER BY n_tok DESC, doc_id
+       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |  FROM t)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |  CAST(sum(CASE WHEN cum <= $TokenBudget THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_kept,
+       |  CAST(sum(CASE WHEN cum <= $TokenBudget THEN n_tok ELSE 0 END)
+       |    AS BIGINT) AS tok_kept,
+       |  CAST(sum(CASE WHEN cum <= $TokenBudget THEN n_tok ELSE 0 END)
+       |    AS DOUBLE) / $TokenBudget.0 AS fill_ratio
+       |FROM c GROUP BY source ORDER BY source""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Charter: per-source template detection — the boilerplate report: for
+  // each source, the passage (8-token stride-4 window, same segmentation
+  // as dedup_passages) recurring in the most documents, with its doc
+  // coverage. The exploded passage relation fans out to the per-passage
+  // aggregate AND the per-source doc counts (different shuffle keys), so
+  // it is staged once; what leaves the stage is |sources × passages|
+  // aggregate rows, with the top-1 cut per source.
+  // -------------------------------------------------------------------
+  def templates(s: SparkSession, d: String): DataFrame = {
+    val p = documents(s, d)
+      .select(col("source"), col("doc_id"), toks.as("t"))
+      .filter(size(col("t")) >= 8)
+      .select(col("source"), col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t) - 8, 4)," +
+          " i -> concat_ws(' ', slice(t, i + 1, 8)))")).as("passage"))
+    graft.Stage.fanout(p) { pp =>
+      val g = pp.groupBy("source", "passage")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occ"))
+      val ns = pp.groupBy("source")
+        .agg(countDistinct(col("doc_id")).as("n_docs_src"))
+      val w = Window.partitionBy("source")
+        .orderBy(col("n_docs").desc, col("n_occ").desc, col("passage"))
+      g.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+        .join(ns, "source")
+        .select(col("source"), col("passage"), col("n_docs"), col("n_occ"),
+          (col("n_docs").cast("double") / col("n_docs_src")).as("coverage"))
+    }.orderBy("source")
+  }
+
+  val templatesSql: String =
+    """WITH wt AS (
+      |  SELECT source, doc_id, string_split(text, ' ') AS t FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 8),
+      |p AS (
+      |  SELECT source, doc_id,
+      |    unnest(list_transform(range(0, len(t) - 8 + 1, 4),
+      |      i -> array_to_string(t[i + 1:i + 8], ' '))) AS passage
+      |  FROM wt),
+      |g AS (
+      |  SELECT source, passage, count(DISTINCT doc_id) AS n_docs,
+      |    count(*) AS n_occ
+      |  FROM p GROUP BY source, passage),
+      |ns AS (
+      |  SELECT source, count(DISTINCT doc_id) AS n_docs_src
+      |  FROM p GROUP BY source)
+      |SELECT source, passage, n_docs, n_occ,
+      |  CAST(n_docs AS DOUBLE) / n_docs_src AS coverage
+      |FROM (SELECT *, row_number() OVER (
+      |        PARTITION BY source
+      |        ORDER BY n_docs DESC, n_occ DESC, passage) AS rn
+      |      FROM g) JOIN ns USING (source)
+      |WHERE rn = 1 ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_bag" -> (bagDedup _),
+    "train_token_budget" -> (tokenBudget _),
+    "text_templates" -> (templates _),
     "text_lm_score" -> (lmScore _),
     "dedup_keep" -> (dedupKeep _),
     "text_scrub" -> (textScrub _),
@@ -1877,6 +2018,9 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "dedup_bag" -> bagDedupSql,
+    "train_token_budget" -> tokenBudgetSql,
+    "text_templates" -> templatesSql,
     "text_lm_score" -> lmScoreSql,
     "dedup_keep" -> dedupKeepSql,
     "text_scrub" -> textScrubSql,
