@@ -666,20 +666,42 @@ object VectorQueries {
   // same determinism contract as the brute-force dot. exact_dot rides
   // along so the result doubles as the quantization-error report.
   // -------------------------------------------------------------------
+  /** Per-subvector max-abs scale columns `mx0..mx7` over a doubles
+    * array `e` — the PQ codebook scales, appended to candidate rows.
+    */
+  private def withSubScales(df: DataFrame): DataFrame =
+    (0 until 8).foldLeft(df) { (acc, sub) =>
+      acc.withColumn(s"mx$sub",
+        expr(s"array_max(transform(slice(e, ${sub * 8 + 1}, 8), x -> abs(x)))"))
+    }
+
+  private def subScalesSql: String = (0 until 8).map { sub =>
+    s"list_max(list_transform(e[${sub * 8 + 1}:${sub * 8 + 8}], x -> abs(x))) AS mx$sub"
+  }.mkString(",\n       |    ")
+
+  /** ADC score of query `qe` against the PQ reconstruction of `e` —
+    * 64 explicit left-associated terms; a zero-scale subvector
+    * contributes 0 by CASE in both engines.
+    */
+  private def adcScore: Column = (0 until Dim).map { i =>
+    val mx = col(s"mx${i / 8}")
+    val recon =
+      floor(col("e").getItem(i) * lit(127.0) / mx + lit(0.5)) * mx / lit(127.0)
+    when(mx === 0.0, lit(0.0)).otherwise(col("qe").getItem(i) * recon)
+  }.reduce(_ + _)
+
+  private def adcScoreSql: String = (0 until Dim).map { i =>
+    val mx = s"mx${i / 8}"
+    s"(CASE WHEN $mx = 0 THEN 0.0 ELSE qe[${i + 1}] * " +
+      s"(floor(e[${i + 1}] * 127.0 / $mx + 0.5) * $mx / 127.0) END)"
+  }.mkString(" + ")
+
   def pqAnn(s: SparkSession, d: String): DataFrame = {
     val base = embeddings(s, d)
       .withColumn("e", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
     val q = base.filter(col("vec_id") === 0).select(col("e").as("qe"))
-    var c = base.filter(col("vec_id") > 0)
-    for (sub <- 0 until 8)
-      c = c.withColumn(s"mx$sub",
-        expr(s"array_max(transform(slice(e, ${sub * 8 + 1}, 8), x -> abs(x)))"))
-    val adc = (0 until Dim).map { i =>
-      val mx = col(s"mx${i / 8}")
-      val recon =
-        floor(col("e").getItem(i) * lit(127.0) / mx + lit(0.5)) * mx / lit(127.0)
-      when(mx === 0.0, lit(0.0)).otherwise(col("qe").getItem(i) * recon)
-    }.reduce(_ + _)
+    val c = withSubScales(base.filter(col("vec_id") > 0))
+    val adc = adcScore
     c.crossJoin(broadcast(q))
       .select(col("vec_id"), col("label"),
         round(adc, 6).as("adc_dot"),
@@ -692,14 +714,8 @@ object VectorQueries {
   }
 
   val pqAnnSql: String = {
-    val mxDefs = (0 until 8).map { sub =>
-      s"list_max(list_transform(e[${sub * 8 + 1}:${sub * 8 + 8}], x -> abs(x))) AS mx$sub"
-    }.mkString(",\n       |    ")
-    val adc = (0 until Dim).map { i =>
-      val mx = s"mx${i / 8}"
-      s"(CASE WHEN $mx = 0 THEN 0.0 ELSE qe[${i + 1}] * " +
-        s"(floor(e[${i + 1}] * 127.0 / $mx + 0.5) * $mx / 127.0) END)"
-    }.mkString(" + ")
+    val mxDefs = subScalesSql
+    val adc = adcScoreSql
     val exact = (1 to Dim).map(i => s"e[$i] * qe[$i]").mkString(" + ")
     s"""WITH base AS (
        |  SELECT vec_id, label,
@@ -717,9 +733,67 @@ object VectorQueries {
        |ORDER BY adc_dot DESC, vec_id LIMIT 10""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // B29l: IVF-PQ search — the full production ANN index shape: the
+  // coarse quantizer prunes the corpus to the query's `nprobe` nearest
+  // lists (broadcast hash join on list_id, candidates ≈ nprobe/nlists
+  // of the corpus), then PQ asymmetric distance ranks the candidates
+  // without touching full-precision corpus vectors. The assignment
+  // pass feeds the query row, the probe ranking, AND the candidate
+  // side, so it is staged once; at 100 TB only codes + scales of the
+  // probed lists are ever scored.
+  // -------------------------------------------------------------------
+  def ivfPq(s: SparkSession, d: String): DataFrame = {
+    val base = ivfAssigned(s, d)
+      .withColumn("e", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+    graft.Stage.fanout(base) { assigned =>
+      val q = assigned.filter(col("vec_id") === 0)
+        .select(col("e").as("qe"), col("embedding").as("q_embedding"))
+      val probes = assigned.filter(col("vec_id") < IvfSeeds)
+        .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
+        .crossJoin(broadcast(q))
+        .withColumn("pd", round(dot("c_emb", "q_embedding"), 6))
+        .orderBy(col("pd").desc, col("cid"))
+        .limit(IvfNprobe)
+        .select(col("cid").as("probe_list"))
+      val cand = withSubScales(
+        assigned.filter(col("vec_id") > 0)
+          .join(broadcast(probes), col("list_id") === col("probe_list")))
+      cand.crossJoin(broadcast(q))
+        .select(col("vec_id"), col("label"), col("list_id"),
+          round(adcScore, 6).as("adc_dot"))
+        .orderBy(desc("adc_dot"), asc("vec_id"))
+        .limit(10)
+    }
+  }
+
+  val ivfPqSql: String = {
+    s"""WITH assigned0 AS ($ivfAssignedSql),
+       |assigned AS (
+       |  SELECT *, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM assigned0),
+       |q AS (SELECT e AS qe, embedding AS q_embedding FROM assigned
+       |      WHERE vec_id = 0),
+       |probes AS (
+       |  SELECT cid AS probe_list FROM (
+       |    SELECT a.vec_id AS cid,
+       |      round(${dotSql("a.embedding", "q.q_embedding")}, 6) AS pd
+       |    FROM assigned a, q WHERE a.vec_id < $IvfSeeds)
+       |  ORDER BY pd DESC, cid LIMIT $IvfNprobe),
+       |c AS (
+       |  SELECT a.vec_id, a.label, a.list_id, a.e,
+       |    $subScalesSql
+       |  FROM assigned a JOIN probes ON a.list_id = probes.probe_list
+       |  WHERE a.vec_id > 0)
+       |SELECT vec_id, label, list_id, round($adcScoreSql, 6) AS adc_dot
+       |FROM c CROSS JOIN q
+       |ORDER BY adc_dot DESC, vec_id LIMIT 10""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "vec_pq" -> (productQuantize _),
     "vec_pq_ann" -> (pqAnn _),
+    "vec_ivf_pq" -> (ivfPq _),
     "vec_centroid" -> (centroids _),
     "vec_kmeans_step" -> (kmeansStep _),
     "vec_quantize" -> (quantize _),
@@ -738,6 +812,7 @@ object VectorQueries {
   val oracles: Map[String, String] = Map(
     "vec_pq" -> productQuantizeSql,
     "vec_pq_ann" -> pqAnnSql,
+    "vec_ivf_pq" -> ivfPqSql,
     "vec_centroid" -> centroidsSql,
     "vec_kmeans_step" -> kmeansStepSql,
     "vec_quantize" -> quantizeSql,

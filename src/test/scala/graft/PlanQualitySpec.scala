@@ -314,7 +314,7 @@ class PlanQualitySpec extends AnyFunSuite {
       "vec_ivf_lists", "vec_ivf_ann", "vec_ivf_multiprobe", // 16-row centroid set
       "vec_ann_recall", // 1-row exact-vs-ann count pair
       "vec_kmeans_step", "vec_kmeans_loop", // k≤16-row centroid matrix
-      "vec_pq_ann", // 1-row full-precision query vector
+      "vec_pq_ann", "vec_ivf_pq", // 1-row full-precision query vector
       "vec_cosine_neardup", // staged bucket relation vs itself (equi-join; listed for the AQE local fallback)
       "text_tfidf", "text_bigram_lm", "text_lm_score", // 1-row corpus-size aggregate
       "text_heavy_hitters", // 1-row merged count-min sketch
