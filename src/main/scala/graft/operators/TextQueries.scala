@@ -325,6 +325,135 @@ object TextQueries {
   }
 
   // -------------------------------------------------------------------
+  // Charter: MinHash calibration audit — the report an operator reads
+  // before trusting the banding parameters: for EVERY LSH candidate
+  // pair (no jaccard floor), the signature-estimated similarity
+  // (agreeing components / 8) against the exact shingle Jaccard,
+  // bucketed by exact-jaccard decile. Per-pair values are held in
+  // micro-unit BIGINTs so the bucket means are exact integer sums —
+  // deterministic at any shuffle order, in either engine. Same staged
+  // two-level fan-out as dedup_neardup_pairs: the corpus is exploded
+  // and hashed exactly once.
+  // -------------------------------------------------------------------
+  def minhashCalibration(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftExtensions.register(s)
+    val hashedRaw = documents(s, d)
+      .select(col("doc_id"),
+        explode(call_function("word_shingles", col("text"), lit(3), lit(true)))
+          .as("sh"))
+      .select(col("doc_id"), h60(col("sh")).as("h"))
+    val pairs = graft.Stage.fanout2(hashedRaw) { hashed =>
+      val aggs = MinhashSeeds.map(i => min(perm(i, col("h"))).as(s"sig_$i")) :+
+        count(lit(1)).as("n")
+      hashed.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    } { (hashed, docsh) =>
+      val bandKeys = array((0 until 4).map { b =>
+        concat_ws("_", col(s"sig_${2 * b}"), col(s"sig_${2 * b + 1}"))
+      }: _*)
+      val bands = docsh.select(col("doc_id"),
+        posexplode(bandKeys).as(Seq("band", "bkey")))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      val inter = cand
+        .join(hashed.as("ta"), col("doc_a") === col("ta.doc_id"))
+        .join(hashed.as("tb"),
+          col("doc_b") === col("tb.doc_id") && col("ta.h") === col("tb.h"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("nc"))
+      val sa = docsh.select(
+        Seq(col("doc_id").as("ida"), col("n").as("na")) ++
+          MinhashSeeds.map(i => col(s"sig_$i").as(s"a_$i")): _*)
+      val sb = docsh.select(
+        Seq(col("doc_id").as("idb"), col("n").as("nb")) ++
+          MinhashSeeds.map(i => col(s"sig_$i").as(s"b_$i")): _*)
+      val agree = MinhashSeeds
+        .map(i => when(col(s"a_$i") === col(s"b_$i"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      // left join: a band collision without a true common shingle (perm
+      // collision) is still a candidate the audit must count, at
+      // jaccard 0
+      cand.join(inter, Seq("doc_a", "doc_b"), "left")
+        .na.fill(0L, Seq("nc"))
+        .join(sa, col("doc_a") === col("ida"))
+        .join(sb, col("doc_b") === col("idb"))
+        .select(col("doc_a"), col("doc_b"), agree.as("n_agree"),
+          col("nc").as("n_common"), col("na"), col("nb"))
+    }
+    val j = col("n_common").cast("double") /
+      (col("na") + col("nb") - col("n_common"))
+    pairs
+      .select(floor(j * 10).cast("long").as("bucket"),
+        (col("n_agree") * lit(125000L)).as("est_micro"),
+        floor(j * 1000000).cast("long").as("exact_micro"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("est_micro")).as("se"),
+        sum(col("exact_micro")).as("sx"),
+        sum(abs(col("est_micro") - col("exact_micro"))).as("sae"))
+      .select(col("bucket"), col("n_pairs"),
+        round(col("se").cast("double") / lit(1000000.0) / col("n_pairs"), 6)
+          .as("avg_est"),
+        round(col("sx").cast("double") / lit(1000000.0) / col("n_pairs"), 6)
+          .as("avg_exact"),
+        round(col("sae").cast("double") / lit(1000000.0) / col("n_pairs"), 6)
+          .as("mean_abs_err"))
+      .orderBy("bucket")
+  }
+
+  val minhashCalibrationSql: String = {
+    val sigDefs = MinhashSeeds.map { i =>
+      s"  min(${permSql(i, "h")}) AS sig_$i"
+    }.mkString(",\n")
+    val agree = MinhashSeeds.map { i =>
+      s"(CASE WHEN sa.sig_$i = sb.sig_$i THEN 1 ELSE 0 END)"
+    }.mkString(" + ")
+    val jd = "CAST(n_common AS DOUBLE) / (na + nb - n_common)"
+    s"""WITH dh AS (
+       |  SELECT doc_id, ${h60Sql("sh")} AS h FROM (
+       |    SELECT doc_id, unnest(list_distinct($shinglesSql)) AS sh
+       |    FROM documents)),
+       |sigs AS (
+       |  SELECT doc_id,
+       |$sigDefs,
+       |  count(*) AS n
+       |  FROM dh GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, 0 AS band, CAST(sig_0 AS VARCHAR) || '_' || CAST(sig_1 AS VARCHAR) AS bkey FROM sigs
+       |  UNION ALL SELECT doc_id, 1, CAST(sig_2 AS VARCHAR) || '_' || CAST(sig_3 AS VARCHAR) FROM sigs
+       |  UNION ALL SELECT doc_id, 2, CAST(sig_4 AS VARCHAR) || '_' || CAST(sig_5 AS VARCHAR) FROM sigs
+       |  UNION ALL SELECT doc_id, 3, CAST(sig_6 AS VARCHAR) || '_' || CAST(sig_7 AS VARCHAR) FROM sigs),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+       |inter AS (
+       |  SELECT doc_a, doc_b, count(*) AS nc
+       |  FROM cand
+       |  JOIN dh ta ON ta.doc_id = doc_a
+       |  JOIN dh tb ON tb.doc_id = doc_b AND tb.h = ta.h
+       |  GROUP BY doc_a, doc_b),
+       |pairs AS (
+       |  SELECT c.doc_a, c.doc_b, $agree AS n_agree,
+       |    coalesce(i.nc, 0) AS n_common, sa.n AS na, sb.n AS nb
+       |  FROM cand c
+       |  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+       |  JOIN sigs sa ON sa.doc_id = c.doc_a
+       |  JOIN sigs sb ON sb.doc_id = c.doc_b),
+       |m AS (
+       |  SELECT CAST(floor(($jd) * 10) AS BIGINT) AS bucket,
+       |    CAST(n_agree * 125000 AS BIGINT) AS est_micro,
+       |    CAST(floor(($jd) * 1000000) AS BIGINT) AS exact_micro
+       |  FROM pairs)
+       |SELECT bucket, count(*) AS n_pairs,
+       |  round(CAST(CAST(sum(est_micro) AS BIGINT) AS DOUBLE) / 1000000.0 / count(*), 6) AS avg_est,
+       |  round(CAST(CAST(sum(exact_micro) AS BIGINT) AS DOUBLE) / 1000000.0 / count(*), 6) AS avg_exact,
+       |  round(CAST(CAST(sum(abs(est_micro - exact_micro)) AS BIGINT) AS DOUBLE) / 1000000.0 / count(*), 6) AS mean_abs_err
+       |FROM m GROUP BY bucket ORDER BY bucket""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // Dedup 4 (SimHash): 16-bit simhash — per bit b, sign of
   // sum(±1 over token hashes' bit b); fingerprint = Σ bit<<b. All
   // order-independent integer aggregates → deterministic and mergeable.
@@ -1980,6 +2109,7 @@ object TextQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_bag" -> (bagDedup _),
+    "dedup_minhash_est" -> (minhashCalibration _),
     "train_token_budget" -> (tokenBudget _),
     "text_templates" -> (templates _),
     "text_lm_score" -> (lmScore _),
@@ -2019,6 +2149,7 @@ object TextQueries {
 
   val oracles: Map[String, String] = Map(
     "dedup_bag" -> bagDedupSql,
+    "dedup_minhash_est" -> minhashCalibrationSql,
     "train_token_budget" -> tokenBudgetSql,
     "text_templates" -> templatesSql,
     "text_lm_score" -> lmScoreSql,
