@@ -203,7 +203,67 @@ object MultimodalQueries {
       |  GROUP BY md5(d2.text))
       |WHERE n_copies > 1 ORDER BY canonical_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // M6: frame-level dedup across assets — the multimodal analog of
+  // passage dedup: hash every SAMPLED frame (the M3 sampling grid over
+  // the M5 re-ingested asset set), find frames shared by >1 asset, and
+  // report each asset's shared-frame ratio — the "mostly stock footage /
+  // re-cut of another video" curation signal. Frame hashes are derived
+  // from the content checksum + frame index (>>> STUB DECODE <<< — a
+  // real build hashes decoded frame pixels; the hash-shuffle plumbing is
+  // identical). The exploded frame relation fans out to the shared-set
+  // aggregate and the per-asset rollup, so it is staged once; only
+  // (media_id, frame-hash) rows ever shuffle, never content.
+  // -------------------------------------------------------------------
+  def frameDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val assets = docs.select(col("doc_id").as("media_id"),
+        (col("doc_id") % 400).as("src"))
+      .join(docs.select(col("doc_id").as("src_id"),
+        col("text").cast("binary").as("content")), col("src") === col("src_id"))
+      .select(col("media_id"), md5(col("content")).as("cmd5"),
+        (lit(1) + col("src_id") % 30).cast("int").as("n_frames"))
+    val frames = assets
+      .select(col("media_id"), col("cmd5"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(5))).as("frame_no"))
+      .select(col("media_id"),
+        md5(concat(col("cmd5"), lit(":"), col("frame_no").cast("string")))
+          .as("fh"))
+    graft.Stage.fanout(frames) { f =>
+      val shared = f.groupBy("fh")
+        .agg(countDistinct(col("media_id")).as("nd"))
+        .filter(col("nd") > 1)
+        .select(col("fh").as("fh_s"))
+      f.join(shared, col("fh") === col("fh_s"), "left")
+        .groupBy("media_id")
+        .agg(count(lit(1)).as("n_sampled"), count(col("fh_s")).as("n_shared"))
+    }.select(col("media_id"), col("n_sampled"), col("n_shared"),
+        (col("n_shared").cast("double") / col("n_sampled")).as("share_ratio"))
+      .orderBy("media_id")
+  }
+
+  val frameDedupSql: String =
+    """WITH assets AS (
+      |  SELECT d1.doc_id AS media_id, md5(d2.text) AS cmd5,
+      |    CAST(1 + d2.doc_id % 30 AS INT) AS n_frames
+      |  FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id % 400),
+      |f AS (
+      |  SELECT media_id, md5(cmd5 || ':' || CAST(frame_no AS VARCHAR)) AS fh
+      |  FROM assets,
+      |    unnest(range(0, CAST(n_frames AS BIGINT), 5)) AS t(frame_no)),
+      |shared AS (
+      |  SELECT fh AS fh_s FROM f GROUP BY fh
+      |  HAVING count(DISTINCT media_id) > 1)
+      |SELECT media_id, n_sampled, n_shared,
+      |  CAST(n_shared AS DOUBLE) / n_sampled AS share_ratio
+      |FROM (
+      |  SELECT media_id, count(*) AS n_sampled, count(fh_s) AS n_shared
+      |  FROM f LEFT JOIN shared ON f.fh = shared.fh_s
+      |  GROUP BY media_id)
+      |ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "media_frame_dedup" -> (frameDedup _),
     "media_dedup" -> (mediaDedup _),
     "media_resize" -> (mediaResize _),
     "media_metadata" -> (mediaMetadata _),
@@ -212,6 +272,7 @@ object MultimodalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "media_frame_dedup" -> frameDedupSql,
     "media_dedup" -> mediaDedupSql,
     "media_resize" -> mediaResizeSql,
     "media_metadata" -> mediaMetadataSql,

@@ -2107,7 +2107,60 @@ object TextQueries {
       |      FROM g) JOIN ns USING (source)
       |WHERE rn = 1 ORDER BY source""".stripMargin
 
+  // -------------------------------------------------------------------
+  // Charter: vocabulary coverage — the tokenizer-design report: corpus
+  // vocabulary size, total token mass, and the fraction of all tokens
+  // covered by the top-10/100/1000 terms (the Zipf head). Each top-K
+  // mass is a TakeOrderedAndProject + one-row sum — no global rank over
+  // the vocabulary, so nothing larger than K rows leaves the term
+  // aggregate and the plan survives a 10^8-term vocabulary. The term
+  // counts fan out to four consumers and are staged once. All masses
+  // are exact BIGINT sums; the fractions divide identical integers in
+  // both engines.
+  // -------------------------------------------------------------------
+  def vocabCoverage(s: SparkSession, d: String): DataFrame = {
+    val counts = documents(s, d)
+      .select(explode(toks).as("term")).filter(col("term") =!= "")
+      .groupBy("term").agg(count(lit(1)).as("n"))
+    graft.Stage.fanout(counts) { c =>
+      val tot = c.agg(sum(col("n")).as("total_tokens"),
+        count(lit(1)).as("vocab_size"))
+      def topMass(k: Int) =
+        c.orderBy(col("n").desc, col("term")).limit(k)
+          .agg(sum(col("n")).as(s"top${k}_n"))
+      tot.crossJoin(broadcast(topMass(10)))
+        .crossJoin(broadcast(topMass(100)))
+        .crossJoin(broadcast(topMass(1000)))
+    }.select(col("vocab_size"), col("total_tokens"),
+        round(col("top10_n").cast("double") / col("total_tokens"), 6)
+          .as("top10_mass"),
+        round(col("top100_n").cast("double") / col("total_tokens"), 6)
+          .as("top100_mass"),
+        round(col("top1000_n").cast("double") / col("total_tokens"), 6)
+          .as("top1000_mass"))
+  }
+
+  val vocabCoverageSql: String =
+    """WITH c AS (
+      |  SELECT term, count(*) AS n FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+      |  WHERE term <> '' GROUP BY term),
+      |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total_tokens,
+      |        count(*) AS vocab_size FROM c),
+      |t10 AS (SELECT CAST(sum(n) AS BIGINT) AS top10_n FROM
+      |  (SELECT n FROM c ORDER BY n DESC, term LIMIT 10)),
+      |t100 AS (SELECT CAST(sum(n) AS BIGINT) AS top100_n FROM
+      |  (SELECT n FROM c ORDER BY n DESC, term LIMIT 100)),
+      |t1000 AS (SELECT CAST(sum(n) AS BIGINT) AS top1000_n FROM
+      |  (SELECT n FROM c ORDER BY n DESC, term LIMIT 1000))
+      |SELECT vocab_size, total_tokens,
+      |  round(CAST(top10_n AS DOUBLE) / total_tokens, 6) AS top10_mass,
+      |  round(CAST(top100_n AS DOUBLE) / total_tokens, 6) AS top100_mass,
+      |  round(CAST(top1000_n AS DOUBLE) / total_tokens, 6) AS top1000_mass
+      |FROM tot, t10, t100, t1000""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_vocab_coverage" -> (vocabCoverage _),
     "dedup_bag" -> (bagDedup _),
     "dedup_minhash_est" -> (minhashCalibration _),
     "train_token_budget" -> (tokenBudget _),
@@ -2148,6 +2201,7 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_vocab_coverage" -> vocabCoverageSql,
     "dedup_bag" -> bagDedupSql,
     "dedup_minhash_est" -> minhashCalibrationSql,
     "train_token_budget" -> tokenBudgetSql,

@@ -319,6 +319,7 @@ class PlanQualitySpec extends AnyFunSuite {
       "text_tfidf", "text_bigram_lm", "text_lm_score", // 1-row corpus-size aggregate
       "text_heavy_hitters", // 1-row merged count-min sketch
       "text_stopword_strip", // 1-row collected 20-term stoplist
+      "text_vocab_coverage", // 1-row totals x three 1-row top-K masses
       "rel_funnel", "rel_profile") // 1-row stage-count aggregates
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
