@@ -1300,7 +1300,59 @@ object RelationalQueries {
       |UNPIVOT (val FOR metric IN (acctbal_cents, nation_scaled))
       |ORDER BY c_custkey, metric""".stripMargin
 
+  // -------------------------------------------------------------------
+  // B15/B16 composed: cohort retention matrix — users grouped by their
+  // first-activity week, tracked across weekly offsets: the standard
+  // product-analytics report. Everything derives from ONE distinct
+  // (user, week) relation (staged: it feeds the cohort assignment and
+  // the activity join on different keys); counts are exact integers,
+  // the retention ratio divides identical ints in both engines. At
+  // scale the distinct and both aggregates shuffle (user_id)-sized
+  // rows, and the matrix itself is |cohorts × offsets| — tiny.
+  // -------------------------------------------------------------------
+  def retention(s: SparkSession, d: String): DataFrame = {
+    val act = events(s, d)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      .distinct()
+    graft.Stage.fanout(act) { a =>
+      val first = a.groupBy("user_id").agg(min(col("wk")).as("cohort"))
+      val sizes = first.groupBy("cohort")
+        .agg(count(lit(1)).as("cohort_size"))
+      a.join(first, "user_id")
+        .select(col("cohort"),
+          (datediff(col("wk"), col("cohort")) / 7).cast("int")
+            .as("week_offset"))
+        .groupBy("cohort", "week_offset")
+        .agg(count(lit(1)).as("n_active"))
+        .join(sizes, "cohort")
+    }.select(col("cohort"), col("week_offset"), col("cohort_size"),
+        col("n_active"),
+        round(col("n_active").cast("double") / col("cohort_size"), 6)
+          .as("retention"))
+      .orderBy("cohort", "week_offset")
+  }
+
+  val retentionSql: String =
+    """WITH act AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk FROM events),
+      |cohorts AS (SELECT user_id, min(wk) AS cohort FROM act GROUP BY user_id),
+      |sizes AS (SELECT cohort, count(*) AS cohort_size FROM cohorts
+      |          GROUP BY cohort),
+      |m AS (
+      |  SELECT f.cohort,
+      |    CAST(date_diff('day', CAST(f.cohort AS DATE), CAST(a.wk AS DATE))
+      |      // 7 AS INT) AS week_offset
+      |  FROM act a JOIN cohorts f ON a.user_id = f.user_id)
+      |SELECT cohort, week_offset, cohort_size, n_active,
+      |  round(CAST(n_active AS DOUBLE) / cohort_size, 6) AS retention
+      |FROM (SELECT cohort, week_offset, count(*) AS n_active FROM m
+      |      GROUP BY cohort, week_offset)
+      |JOIN sizes USING (cohort)
+      |ORDER BY cohort, week_offset""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_retention" -> (retention _),
     "rel_set_ops_all" -> (setOpsAll _),
     "rel_rank_extra" -> (rankExtra _),
     "rel_unpivot" -> (unpivot _),
@@ -1351,6 +1403,7 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "rel_retention" -> retentionSql,
     "rel_set_ops_all" -> setOpsAllSql,
     "rel_rank_extra" -> rankExtraSql,
     "rel_unpivot" -> unpivotSql,
