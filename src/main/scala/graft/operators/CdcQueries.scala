@@ -320,6 +320,41 @@ object CdcQueries {
       |  FROM events) WHERE rn = 1
       |ORDER BY user_id, event_type, bucket""".stripMargin
 
+  /** A13+B11 composed: changelog compaction — the materialized
+    * current-state table a CDC consumer builds from the event stream:
+    * per key (ledger), the LATEST event's fields plus history depth.
+    * Expressed as a `max_by` aggregate over the packed (ts, event_id)
+    * ordinal — partials merge, so the shuffle carries
+    * one row per (key × partition) instead of the full history the
+    * equivalent ranking window would exchange; at 100 TB that is the
+    * difference between shuffling |keys| and |events|. The oracle is
+    * the row_number() DESC form — identical by the packed ordinal's
+    * uniqueness.
+    */
+  def compact(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val cents = round(col("value") * 100).cast("long")
+    ev.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        max_by(col("ts"), packedTsId).as("last_ts"),
+        max_by(col("event_type"), packedTsId).as("last_type"),
+        max_by(col("event_id"), packedTsId).as("last_event_id"),
+        max_by(cents, packedTsId).as("last_value_cents"))
+      .orderBy("user_id")
+  }
+
+  val compactSql: String =
+    """SELECT user_id, n_events, last_ts, last_type, last_event_id,
+      |  last_value_cents FROM (
+      |  SELECT user_id, ts AS last_ts, event_type AS last_type,
+      |    event_id AS last_event_id,
+      |    CAST(round(value * 100) AS BIGINT) AS last_value_cents,
+      |    count(*) OVER (PARTITION BY user_id) AS n_events,
+      |    row_number() OVER (PARTITION BY user_id
+      |                       ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events) WHERE rn = 1
+      |ORDER BY user_id""".stripMargin
+
   /** B32/§7.4: u128-discipline balance sums via the [[graft.functions.U128Sum]]
     * typed Aggregator. Each event synthesizes a ~2^90 "balance" as a
     * decimal string from two cross-engine md5 hashes; the custom UDAF
@@ -555,7 +590,8 @@ object CdcQueries {
     "cdc_routing" -> (routing _),
     "cdc_routing_single" -> (routingSingle _),
     "cdc_dedup_exact" -> (dedupExact _),
-    "cdc_dedup_windowed" -> (dedupWindowed _)
+    "cdc_dedup_windowed" -> (dedupWindowed _),
+    "cdc_compact" -> (compact _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -572,6 +608,7 @@ object CdcQueries {
     "cdc_routing" -> routingSql,
     "cdc_routing_single" -> routingSingleSql,
     "cdc_dedup_exact" -> dedupExactSql,
-    "cdc_dedup_windowed" -> dedupWindowedSql
+    "cdc_dedup_windowed" -> dedupWindowedSql,
+    "cdc_compact" -> compactSql
   )
 }
