@@ -1351,7 +1351,54 @@ object RelationalQueries {
       |JOIN sizes USING (cohort)
       |ORDER BY cohort, week_offset""".stripMargin
 
+  // -------------------------------------------------------------------
+  // Charter: join-key skew audit — the diagnostic an operator reads
+  // before choosing broadcast/salting/AQE for a big join: over the
+  // lineitem join key, total keys and rows, the hottest key's row
+  // count, the row share of the top-10 keys, and how many keys exceed
+  // 2× the mean (compared in exact integer cross-multiplication, no
+  // doubles). The per-key count relation fans out to three consumers
+  // and is staged once; each consumer reduces to ≤10 rows before
+  // anything leaves its stage.
+  // -------------------------------------------------------------------
+  def keySkew(s: SparkSession, d: String): DataFrame = {
+    val counts = lineitem(s, d)
+      .groupBy("l_orderkey").agg(count(lit(1)).as("cnt"))
+    graft.Stage.fanout(counts) { c =>
+      val tot = c.agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"),
+        max(col("cnt")).as("max_key_rows"))
+      val top10 = c.orderBy(col("cnt").desc, col("l_orderkey")).limit(10)
+        .agg(sum(col("cnt")).as("top10_rows"))
+      // hot ⟺ cnt > 2 × (n_rows / n_keys), cross-multiplied exactly
+      val hot = c.crossJoin(broadcast(tot))
+        .filter(col("cnt") * col("n_keys") > col("n_rows") * 2)
+        .agg(count(lit(1)).as("n_hot_keys"))
+      tot.crossJoin(broadcast(top10)).crossJoin(broadcast(hot))
+    }.select(col("n_keys"), col("n_rows"), col("max_key_rows"),
+        round(col("top10_rows").cast("double") / col("n_rows"), 6)
+          .as("top10_share"),
+        col("n_hot_keys"))
+  }
+
+  val keySkewSql: String =
+    """WITH c AS (
+      |  SELECT l_orderkey, count(*) AS cnt FROM lineitem GROUP BY l_orderkey),
+      |tot AS (
+      |  SELECT count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS n_rows,
+      |    max(cnt) AS max_key_rows FROM c),
+      |t10 AS (
+      |  SELECT CAST(sum(cnt) AS BIGINT) AS top10_rows FROM (
+      |    SELECT cnt FROM c ORDER BY cnt DESC, l_orderkey LIMIT 10)),
+      |hot AS (
+      |  SELECT count(*) AS n_hot_keys FROM c, tot
+      |  WHERE cnt * n_keys > n_rows * 2)
+      |SELECT n_keys, n_rows, max_key_rows,
+      |  round(CAST(top10_rows AS DOUBLE) / n_rows, 6) AS top10_share,
+      |  n_hot_keys
+      |FROM tot, t10, hot""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_key_skew" -> (keySkew _),
     "rel_retention" -> (retention _),
     "rel_set_ops_all" -> (setOpsAll _),
     "rel_rank_extra" -> (rankExtra _),
@@ -1403,6 +1450,7 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "rel_key_skew" -> keySkewSql,
     "rel_retention" -> retentionSql,
     "rel_set_ops_all" -> setOpsAllSql,
     "rel_rank_extra" -> rankExtraSql,
