@@ -1311,21 +1311,26 @@ object RelationalQueries {
   // rows, and the matrix itself is |cohorts × offsets| — tiny.
   // -------------------------------------------------------------------
   def retention(s: SparkSession, d: String): DataFrame = {
-    val act = events(s, d)
+    // cohort = window-min over the distinct (user, week) relation, NOT
+    // a separate groupBy + self-join: both consumers (the retention
+    // matrix and the cohort sizes, via the wk = cohort first-week rows)
+    // then share ONE windowed subtree, whose user_id exchange AQE
+    // reuses — a single corpus scan, no checkpoint staging (asserted
+    // in PlanQualitySpec)
+    val m = events(s, d)
       .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
       .distinct()
-    graft.Stage.fanout(act) { a =>
-      val first = a.groupBy("user_id").agg(min(col("wk")).as("cohort"))
-      val sizes = first.groupBy("cohort")
-        .agg(count(lit(1)).as("cohort_size"))
-      a.join(first, "user_id")
-        .select(col("cohort"),
-          (datediff(col("wk"), col("cohort")) / 7).cast("int")
-            .as("week_offset"))
-        .groupBy("cohort", "week_offset")
-        .agg(count(lit(1)).as("n_active"))
-        .join(sizes, "cohort")
-    }.select(col("cohort"), col("week_offset"), col("cohort_size"),
+      .withColumn("cohort",
+        min(col("wk")).over(Window.partitionBy("user_id")))
+    val sizes = m.filter(col("wk") === col("cohort"))
+      .groupBy("cohort").agg(count(lit(1)).as("cohort_size"))
+    m.select(col("cohort"),
+        (datediff(col("wk"), col("cohort")) / 7).cast("int")
+          .as("week_offset"))
+      .groupBy("cohort", "week_offset")
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, "cohort")
+      .select(col("cohort"), col("week_offset"), col("cohort_size"),
         col("n_active"),
         round(col("n_active").cast("double") / col("cohort_size"), 6)
           .as("retention"))
@@ -1336,18 +1341,19 @@ object RelationalQueries {
     """WITH act AS (
       |  SELECT DISTINCT user_id,
       |    CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk FROM events),
-      |cohorts AS (SELECT user_id, min(wk) AS cohort FROM act GROUP BY user_id),
-      |sizes AS (SELECT cohort, count(*) AS cohort_size FROM cohorts
-      |          GROUP BY cohort),
       |m AS (
-      |  SELECT f.cohort,
-      |    CAST(date_diff('day', CAST(f.cohort AS DATE), CAST(a.wk AS DATE))
-      |      // 7 AS INT) AS week_offset
-      |  FROM act a JOIN cohorts f ON a.user_id = f.user_id)
+      |  SELECT user_id, wk,
+      |    min(wk) OVER (PARTITION BY user_id) AS cohort FROM act),
+      |sizes AS (SELECT cohort, count(*) AS cohort_size FROM m
+      |          WHERE wk = cohort GROUP BY cohort)
       |SELECT cohort, week_offset, cohort_size, n_active,
       |  round(CAST(n_active AS DOUBLE) / cohort_size, 6) AS retention
-      |FROM (SELECT cohort, week_offset, count(*) AS n_active FROM m
-      |      GROUP BY cohort, week_offset)
+      |FROM (
+      |  SELECT cohort,
+      |    CAST(date_diff('day', CAST(cohort AS DATE), CAST(wk AS DATE))
+      |      // 7 AS INT) AS week_offset,
+      |    count(*) AS n_active
+      |  FROM m GROUP BY cohort, week_offset)
       |JOIN sizes USING (cohort)
       |ORDER BY cohort, week_offset""".stripMargin
 
@@ -1362,19 +1368,22 @@ object RelationalQueries {
   // anything leaves its stage.
   // -------------------------------------------------------------------
   def keySkew(s: SparkSession, d: String): DataFrame = {
+    // all three consumers sit directly on the per-key count aggregate,
+    // whose exchange subtree is identical on every path — ReuseExchange
+    // computes the counts once, so no explicit staging is needed
+    // (asserted in PlanQualitySpec)
     val counts = lineitem(s, d)
       .groupBy("l_orderkey").agg(count(lit(1)).as("cnt"))
-    graft.Stage.fanout(counts) { c =>
-      val tot = c.agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"),
-        max(col("cnt")).as("max_key_rows"))
-      val top10 = c.orderBy(col("cnt").desc, col("l_orderkey")).limit(10)
-        .agg(sum(col("cnt")).as("top10_rows"))
-      // hot ⟺ cnt > 2 × (n_rows / n_keys), cross-multiplied exactly
-      val hot = c.crossJoin(broadcast(tot))
-        .filter(col("cnt") * col("n_keys") > col("n_rows") * 2)
-        .agg(count(lit(1)).as("n_hot_keys"))
-      tot.crossJoin(broadcast(top10)).crossJoin(broadcast(hot))
-    }.select(col("n_keys"), col("n_rows"), col("max_key_rows"),
+    val tot = counts.agg(count(lit(1)).as("n_keys"),
+      sum(col("cnt")).as("n_rows"), max(col("cnt")).as("max_key_rows"))
+    val top10 = counts.orderBy(col("cnt").desc, col("l_orderkey")).limit(10)
+      .agg(sum(col("cnt")).as("top10_rows"))
+    // hot ⟺ cnt > 2 × (n_rows / n_keys), cross-multiplied exactly
+    val hot = counts.crossJoin(broadcast(tot))
+      .filter(col("cnt") * col("n_keys") > col("n_rows") * 2)
+      .agg(count(lit(1)).as("n_hot_keys"))
+    tot.crossJoin(broadcast(top10)).crossJoin(broadcast(hot))
+      .select(col("n_keys"), col("n_rows"), col("max_key_rows"),
         round(col("top10_rows").cast("double") / col("n_rows"), 6)
           .as("top10_share"),
         col("n_hot_keys"))

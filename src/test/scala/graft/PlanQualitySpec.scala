@@ -339,6 +339,21 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  test("same-key fan-out queries reuse one exchange instead of staging") {
+    // retention and key-skew fan out over an aggregate whose every
+    // consumer re-shuffles on the same key: AQE stage reuse must
+    // evaluate that exchange ONCE (ReusedExchange on every other
+    // path), which is why these queries deliberately skip
+    // Stage.fanout and its checkpoint overhead
+    for ((name, df) <- Seq(
+        ("rel_key_skew", RelationalQueries.keySkew(spark, sf)),
+        ("rel_retention", RelationalQueries.retention(spark, sf)))) {
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("ReusedExchange"), s"$name: $plan")
+    }
+  }
+
   test("neardup staging checkpoints only the slim scored relation") {
     // the corpus-scale legs (exploded hashes, per-doc signatures) stay
     // persist-only; what hits checkpoint FILES is the per-pair scored
