@@ -2114,7 +2114,8 @@ object TextQueries {
   // mass is a TakeOrderedAndProject + one-row sum — no global rank over
   // the vocabulary, so nothing larger than K rows leaves the term
   // aggregate and the plan survives a 10^8-term vocabulary. The term
-  // counts fan out to four consumers and are staged once. All masses
+  // counts fan out to four consumers over one reused exchange (AQE
+  // stage reuse; no checkpoint staging). All masses
   // are exact BIGINT sums; the fractions divide identical integers in
   // both engines.
   // -------------------------------------------------------------------
@@ -2122,16 +2123,15 @@ object TextQueries {
     val counts = documents(s, d)
       .select(explode(toks).as("term")).filter(col("term") =!= "")
       .groupBy("term").agg(count(lit(1)).as("n"))
-    graft.Stage.fanout(counts) { c =>
-      val tot = c.agg(sum(col("n")).as("total_tokens"),
-        count(lit(1)).as("vocab_size"))
-      def topMass(k: Int) =
-        c.orderBy(col("n").desc, col("term")).limit(k)
-          .agg(sum(col("n")).as(s"top${k}_n"))
-      tot.crossJoin(broadcast(topMass(10)))
-        .crossJoin(broadcast(topMass(100)))
-        .crossJoin(broadcast(topMass(1000)))
-    }.select(col("vocab_size"), col("total_tokens"),
+    val tot = counts.agg(sum(col("n")).as("total_tokens"),
+      count(lit(1)).as("vocab_size"))
+    def topMass(k: Int) =
+      counts.orderBy(col("n").desc, col("term")).limit(k)
+        .agg(sum(col("n")).as(s"top${k}_n"))
+    tot.crossJoin(broadcast(topMass(10)))
+      .crossJoin(broadcast(topMass(100)))
+      .crossJoin(broadcast(topMass(1000)))
+      .select(col("vocab_size"), col("total_tokens"),
         round(col("top10_n").cast("double") / col("total_tokens"), 6)
           .as("top10_mass"),
         round(col("top100_n").cast("double") / col("total_tokens"), 6)

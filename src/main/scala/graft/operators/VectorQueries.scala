@@ -352,11 +352,12 @@ object VectorQueries {
 
   /** IVF search: probe the query's list only, exact cosine re-rank.
     * The centroid-assignment pass (broadcast-crossJoin × 16 + ranking
-    * window) feeds BOTH the query row and the corpus side, so it is
-    * staged once instead of evaluated twice.
+    * window) feeds BOTH the query row and the corpus side through the
+    * SAME ranking exchange, which AQE stage reuse evaluates once —
+    * measured faster than checkpoint staging at sf0.1.
     */
-  def ivfAnn(s: SparkSession, d: String): DataFrame =
-    graft.Stage.fanout(ivfAssigned(s, d)) { assigned =>
+  def ivfAnn(s: SparkSession, d: String): DataFrame = {
+      val assigned = ivfAssigned(s, d)
       val q = assigned.filter(col("vec_id") === 0)
         .select(col("embedding").as("q_embedding"), col("nrm").as("q_nrm"),
           col("list_id").as("q_list"))
@@ -366,7 +367,7 @@ object VectorQueries {
           cosinePre("embedding", "q_embedding", col("nrm"), col("q_nrm")).as("sim"))
         .orderBy(col("sim").desc, col("vec_id"))
         .limit(10)
-    }
+  }
 
   val ivfAnnSql: String = {
     val cos = s"round((${dotSql("a.embedding", "q.q_embedding")}) / (a.nrm * q.q_nrm), 6)"
@@ -389,8 +390,8 @@ object VectorQueries {
   // -------------------------------------------------------------------
   private val IvfNprobe = 4
 
-  def ivfMultiprobe(s: SparkSession, d: String): DataFrame =
-    graft.Stage.fanout(ivfAssigned(s, d)) { assigned =>
+  def ivfMultiprobe(s: SparkSession, d: String): DataFrame = {
+      val assigned = ivfAssigned(s, d)
       val q = assigned.filter(col("vec_id") === 0)
         .select(col("embedding").as("q_embedding"), col("nrm").as("q_nrm"))
       val cents = embeddings(s, d).filter(col("vec_id") < IvfSeeds)
@@ -407,7 +408,7 @@ object VectorQueries {
           cosinePre("embedding", "q_embedding", col("nrm"), col("q_nrm")).as("sim"))
         .orderBy(col("sim").desc, col("vec_id"))
         .limit(10)
-    }
+  }
 
   val ivfMultiprobeSql: String = {
     val cos = s"round((${dotSql("a.embedding", "q.q_embedding")}) / (a.nrm * q.q_nrm), 6)"
@@ -438,8 +439,10 @@ object VectorQueries {
   def annRecall(s: SparkSession, d: String): DataFrame = {
     val exact = knnBruteForce(s, d).limit(10).select(col("vec_id"))
     // stage the ANN leg: its ≤10-row result feeds both the hit join and
-    // the size count, and without staging the whole LSH search would
-    // run once per consumer
+    // the size count, and the LSH search subtree is not
+    // exchange-identical across the two paths (the top-K limit breaks
+    // stage reuse), so without staging the whole search runs per
+    // consumer — measured slower than the checkpoint at sf0.1
     graft.Stage.fanout(lshAnn(s, d).select(col("vec_id").as("ann_id"))) { ann =>
       val nAnn = ann.agg(count(lit(1)).as("n_ann"))
       exact.join(broadcast(ann), col("vec_id") === col("ann_id"), "left")
@@ -740,13 +743,12 @@ object VectorQueries {
   // of the corpus), then PQ asymmetric distance ranks the candidates
   // without touching full-precision corpus vectors. The assignment
   // pass feeds the query row, the probe ranking, AND the candidate
-  // side, so it is staged once; at 100 TB only codes + scales of the
-  // probed lists are ever scored.
+  // side through one reused exchange; at 100 TB only codes + scales
+  // of the probed lists are ever scored.
   // -------------------------------------------------------------------
   def ivfPq(s: SparkSession, d: String): DataFrame = {
-    val base = ivfAssigned(s, d)
+    val assigned = ivfAssigned(s, d)
       .withColumn("e", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
-    graft.Stage.fanout(base) { assigned =>
       val q = assigned.filter(col("vec_id") === 0)
         .select(col("e").as("qe"), col("embedding").as("q_embedding"))
       val probes = assigned.filter(col("vec_id") < IvfSeeds)
@@ -764,7 +766,6 @@ object VectorQueries {
           round(adcScore, 6).as("adc_dot"))
         .orderBy(desc("adc_dot"), asc("vec_id"))
         .limit(10)
-    }
   }
 
   val ivfPqSql: String = {

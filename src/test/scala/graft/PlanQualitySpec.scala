@@ -347,7 +347,10 @@ class PlanQualitySpec extends AnyFunSuite {
     // Stage.fanout and its checkpoint overhead
     for ((name, df) <- Seq(
         ("rel_key_skew", RelationalQueries.keySkew(spark, sf)),
-        ("rel_retention", RelationalQueries.retention(spark, sf)))) {
+        ("rel_retention", RelationalQueries.retention(spark, sf)),
+        ("vec_ivf_ann", VectorQueries.ivfAnn(spark, sf)),
+        ("vec_ivf_pq", VectorQueries.ivfPq(spark, sf)),
+        ("text_vocab_coverage", TextQueries.vocabCoverage(spark, sf)))) {
       df.collect()
       val plan = df.queryExecution.executedPlan.toString
       assert(plan.contains("ReusedExchange"), s"$name: $plan")
