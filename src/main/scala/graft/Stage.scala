@@ -12,6 +12,18 @@ import org.apache.spark.storage.StorageLevel
   * group/join the shared relation by different keys). At 100 TB,
   * re-exploding and re-hashing the corpus 3-4× is the dominant cost, so
   * the fan-out queries stage the shared subtree explicitly.
+  *
+  * WHEN NOT TO STAGE (measured, round 7): if every consumer's path down
+  * to the shared subtree is textually identical INCLUDING the exchange —
+  * same keys, no per-consumer filter below it — AQE stage reuse already
+  * evaluates the exchange once, and [[fanout]] only adds its fixed
+  * persist + checkpoint cost (rel_key_skew, rel_retention, the IVF
+  * searches: 20-50% slower staged). Reuse does NOT fire when a
+  * consumer's filter sits below the exchange (dedup_decontaminate's
+  * eval/train split), when a top-K limit truncates one path
+  * (vec_ann_recall), or when AQE broadcasts one consumer so the other
+  * side never shuffles at all (dedup_passages) — those stay staged.
+  * PlanQualitySpec pins ReusedExchange for the unstaged fan-outs.
   */
 object Stage {
 
