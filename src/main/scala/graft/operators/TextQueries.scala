@@ -2159,7 +2159,63 @@ object TextQueries {
       |  round(CAST(top1000_n AS DOUBLE) / total_tokens, 6) AS top1000_mass
       |FROM tot, t10, t100, t1000""".stripMargin
 
+  // -------------------------------------------------------------------
+  // Charter: corpus composition audit — per (source, declared-language)
+  // cell: document count, share within the source, and the n-gram
+  // language-ID agreement rate. The report a mixture designer reads
+  // before trusting the declared `lang` column. Per-doc prediction
+  // aggregates map-side (shuffled bytes ~ |docs|, not |bigrams|); the
+  // share window rides the same source-keyed exchange as the final
+  // ordering.
+  // -------------------------------------------------------------------
+  def sourceMix(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftExtensions.register(s)
+    val perDoc = documents(s, d)
+      .select(col("source"), col("lang"), col("doc_id"),
+        explode(call_function("char_ngrams", col("text"), lit(2), lit(false)))
+          .as("bg"))
+      .groupBy("source", "lang", "doc_id")
+      .agg(count(lit(1)).as("nbg"),
+        sum(when(col("bg").isin(EnBigrams: _*), 1L).otherwise(0L)).as("nhit"))
+      .select(col("source"), col("lang"),
+        ((col("nhit").cast("double") / col("nbg")) > 0.09).as("pred_en"))
+    perDoc.groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("pred_en"), 1L).otherwise(0L)).as("n_pred_en"))
+      .withColumn("src_total",
+        sum(col("n_docs")).over(Window.partitionBy("source")))
+      .select(col("source"), col("lang"), col("n_docs"),
+        round(col("n_docs").cast("double") / col("src_total"), 6).as("share"),
+        col("n_pred_en"),
+        round(col("n_pred_en").cast("double") / col("n_docs"), 6)
+          .as("pred_en_rate"))
+      .orderBy("source", "lang")
+  }
+
+  val sourceMixSql: String =
+    s"""WITH perdoc AS (
+       |  SELECT source, lang,
+       |    CAST(len(list_filter(bg, x -> x IN $enBigramsList)) AS DOUBLE)
+       |      / len(bg) > 0.09 AS pred_en
+       |  FROM (
+       |    SELECT source, lang, doc_id,
+       |      list_transform(range(1, greatest(length(text), 2)),
+       |        i -> substring(text, i, 2)) AS bg
+       |    FROM documents)),
+       |cells AS (
+       |  SELECT source, lang, count(*) AS n_docs,
+       |    CAST(sum(CASE WHEN pred_en THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_pred_en
+       |  FROM perdoc GROUP BY source, lang)
+       |SELECT source, lang, n_docs,
+       |  round(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER
+       |    (PARTITION BY source), 6) AS share,
+       |  n_pred_en,
+       |  round(CAST(n_pred_en AS DOUBLE) / n_docs, 6) AS pred_en_rate
+       |FROM cells ORDER BY source, lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_source_mix" -> (sourceMix _),
     "text_vocab_coverage" -> (vocabCoverage _),
     "dedup_bag" -> (bagDedup _),
     "dedup_minhash_est" -> (minhashCalibration _),
@@ -2201,6 +2257,7 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_source_mix" -> sourceMixSql,
     "text_vocab_coverage" -> vocabCoverageSql,
     "dedup_bag" -> bagDedupSql,
     "dedup_minhash_est" -> minhashCalibrationSql,
