@@ -355,6 +355,73 @@ object CdcQueries {
       |  FROM events) WHERE rn = 1
       |ORDER BY user_id""".stripMargin
 
+  /** A13+B19 composed: CDC apply (MERGE classification) — applying a
+    * change batch to the previous snapshot: compact the history before
+    * the cutover into the prior state, compact the newer events into
+    * the delta, then a full outer join on the key classifies every row
+    * as insert (new key), update (delta always wins — its ordinals are
+    * strictly newer), or unchanged, carrying the merged current state
+    * and total history depth. Both compactions are the partial
+    * `max_by` aggregate (shuffle |keys|, not |events|), and the merge
+    * joins two |keys|-sized relations on the key they are already
+    * partitioned by.
+    */
+  def apply_(spark: SparkSession, sfDir: String): DataFrame = {
+    val mid = lit(1705276800000000L) // 2024-01-15T00:00:00Z micros
+    val cents = round(col("value") * 100).cast("long")
+    def compactSide(pred: Column, prefix: String): DataFrame =
+      Tables.events(spark, sfDir).filter(pred)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as(s"${prefix}_n"),
+          max_by(col("event_id"), packedTsId).as(s"${prefix}_event_id"),
+          max_by(col("event_type"), packedTsId).as(s"${prefix}_type"),
+          max_by(cents, packedTsId).as(s"${prefix}_cents"))
+    val prev = compactSide(unix_micros(col("ts")) < mid, "prev")
+    val delta = compactSide(unix_micros(col("ts")) >= mid, "delta")
+    prev.join(delta, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        when(col("prev_n").isNull, "insert")
+          .when(col("delta_n").isNull, "unchanged")
+          .otherwise("update").as("action"),
+        coalesce(col("delta_event_id"), col("prev_event_id"))
+          .as("last_event_id"),
+        coalesce(col("delta_type"), col("prev_type")).as("last_type"),
+        coalesce(col("delta_cents"), col("prev_cents"))
+          .as("last_value_cents"),
+        (coalesce(col("prev_n"), lit(0L)) + coalesce(col("delta_n"), lit(0L)))
+          .as("n_events"))
+      .orderBy("user_id")
+  }
+
+  val applySql: String =
+    """WITH prev AS (
+      |  SELECT user_id, count(*) AS prev_n,
+      |    arg_max(event_id, CAST(epoch_us(ts) AS HUGEINT) * 1000000000000 + event_id) AS prev_event_id,
+      |    arg_max(event_type, CAST(epoch_us(ts) AS HUGEINT) * 1000000000000 + event_id) AS prev_type,
+      |    arg_max(CAST(round(value * 100) AS BIGINT),
+      |      CAST(epoch_us(ts) AS HUGEINT) * 1000000000000 + event_id) AS prev_cents
+      |  FROM events WHERE epoch_us(ts) < 1705276800000000
+      |  GROUP BY user_id),
+      |delta AS (
+      |  SELECT user_id, count(*) AS delta_n,
+      |    arg_max(event_id, CAST(epoch_us(ts) AS HUGEINT) * 1000000000000 + event_id) AS delta_event_id,
+      |    arg_max(event_type, CAST(epoch_us(ts) AS HUGEINT) * 1000000000000 + event_id) AS delta_type,
+      |    arg_max(CAST(round(value * 100) AS BIGINT),
+      |      CAST(epoch_us(ts) AS HUGEINT) * 1000000000000 + event_id) AS delta_cents
+      |  FROM events WHERE epoch_us(ts) >= 1705276800000000
+      |  GROUP BY user_id)
+      |SELECT coalesce(prev.user_id, delta.user_id) AS user_id,
+      |  CASE WHEN prev_n IS NULL THEN 'insert'
+      |       WHEN delta_n IS NULL THEN 'unchanged'
+      |       ELSE 'update' END AS action,
+      |  coalesce(delta_event_id, prev_event_id) AS last_event_id,
+      |  coalesce(delta_type, prev_type) AS last_type,
+      |  coalesce(delta_cents, prev_cents) AS last_value_cents,
+      |  CAST(coalesce(prev_n, 0) + coalesce(delta_n, 0) AS BIGINT)
+      |    AS n_events
+      |FROM prev FULL OUTER JOIN delta ON prev.user_id = delta.user_id
+      |ORDER BY user_id""".stripMargin
+
   /** B32/§7.4: u128-discipline balance sums via the [[graft.functions.U128Sum]]
     * typed Aggregator. Each event synthesizes a ~2^90 "balance" as a
     * decimal string from two cross-engine md5 hashes; the custom UDAF
@@ -591,7 +658,8 @@ object CdcQueries {
     "cdc_routing_single" -> (routingSingle _),
     "cdc_dedup_exact" -> (dedupExact _),
     "cdc_dedup_windowed" -> (dedupWindowed _),
-    "cdc_compact" -> (compact _)
+    "cdc_compact" -> (compact _),
+    "cdc_apply" -> (apply_ _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -609,6 +677,7 @@ object CdcQueries {
     "cdc_routing_single" -> routingSingleSql,
     "cdc_dedup_exact" -> dedupExactSql,
     "cdc_dedup_windowed" -> dedupWindowedSql,
-    "cdc_compact" -> compactSql
+    "cdc_compact" -> compactSql,
+    "cdc_apply" -> applySql
   )
 }
