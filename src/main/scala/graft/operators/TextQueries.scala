@@ -2214,7 +2214,64 @@ object TextQueries {
        |  round(CAST(n_pred_en AS DOUBLE) / n_docs, 6) AS pred_en_rate
        |FROM cells ORDER BY source, lang""".stripMargin
 
+  // -------------------------------------------------------------------
+  // Charter: weighted interleave — the data-loader merge order that
+  // realizes the mixture weights: stride scheduling assigns doc k of a
+  // source priority (k − ½) / weight, so sources interleave in
+  // proportion to their capped mixture weight deterministically (no
+  // RNG, re-runs produce byte-identical order). The global cut is a
+  // TakeOrderedAndProject over per-source ranks — no full-corpus sort;
+  // the position stamp is a window over the surviving 50 rows only.
+  // -------------------------------------------------------------------
+  def trainInterleave(s: SparkSession, d: String): DataFrame = {
+    val wts = trainMixture(s, d)
+      .select(col("source").as("wsrc"), col("capped_weight"))
+    val ranked = documents(s, d)
+      .select(col("source"), col("doc_id"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source").orderBy("doc_id")))
+    val pri = ranked.join(broadcast(wts), col("source") === col("wsrc"))
+      .select(col("source"), col("doc_id"),
+        round((col("rk") - lit(0.5)) / col("capped_weight"), 6)
+          .as("priority"))
+      .orderBy(col("priority"), col("source"), col("doc_id"))
+      .limit(50)
+    pri.withColumn("position", row_number().over(
+        Window.orderBy(col("priority"), col("source"), col("doc_id"))))
+      .select("position", "source", "doc_id", "priority")
+      .orderBy("position")
+  }
+
+  val trainInterleaveSql: String =
+    """WITH src AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+      |  FROM documents GROUP BY source),
+      |tot AS (
+      |  SELECT *, CAST(sum(tokens) OVER () AS BIGINT) AS total_tokens,
+      |    count(*) OVER () AS n_sources
+      |  FROM src),
+      |wts AS (
+      |  SELECT source AS wsrc,
+      |    least((CAST(total_tokens AS DOUBLE) / n_sources) / tokens, 3.0)
+      |      AS capped_weight
+      |  FROM tot),
+      |ranked AS (
+      |  SELECT source, doc_id,
+      |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+      |  FROM documents),
+      |pri AS (
+      |  SELECT r.source, r.doc_id,
+      |    round((rk - 0.5) / capped_weight, 6) AS priority
+      |  FROM ranked r JOIN wts ON wts.wsrc = r.source
+      |  ORDER BY priority, r.source, r.doc_id LIMIT 50)
+      |SELECT CAST(row_number() OVER (ORDER BY priority, source, doc_id)
+      |    AS INT) AS position,
+      |  source, doc_id, priority
+      |FROM pri ORDER BY position""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "train_interleave" -> (trainInterleave _),
     "text_source_mix" -> (sourceMix _),
     "text_vocab_coverage" -> (vocabCoverage _),
     "dedup_bag" -> (bagDedup _),
@@ -2257,6 +2314,7 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "train_interleave" -> trainInterleaveSql,
     "text_source_mix" -> sourceMixSql,
     "text_vocab_coverage" -> vocabCoverageSql,
     "dedup_bag" -> bagDedupSql,
