@@ -791,7 +791,71 @@ object VectorQueries {
        |ORDER BY adc_dot DESC, vec_id LIMIT 10""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // B29m: embedding-quality eval — leave-one-out kNN label prediction:
+  // for 20 probe vectors, the majority label of the 10 nearest
+  // neighbors (self excluded) against the probe's own label. The
+  // single-number accuracy is the standard "are these embeddings any
+  // good" gate before an index is built. One broadcast cross-score
+  // scan; the vote and the verdict are ≤(20 × labels)-row aggregates.
+  // -------------------------------------------------------------------
+  def knnEval(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d).withColumn("nrm", norm("embedding"))
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("label").as("true_label"),
+        col("embedding").as("q_embedding"), col("nrm").as("q_nrm"))
+    val scored = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("true_label"), col("vec_id"), col("label"),
+        cosinePre("embedding", "q_embedding", col("nrm"), col("q_nrm"))
+          .as("sim"))
+    val wTop = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
+    val votes = scored.withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= 10)
+      .groupBy("q_id", "true_label", "label").agg(count(lit(1)).as("n"))
+    val wVote = Window.partitionBy("q_id").orderBy(col("n").desc, col("label"))
+    votes.withColumn("vr", row_number().over(wVote)).filter(col("vr") === 1)
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("label") === col("true_label"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("n_queries"), col("n_correct"),
+        round(col("n_correct").cast("double") / col("n_queries"), 6)
+          .as("knn_accuracy"))
+  }
+
+  val knnEvalSql: String = {
+    val cos = s"round((${dotSql("a.embedding", "q.q_embedding")}) / (a.nrm * q.q_nrm), 6)"
+    s"""WITH be AS (SELECT vec_id, label, embedding,
+       |            sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |            FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, label AS true_label,
+       |      embedding AS q_embedding, nrm AS q_nrm FROM be
+       |      WHERE vec_id < 20),
+       |top AS (
+       |  SELECT q_id, true_label, vec_id, label FROM (
+       |    SELECT q.q_id, q.true_label, a.vec_id, a.label,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY $cos DESC, a.vec_id) AS rn
+       |    FROM be a, q WHERE a.vec_id <> q.q_id)
+       |  WHERE rn <= 10),
+       |votes AS (
+       |  SELECT q_id, true_label, label, count(*) AS n
+       |  FROM top GROUP BY q_id, true_label, label),
+       |pred AS (
+       |  SELECT q_id, true_label, label FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY n DESC, label) AS vr FROM votes)
+       |  WHERE vr = 1)
+       |SELECT count(*) AS n_queries,
+       |  CAST(sum(CASE WHEN label = true_label THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_correct,
+       |  round(CAST(sum(CASE WHEN label = true_label THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / count(*), 6) AS knn_accuracy
+       |FROM pred""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vec_knn_eval" -> (knnEval _),
     "vec_pq" -> (productQuantize _),
     "vec_pq_ann" -> (pqAnn _),
     "vec_ivf_pq" -> (ivfPq _),
@@ -811,6 +875,7 @@ object VectorQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "vec_knn_eval" -> knnEvalSql,
     "vec_pq" -> productQuantizeSql,
     "vec_pq_ann" -> pqAnnSql,
     "vec_ivf_pq" -> ivfPqSql,

@@ -311,6 +311,7 @@ class PlanQualitySpec extends AnyFunSuite {
     // here so a new unlisted BNLJ fails loudly.
     val tinyBroadcastOk = Set(
       "vec_knn_bruteforce", "vec_knn_multi", "vec_hard_negatives", // 1-10 query vectors
+      "vec_knn_eval", // 20-row probe set
       "vec_ivf_lists", "vec_ivf_ann", "vec_ivf_multiprobe", // 16-row centroid set
       "vec_ann_recall", // 1-row exact-vs-ann count pair
       "vec_kmeans_step", "vec_kmeans_loop", // k≤16-row centroid matrix
