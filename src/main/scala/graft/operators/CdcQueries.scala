@@ -422,6 +422,54 @@ object CdcQueries {
       |FROM prev FULL OUTER JOIN delta ON prev.user_id = delta.user_id
       |ORDER BY user_id""".stripMargin
 
+  /** A1/A3 composed: delivery gap audit — the integrity check a relay
+    * consumer runs over the delivered stream: find missing sequence
+    * numbers WITHOUT a global sort. Events bucket by `event_id div
+    * 512`; each bucket's (count, min, max) yields its internal missing
+    * count exactly, and one lag window over the tiny bucket-summary
+    * relation exposes inter-bucket gaps — so the corpus-scale pass is
+    * a single hash aggregate and the only window runs on |buckets|
+    * rows. The bucket width (512 here) is the scale knob: size it so
+    * |id-span| / width keeps the summary relation window-safe (a 10^12
+    * id span wants ~2^20-wide buckets). Delivery loss is simulated by
+    * dropping event_id % 97 == 0 (the driver corpus itself is
+    * gap-free).
+    */
+  def gapAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val delivered = Tables.events(spark, sfDir)
+      .filter(col("event_id") % 97 =!= 0)
+      .select(col("event_id"), expr("event_id div 512").as("bucket"))
+    val summary = delivered.groupBy("bucket")
+      .agg(count(lit(1)).as("n_present"),
+        min(col("event_id")).as("first_id"),
+        max(col("event_id")).as("last_id"))
+      .withColumn("missing_within",
+        col("last_id") - col("first_id") + 1 - col("n_present"))
+    val w = Window.orderBy("bucket")
+    summary
+      .withColumn("gap_before",
+        coalesce(col("first_id") - lag(col("last_id"), 1).over(w) - 1, lit(0L)))
+      .filter(col("missing_within") > 0 || col("gap_before") > 0)
+      .select("bucket", "n_present", "first_id", "last_id",
+        "missing_within", "gap_before")
+      .orderBy("bucket")
+  }
+
+  val gapAuditSql: String =
+    """SELECT bucket, n_present, first_id, last_id, missing_within,
+      |  gap_before FROM (
+      |  SELECT bucket, n_present, first_id, last_id,
+      |    last_id - first_id + 1 - n_present AS missing_within,
+      |    coalesce(first_id - lag(last_id) OVER (ORDER BY bucket) - 1, 0)
+      |      AS gap_before
+      |  FROM (
+      |    SELECT event_id // 512 AS bucket, count(*) AS n_present,
+      |      min(event_id) AS first_id, max(event_id) AS last_id
+      |    FROM events WHERE event_id % 97 <> 0
+      |    GROUP BY event_id // 512))
+      |WHERE missing_within > 0 OR gap_before > 0
+      |ORDER BY bucket""".stripMargin
+
   /** B32/§7.4: u128-discipline balance sums via the [[graft.functions.U128Sum]]
     * typed Aggregator. Each event synthesizes a ~2^90 "balance" as a
     * decimal string from two cross-engine md5 hashes; the custom UDAF
@@ -659,7 +707,8 @@ object CdcQueries {
     "cdc_dedup_exact" -> (dedupExact _),
     "cdc_dedup_windowed" -> (dedupWindowed _),
     "cdc_compact" -> (compact _),
-    "cdc_apply" -> (apply_ _)
+    "cdc_apply" -> (apply_ _),
+    "cdc_gap_audit" -> (gapAudit _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -678,6 +727,7 @@ object CdcQueries {
     "cdc_dedup_exact" -> dedupExactSql,
     "cdc_dedup_windowed" -> dedupWindowedSql,
     "cdc_compact" -> compactSql,
-    "cdc_apply" -> applySql
+    "cdc_apply" -> applySql,
+    "cdc_gap_audit" -> gapAuditSql
   )
 }

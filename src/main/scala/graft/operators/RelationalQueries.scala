@@ -1406,7 +1406,41 @@ object RelationalQueries {
       |  n_hot_keys
       |FROM tot, t10, hot""".stripMargin
 
+  // -------------------------------------------------------------------
+  // Charter: pseudonymization — the privacy pass a dataset runs before
+  // leaving its trust boundary: direct identifiers become salted
+  // hashes (joinable across tables sharing the salt, not reversible),
+  // quasi-identifiers generalize (name → shared prefix + '***',
+  // balance → floor-100), and working columns pass through. Pure narrow projection —
+  // no shuffle except the presentation ordering; the salt would be a
+  // run secret in production (a literal here so the oracle can mirror
+  // it).
+  // -------------------------------------------------------------------
+  def pseudonymize(s: SparkSession, d: String): DataFrame = {
+    val cents = round(col("c_acctbal") * 100).cast("long")
+    customer(s, d)
+      .select(col("c_custkey"),
+        md5(concat(lit("pseudo-v1:"), col("c_name"))).as("name_token"),
+        concat(substring(col("c_name"), 1, 9), lit("***"))
+          .as("name_masked"),
+        ((cents - pmod(cents, lit(10000L))) / 100).cast("long")
+          .as("acctbal_floor100"),
+        col("c_mktsegment"))
+      .orderBy("c_custkey")
+  }
+
+  val pseudonymizeSql: String =
+    """SELECT c_custkey,
+      |  md5('pseudo-v1:' || c_name) AS name_token,
+      |  substr(c_name, 1, 9) || '***' AS name_masked,
+      |  CAST((CAST(round(c_acctbal * 100) AS BIGINT)
+      |    - ((CAST(round(c_acctbal * 100) AS BIGINT) % 10000 + 10000)
+      |       % 10000)) / 100 AS BIGINT) AS acctbal_floor100,
+      |  c_mktsegment
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_pseudonymize" -> (pseudonymize _),
     "rel_key_skew" -> (keySkew _),
     "rel_retention" -> (retention _),
     "rel_set_ops_all" -> (setOpsAll _),
@@ -1459,6 +1493,7 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "rel_pseudonymize" -> pseudonymizeSql,
     "rel_key_skew" -> keySkewSql,
     "rel_retention" -> retentionSql,
     "rel_set_ops_all" -> setOpsAllSql,
