@@ -854,7 +854,92 @@ object VectorQueries {
        |FROM pred""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // B29n: recall curve — recall@{1,5,10} of BOTH index structures (LSH
+  // bucket, IVF list) against the exact top-10, in one report: the
+  // index-selection table an operator reads before committing to a
+  // structure. Every leg is the library's own search operator re-ranked
+  // on a ≤10-row result; the exact leg is staged once for the two
+  // comparisons, and the k-grid left join keeps recall-0 cells visible
+  // instead of silently absent.
+  // -------------------------------------------------------------------
+  def recallCurve(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def rank10(df: DataFrame): DataFrame =
+      df.limit(10).withColumn("rk",
+        row_number().over(Window.orderBy(col("sim").desc, col("vec_id"))))
+        .select(col("vec_id"), col("rk"))
+    val ks = Seq(1, 5, 10).toDF("k")
+    graft.Stage.fanout(rank10(knnBruteForce(s, d))) { exact =>
+      val legs = Seq(
+        ("ivf", rank10(ivfAnn(s, d))),
+        ("lsh", rank10(lshAnn(s, d))))
+      legs.map { case (nm, ann) =>
+        val hits = ann.select(col("vec_id"), col("rk").as("rk_ann"))
+          .join(exact.select(col("vec_id"), col("rk").as("rk_exact")),
+            "vec_id")
+          .crossJoin(broadcast(ks))
+          .filter(col("rk_ann") <= col("k") && col("rk_exact") <= col("k"))
+          .groupBy("k").agg(count(lit(1)).as("hits"))
+        ks.join(hits, Seq("k"), "left")
+          .select(lit(nm).as("index_name"), col("k"),
+            coalesce(col("hits"), lit(0L)).as("n_hit"),
+            round(coalesce(col("hits"), lit(0L)).cast("double") / col("k"), 6)
+              .as("recall"))
+      }.reduce(_.unionByName(_))
+    }.orderBy("index_name", "k")
+  }
+
+  val recallCurveSql: String = {
+    val cos = s"round((${dotSql("a.embedding", "q.q_embedding")}) / (a.nrm * q.q_nrm), 6)"
+    val cosIvf = s"round((${dotSql("a.embedding", "qi.q_embedding")}) / (a.nrm * qi.q_nrm), 6)"
+    s"""WITH be AS (SELECT vec_id, label, embedding, ($bucketSql) AS bucket,
+       |            sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |            FROM embeddings),
+       |q AS (SELECT embedding AS q_embedding, nrm AS q_nrm,
+       |      bucket AS q_bucket FROM be WHERE vec_id = 0),
+       |exact AS (
+       |  SELECT vec_id, rk FROM (
+       |    SELECT a.vec_id, row_number() OVER (ORDER BY $cos DESC, a.vec_id)
+       |      AS rk FROM be a, q WHERE a.vec_id > 0)
+       |  WHERE rk <= 10),
+       |lsh AS (
+       |  SELECT vec_id, rk FROM (
+       |    SELECT a.vec_id, row_number() OVER (ORDER BY $cos DESC, a.vec_id)
+       |      AS rk FROM be a, q
+       |    WHERE a.vec_id > 0 AND a.bucket = q.q_bucket)
+       |  WHERE rk <= 10),
+       |assigned AS ($ivfAssignedSql),
+       |qi AS (SELECT embedding AS q_embedding, nrm AS q_nrm,
+       |       list_id AS q_list FROM assigned WHERE vec_id = 0),
+       |ivf AS (
+       |  SELECT vec_id, rk FROM (
+       |    SELECT a.vec_id,
+       |      row_number() OVER (ORDER BY $cosIvf DESC, a.vec_id) AS rk
+       |    FROM assigned a, qi WHERE a.vec_id > 0 AND a.list_id = qi.q_list)
+       |  WHERE rk <= 10),
+       |ks AS (SELECT unnest([1, 5, 10]) AS k),
+       |pairs AS (
+       |  SELECT 'lsh' AS index_name, l.rk AS rk_ann, e.rk AS rk_exact
+       |  FROM lsh l JOIN exact e USING (vec_id)
+       |  UNION ALL
+       |  SELECT 'ivf', i.rk, e.rk FROM ivf i JOIN exact e USING (vec_id)),
+       |grid AS (
+       |  SELECT index_name, k
+       |  FROM (SELECT unnest(['ivf', 'lsh']) AS index_name), ks),
+       |hits AS (
+       |  SELECT index_name, k, count(*) AS n_hit FROM pairs, ks
+       |  WHERE rk_ann <= k AND rk_exact <= k GROUP BY index_name, k)
+       |SELECT g.index_name AS index_name, g.k AS k,
+       |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+       |  round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / g.k, 6) AS recall
+       |FROM grid g LEFT JOIN hits h
+       |  ON h.index_name = g.index_name AND h.k = g.k
+       |ORDER BY g.index_name, g.k""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vec_recall_curve" -> (recallCurve _),
     "vec_knn_eval" -> (knnEval _),
     "vec_pq" -> (productQuantize _),
     "vec_pq_ann" -> (pqAnn _),
@@ -875,6 +960,7 @@ object VectorQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "vec_recall_curve" -> recallCurveSql,
     "vec_knn_eval" -> knnEvalSql,
     "vec_pq" -> productQuantizeSql,
     "vec_pq_ann" -> pqAnnSql,

@@ -314,6 +314,7 @@ class PlanQualitySpec extends AnyFunSuite {
       "vec_knn_eval", // 20-row probe set
       "vec_ivf_lists", "vec_ivf_ann", "vec_ivf_multiprobe", // 16-row centroid set
       "vec_ann_recall", // 1-row exact-vs-ann count pair
+      "vec_recall_curve", // ≤10-row ranked legs x 3-row k grid
       "vec_kmeans_step", "vec_kmeans_loop", // k≤16-row centroid matrix
       "vec_pq_ann", "vec_ivf_pq", // 1-row full-precision query vector
       "vec_cosine_neardup", // staged bucket relation vs itself (equi-join; listed for the AQE local fallback)
