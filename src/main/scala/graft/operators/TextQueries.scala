@@ -2270,7 +2270,82 @@ object TextQueries {
       |  source, doc_id, priority
       |FROM pri ORDER BY position""".stripMargin
 
+  // -------------------------------------------------------------------
+  // Charter capstone: dataset card — the one-row summary published
+  // alongside a released training set: corpus size, source/language
+  // breadth, token mass, exact-duplication rate, and quality pass rate.
+  // Per-doc flags (the regex-heavy scoring) compute once on the staged
+  // relation; the two consumers aggregate globally and by content hash.
+  // Every rate divides exact integers, so the card is bit-identical
+  // across engines and runs.
+  // -------------------------------------------------------------------
+  def datasetCard(s: SparkSession, d: String): DataFrame = {
+    val pd = docFlags(documents(s, d))
+      .select(col("doc_id"), col("source"), col("lang"), col("text_md5"),
+        col("n_tokens"),
+        (col("pass_lang") && col("pass_quality")).as("pass"))
+    graft.Stage.fanout(pd) { p =>
+      val tot = p.agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"))
+      val dup = p.groupBy("text_md5").agg(count(lit(1)).as("cnt"))
+        .agg(coalesce(sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)),
+          lit(0L)).as("n_dup_docs"))
+      tot.crossJoin(broadcast(dup))
+    }.select(col("n_docs"), col("n_sources"), col("n_langs"),
+        col("total_tokens"),
+        round(col("total_tokens").cast("double") / col("n_docs"), 6)
+          .as("avg_doc_tokens"),
+        col("n_dup_docs"),
+        round(col("n_dup_docs").cast("double") / col("n_docs"), 6)
+          .as("dup_rate"),
+        col("n_pass"),
+        round(col("n_pass").cast("double") / col("n_docs"), 6)
+          .as("pass_rate"))
+  }
+
+  val datasetCardSql: String =
+    s"""WITH flagged AS (
+       |  SELECT doc_id, source, lang, text_md5, n_tokens,
+       |    nstop / n_tokens > 0.12 AND
+       |    ((nalpha / len) * 0.6
+       |      + (1.0 - (len - nalpha - ndigit - nspace) / len) * 0.3
+       |      + (CASE WHEN (len - nspace) / (nspace + 1.0) >= 3
+       |               AND (len - nspace) / (nspace + 1.0) <= 10
+       |              THEN 0.1 ELSE 0.0 END)) > 0.8 AS pass
+       |  FROM (
+       |    SELECT doc_id, source, lang, md5(text) AS text_md5,
+       |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |      CAST(len(list_filter(string_split(text, ' '), x -> x IN $stopList)) AS DOUBLE) AS nstop,
+       |      CAST(length(text) AS DOUBLE) AS len,
+       |      CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS nalpha,
+       |      CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS ndigit,
+       |      CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE) AS nspace
+       |    FROM documents)),
+       |tot AS (
+       |  SELECT count(*) AS n_docs,
+       |    count(DISTINCT source) AS n_sources,
+       |    count(DISTINCT lang) AS n_langs,
+       |    CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |    count(*) FILTER (WHERE pass) AS n_pass
+       |  FROM flagged),
+       |dup AS (
+       |  SELECT CAST(coalesce(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END), 0)
+       |    AS BIGINT) AS n_dup_docs
+       |  FROM (SELECT text_md5, count(*) AS cnt FROM flagged
+       |        GROUP BY text_md5))
+       |SELECT n_docs, n_sources, n_langs, total_tokens,
+       |  round(CAST(total_tokens AS DOUBLE) / n_docs, 6) AS avg_doc_tokens,
+       |  n_dup_docs,
+       |  round(CAST(n_dup_docs AS DOUBLE) / n_docs, 6) AS dup_rate,
+       |  n_pass,
+       |  round(CAST(n_pass AS DOUBLE) / n_docs, 6) AS pass_rate
+       |FROM tot, dup""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "train_dataset_card" -> (datasetCard _),
     "train_interleave" -> (trainInterleave _),
     "text_source_mix" -> (sourceMix _),
     "text_vocab_coverage" -> (vocabCoverage _),
@@ -2314,6 +2389,7 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "train_dataset_card" -> datasetCardSql,
     "train_interleave" -> trainInterleaveSql,
     "text_source_mix" -> sourceMixSql,
     "text_vocab_coverage" -> vocabCoverageSql,
