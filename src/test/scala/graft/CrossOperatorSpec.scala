@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators._
+
+/** Cross-operator consistency: independent operators that describe the
+  * same corpus must agree with each other. Each invariant here ties
+  * two separately-implemented definitions together, so a future edit
+  * that drifts one of them fails loudly even while both stay
+  * oracle-green in isolation.
+  */
+class CrossOperatorSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("dataset card totals agree with the corpus and the funnel") {
+    val card = TextQueries.datasetCard(spark, sf).head()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(card.getAs[Long]("n_docs") == nDocs)
+    // quality-pass count == the funnel's per-source docs_quality summed
+    val funnelPass = TextQueries.curationFunnel(spark, sf)
+      .agg(sum(col("docs_quality"))).head().getLong(0)
+    assert(card.getAs[Long]("n_pass") == funnelPass)
+  }
+
+  test("bag dedup is a coarsening of exact dedup") {
+    // identical text implies identical sorted token multiset, so every
+    // doc in an exact-dup group must sit in a bag group at least as big
+    val docHash = Tables.documents(spark, sf)
+      .select(col("doc_id"), md5(col("text")).as("text_md5"))
+    val exact = TextQueries.dedupExactText(spark, sf)
+      .select(col("text_md5"), col("n_copies"))
+    val bag = TextQueries.bagDedup(spark, sf)
+      .select(col("doc_id"), col("n_bag"))
+    val violations = docHash.join(exact, "text_md5").join(bag, "doc_id")
+      .filter(col("n_bag") < col("n_copies")).count()
+    assert(violations == 0)
+  }
+
+  test("recall curve @10 for the LSH index equals vec_ann_recall") {
+    val curve = VectorQueries.recallCurve(spark, sf)
+      .filter(col("index_name") === "lsh" && col("k") === 10).head()
+    val recall = VectorQueries.annRecall(spark, sf).head()
+    assert(curve.getAs[Double]("recall") ==
+      recall.getAs[Double]("recall_at_10"))
+  }
+
+  test("compaction and merge classification agree on history depth") {
+    val compactTotal = CdcQueries.compact(spark, sf)
+      .agg(sum(col("n_events"))).head().getLong(0)
+    val applyTotal = CdcQueries.apply_(spark, sf)
+      .agg(sum(col("n_events"))).head().getLong(0)
+    val nEvents = Tables.events(spark, sf).count()
+    assert(compactTotal == nEvents)
+    assert(applyTotal == nEvents)
+  }
+
+  test("token-budget selection never exceeds the budget") {
+    val over = TextQueries.tokenBudget(spark, sf)
+      .filter(col("tok_kept") > 1000L).count()
+    assert(over == 0)
+  }
+
+  test("interleave positions realize the mixture's capped weights") {
+    // a source with a larger capped weight must never appear LESS often
+    // than a smaller-weight source in the first-50 order by more than
+    // the stride granularity of 1
+    val counts = TextQueries.trainInterleave(spark, sf)
+      .groupBy("source").agg(count(lit(1)).as("n"))
+    val wts = TextQueries.trainMixture(spark, sf)
+      .select(col("source"), col("capped_weight"))
+    val joined = counts.join(wts, "source")
+      .select(col("capped_weight").as("w"), col("n")).collect()
+    for (a <- joined; b <- joined if a.getAs[Double]("w") > b.getAs[Double]("w"))
+      assert(a.getAs[Long]("n") >= b.getAs[Long]("n") - 1,
+        s"weight ${a.getAs[Double]("w")} got ${a.getAs[Long]("n")} slots, " +
+          s"weight ${b.getAs[Double]("w")} got ${b.getAs[Long]("n")}")
+  }
+}
