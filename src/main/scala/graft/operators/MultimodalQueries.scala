@@ -80,7 +80,7 @@ object MultimodalQueries {
   // (hex nibbles normalized to [0,1)); a real build replaces
   // `decodeStub` with the codec call, signature unchanged.
   // -------------------------------------------------------------------
-  private def decodeStub(m: MediaIn): MediaFeatures = {
+  private[graft] def decodeStub(m: MediaIn): MediaFeatures = {
     val dig = java.security.MessageDigest.getInstance("MD5")
       .digest(m.content).map("%02x".format(_)).mkString
     def feat(i: Int): Double =
