@@ -332,14 +332,17 @@ object CdcQueries {
     * uniqueness.
     */
   def compact(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Tables.events(spark, sfDir)
     val cents = round(col("value") * 100).cast("long")
-    ev.groupBy("user_id")
+    // one decimal ordinal evaluation per row, shared by all four
+    // max_by buffers
+    Tables.events(spark, sfDir)
+      .withColumn("ord", packedTsId)
+      .groupBy("user_id")
       .agg(count(lit(1)).as("n_events"),
-        max_by(col("ts"), packedTsId).as("last_ts"),
-        max_by(col("event_type"), packedTsId).as("last_type"),
-        max_by(col("event_id"), packedTsId).as("last_event_id"),
-        max_by(cents, packedTsId).as("last_value_cents"))
+        max_by(col("ts"), col("ord")).as("last_ts"),
+        max_by(col("event_type"), col("ord")).as("last_type"),
+        max_by(col("event_id"), col("ord")).as("last_event_id"),
+        max_by(cents, col("ord")).as("last_value_cents"))
       .orderBy("user_id")
   }
 
@@ -376,10 +379,15 @@ object CdcQueries {
     // ~2x faster than the two-scan full-outer form; at 100 TB it
     // halves the corpus I/O). The oracle keeps the two-CTE FULL OUTER
     // definition — identical results prove the rewrite.
-    val inPrev = unix_micros(col("ts")) < mid
-    val ordPrev = when(inPrev, packedTsId)
-    val ordDelta = when(!inPrev, packedTsId)
+    val inPrev = col("in_prev")
+    val ordPrev = when(inPrev, col("ord"))
+    val ordDelta = when(!inPrev, col("ord"))
     Tables.events(spark, sfDir)
+      // evaluate the decimal ordinal and the side predicate ONCE per
+      // row: six max_by buffers would otherwise each re-run the
+      // decimal multiply-add per input row
+      .withColumn("ord", packedTsId)
+      .withColumn("in_prev", unix_micros(col("ts")) < mid)
       .groupBy("user_id")
       .agg(sum(when(inPrev, 1L).otherwise(0L)).as("prev_n"),
         sum(when(!inPrev, 1L).otherwise(0L)).as("delta_n"),
