@@ -439,6 +439,34 @@ object CdcQueries {
       |FROM prev FULL OUTER JOIN delta ON prev.user_id = delta.user_id
       |ORDER BY user_id""".stripMargin
 
+  /** A13+B15 composed: SCD type-2 history — the other standard shape a
+    * CDC consumer materializes besides the compacted current state:
+    * every event becomes a versioned row with a validity interval
+    * [valid_from, valid_to) closed by the key's NEXT event, and the
+    * open interval marks the current version. One lead window per key
+    * — a single keyed shuffle, no self-join.
+    */
+  def scd2(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("valid_from"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts").as("valid_from"),
+        col("event_type"), round(col("value") * 100).cast("long")
+          .as("value_cents"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .orderBy("user_id", "valid_from", "event_id")
+  }
+
+  val scd2Sql: String =
+    """SELECT user_id, event_id, ts AS valid_from, event_type,
+      |  CAST(round(value * 100) AS BIGINT) AS value_cents,
+      |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |    AS valid_to,
+      |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |    AS is_current
+      |FROM events ORDER BY user_id, valid_from, event_id""".stripMargin
+
   /** A1/A3 composed: delivery gap audit — the integrity check a relay
     * consumer runs over the delivered stream: find missing sequence
     * numbers WITHOUT a global sort. Events bucket by `event_id div
@@ -725,7 +753,8 @@ object CdcQueries {
     "cdc_dedup_windowed" -> (dedupWindowed _),
     "cdc_compact" -> (compact _),
     "cdc_apply" -> (apply_ _),
-    "cdc_gap_audit" -> (gapAudit _)
+    "cdc_gap_audit" -> (gapAudit _),
+    "cdc_scd2" -> (scd2 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -745,6 +774,7 @@ object CdcQueries {
     "cdc_dedup_windowed" -> dedupWindowedSql,
     "cdc_compact" -> compactSql,
     "cdc_apply" -> applySql,
-    "cdc_gap_audit" -> gapAuditSql
+    "cdc_gap_audit" -> gapAuditSql,
+    "cdc_scd2" -> scd2Sql
   )
 }

@@ -57,6 +57,16 @@ class CrossOperatorSpec extends AnyFunSuite {
     assert(applyTotal == nEvents)
   }
 
+  test("the SCD2 open interval is exactly the compacted current state") {
+    val current = CdcQueries.scd2(spark, sf)
+      .filter(col("is_current"))
+      .select(col("user_id"), col("event_id"))
+    val compacted = CdcQueries.compact(spark, sf)
+      .select(col("user_id"), col("last_event_id").as("event_id"))
+    assert(current.exceptAll(compacted).count() == 0)
+    assert(compacted.exceptAll(current).count() == 0)
+  }
+
   test("token-budget selection never exceeds the budget") {
     val over = TextQueries.tokenBudget(spark, sf)
       .filter(col("tok_kept") > 1000L).count()
