@@ -1367,6 +1367,18 @@ object RelationalQueries {
   // and is staged once; each consumer reduces to ≤10 rows before
   // anything leaves its stage.
   // -------------------------------------------------------------------
+  /** hot ⟺ cnt > 2 × (n_rows / n_keys), cross-multiplied exactly in
+    * decimal(38,0): both BIGINT factors grow with corpus size (at the
+    * 100 TB shape ~1e12 rows × ~1e9 keys the product passes 2⁶³), so a
+    * Long product would wrap silently with ANSI off while DuckDB
+    * raises — decimal keeps the comparison exact at any scale.
+    * Package-visible so the overflow spec can drive it at synthetic
+    * magnitudes.
+    */
+  private[graft] def hotKeyPred: Column =
+    col("cnt").cast("decimal(38,0)") * col("n_keys") >
+      col("n_rows").cast("decimal(38,0)") * 2
+
   def keySkew(s: SparkSession, d: String): DataFrame = {
     // all three consumers sit directly on the per-key count aggregate,
     // whose exchange subtree is identical on every path — ReuseExchange
@@ -1378,9 +1390,7 @@ object RelationalQueries {
       sum(col("cnt")).as("n_rows"), max(col("cnt")).as("max_key_rows"))
     val top10 = counts.orderBy(col("cnt").desc, col("l_orderkey")).limit(10)
       .agg(sum(col("cnt")).as("top10_rows"))
-    // hot ⟺ cnt > 2 × (n_rows / n_keys), cross-multiplied exactly
-    val hot = counts.crossJoin(broadcast(tot))
-      .filter(col("cnt") * col("n_keys") > col("n_rows") * 2)
+    val hot = counts.crossJoin(broadcast(tot)).filter(hotKeyPred)
       .agg(count(lit(1)).as("n_hot_keys"))
     tot.crossJoin(broadcast(top10)).crossJoin(broadcast(hot))
       .select(col("n_keys"), col("n_rows"), col("max_key_rows"),

@@ -41,7 +41,7 @@ object CompactionStream {
     var touched = false
     events.foreach { e =>
       touched = true
-      val t = e.ts.getTime * 1000
+      val t = EventTime.toMicros(e.ts)
       val newer = t > cur.lastTsMicros ||
         (t == cur.lastTsMicros && e.event_id > cur.lastEventId)
       cur =
@@ -53,7 +53,7 @@ object CompactionStream {
     else {
       state.update(cur)
       Iterator.single(CurrentState(userId, cur.n_events,
-        new java.sql.Timestamp(cur.lastTsMicros / 1000), cur.lastType,
+        EventTime.fromMicros(cur.lastTsMicros), cur.lastType,
         cur.lastEventId, cur.lastCents))
     }
   }

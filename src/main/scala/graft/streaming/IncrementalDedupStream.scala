@@ -45,10 +45,16 @@ object IncrementalDedupStream {
       // equals null in dedup semantics
       .filter(col("content_md5").isNull || col("doc_id") === col("mn"))
       .drop("mn")
+    // Probe through the Hadoop FileSystem API, not java.io.File — the
+    // store lives wherever the checkpoint does (HDFS/S3 on a cluster,
+    // file: locally), and a driver-local listFiles() would return null
+    // forever there, silently degrading dedup to within-batch only.
     val hasStore = {
-      val f = new java.io.File(storeDir)
-      val kids = f.listFiles()
-      kids != null && kids.exists(_.getName.startsWith("batch_id="))
+      val path = new org.apache.hadoop.fs.Path(storeDir)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.exists(path) && Option(
+        fs.globStatus(new org.apache.hadoop.fs.Path(path, "batch_id=*")))
+        .exists(_.nonEmpty)
     }
     val survivors0 =
       if (!hasStore) hashed0

@@ -28,16 +28,16 @@ object SessionizeStream {
     val out = Seq.newBuilder[ClosedSession]
     def close(s: OpenSession): Unit =
       out += ClosedSession(userId,
-        new java.sql.Timestamp(s.start / 1000),
-        new java.sql.Timestamp(s.last / 1000), s.n)
+        EventTime.fromMicros(s.start),
+        EventTime.fromMicros(s.last), s.n)
 
     if (state.hasTimedOut) {
       state.getOption.foreach(close)
       state.remove()
     } else {
       var cur = state.getOption
-      events.toSeq.sortBy(_.ts.getTime).foreach { e =>
-        val t = e.ts.getTime * 1000
+      events.toSeq.sortBy(e => EventTime.toMicros(e.ts)).foreach { e =>
+        val t = EventTime.toMicros(e.ts)
         cur match {
           // late-but-within-watermark events may precede the open
           // session: extend bounds with min/max, never move them backward

@@ -76,4 +76,64 @@ class CompactionStreamSpec extends AnyFunSuite {
     assert(out.groupBy("batch_id", "user_id").count()
       .filter(col("count") > 1).count() == 0)
   }
+
+  test("same-millisecond events order by microseconds — identical to " +
+      "cdc_compact's unix_micros ordinal") {
+    val root = Files.createTempDirectory("compact-micros").toString
+    val in = s"$root/in"; new java.io.File(in).mkdirs()
+
+    // Both events share the SAME millisecond (10:00:00.001) and differ
+    // only in microseconds. The micros-later event has the SMALLER
+    // event_id, so a millisecond-truncated ordinal would tie on time
+    // and let the event_id tiebreak pick the wrong row.
+    val tLate = t("2024-01-01 10:00:00.001999")  // id 99  — the winner
+    val tEarly = t("2024-01-01 10:00:00.001123") // id 100 — must lose
+    // epoch 0 installs the winner; epoch 1's same-millisecond event
+    // must bump the count WITHOUT regressing the state
+    StreamFiles.writeOneFile(spark, in, "b1.parquet", Seq(
+      Row(99L, tLate, 1L, "late", 2.0)), schema)
+    StreamFiles.writeOneFile(spark, in, "b2.parquet", Seq(
+      Row(100L, tEarly, 1L, "early", 1.0)), schema)
+
+    import spark.implicits._
+    val events = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+      .as[CompactionStream.Event]
+    val q = CompactionStream.start(events, s"$root/out", s"$root/chk")
+    try q.processAllAvailable() finally q.stop()
+
+    val out = spark.read.parquet(s"$root/out")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("batch_id").desc)
+    val streamed = out.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "n_events", "last_ts", "last_type",
+        "last_event_id", "last_value_cents")
+
+    // batch cdc_compact definition over the same rows: row_number over
+    // (unix_micros(ts) DESC, event_id DESC)
+    import scala.jdk.CollectionConverters._
+    val batch = spark.createDataFrame(Seq(
+      Row(99L, tLate, 1L, "late", 2.0),
+      Row(100L, tEarly, 1L, "early", 1.0)).asJava, schema)
+    val bw = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id")
+      .orderBy(unix_micros(col("ts")).desc, col("event_id").desc)
+    val expected = batch
+      .withColumn("n_events",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id")))
+      .withColumn("rn", row_number().over(bw))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("n_events"), col("ts").as("last_ts"),
+        col("event_type").as("last_type"),
+        col("event_id").as("last_event_id"),
+        round(col("value") * 100).cast("long").as("last_value_cents"))
+
+    assert(streamed.exceptAll(expected).isEmpty &&
+      expected.exceptAll(streamed).isEmpty,
+      s"stream=${streamed.collect().mkString} batch=${expected.collect().mkString}")
+    // and the emitted last_ts keeps its sub-millisecond digits
+    assert(streamed.select("last_ts").head().getTimestamp(0) == tLate)
+  }
 }

@@ -68,4 +68,31 @@ class IncrementalDedupStreamSpec extends AnyFunSuite {
     assert(survivors(1) == Seq(5L, 6L, 7L))
     assert(spark.read.parquet(store).count() == 3)
   }
+
+  test("store probe works through a file:-URI Hadoop path (cluster FS " +
+      "contract — java.io would see nothing)") {
+    import scala.jdk.CollectionConverters._
+    val root = Files.createTempDirectory("incdedup-hadoop").toString
+    // explicit scheme: the probe must go through Hadoop FileSystem —
+    // on HDFS/S3 a driver-local java.io listing returns null forever
+    // and cross-batch dedup silently degrades to within-batch only
+    val out = s"file://$root/out"; val store = s"file://$root/store"
+
+    def batch(rows: Seq[(java.lang.Long, String)]) =
+      spark.createDataFrame(
+        rows.map { case (id, t) => Row(id, t) }.asJava, schema)
+
+    IncrementalDedupStream.processBatch(
+      batch(Seq((1L, "alpha"), (2L, "beta"))), 0L, out, store)
+    // epoch 1 MUST see epoch 0's store through the Hadoop path and
+    // drop the cross-batch duplicate
+    IncrementalDedupStream.processBatch(
+      batch(Seq((3L, "alpha"), (4L, "gamma"))), 1L, out, store)
+
+    val survivors = spark.read.parquet(out)
+      .filter(col("batch_id") === 1)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(survivors == Seq(4L), s"cross-batch dedup lost: $survivors")
+    assert(spark.read.parquet(store).count() == 3) // alpha, beta, gamma
+  }
 }

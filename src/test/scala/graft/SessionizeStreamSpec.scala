@@ -100,4 +100,47 @@ class SessionizeStreamSpec extends AnyFunSuite {
     // events; t=120 then closes it — bounds never move backward-only
     assert(got.headOption.contains((ms(10), ms(30), 3L)), got.mkString(", "))
   }
+
+  test("a gap of exactly 30min + 1µs splits the session (microsecond " +
+      "boundary — ms truncation would merge)") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    import graft.streaming.EventTime
+    val root = Files.createTempDirectory("sess3").toString
+    val in = s"$root/in"; new java.io.File(in).mkdirs()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType)))
+
+    val base = 1700000000000000L // whole second, micros
+    val first = base + 500                                    // x.0005s
+    val second = first + SessionizeStream.GapMicros + 1       // gap + 1µs
+    // truncated to milliseconds both land on whole-ms marks exactly
+    // GapMicros apart — a ms-truncated gap test would NOT split here
+    val rows = Seq(
+      Row(7L, EventTime.fromMicros(first)),
+      Row(7L, EventTime.fromMicros(second)),
+      Row(7L, EventTime.fromMicros(base + 600L * 60000000L))) // advancer
+    spark.createDataFrame(rows.asJava, schema)
+      .coalesce(1).write.mode("overwrite").parquet(in)
+
+    val events = spark.readStream.schema(schema).parquet(in)
+      .as[SessionizeStream.Event]
+    val q = SessionizeStream.sessions(events)
+      .writeStream.format("memory").queryName("micro_sessions")
+      .outputMode("append")
+      .option("checkpointLocation", s"$root/chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val got = spark.table("micro_sessions").orderBy("session_start")
+      .collect().map(r => (EventTime.toMicros(r.getTimestamp(1)),
+        EventTime.toMicros(r.getTimestamp(2)), r.getLong(3)))
+    // two singleton sessions, bounds microsecond-exact
+    assert(got.toSeq == Seq((first, first, 1L), (second, second, 1L)),
+      got.mkString(", "))
+  }
 }
