@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sf-multiplier for the scaling study (SCALING.md): from
+  * the read-only driver corpus at `src`, write `copies`× the data to
+  * `out` by replicating every fact table with disjoint key ranges.
+  * Copy 0 is the identity, so the output is a superset of the source.
+  *
+  * Replication is NOT naive duplication where that would distort the
+  * operators under study:
+  *   - every foreign key shifts by `copy × (max_key + 1)` consistently
+  *     across tables, so join fan-outs and group cardinalities scale
+  *     linearly (10× keys, same per-key row counts) instead of
+  *     inflating per-key history 10×;
+  *   - document text gets a copy-tagged token spliced in every 3rd
+  *     position (copy > 0), which breaks cross-copy 3-shingles and
+  *     4-grams — near-dup structure stays per-copy and pair counts
+  *     scale ~linearly, the honest 10× shape for the dedup family
+  *     (naive copies would make every doc a 10-way exact duplicate and
+  *     measure an artificial quadratic pair blowup);
+  *   - embeddings get a hash-derived jitter (copy > 0) so cross-copy
+  *     cosine sits well below near-dup thresholds;
+  *   - region/nation stay single-copy (fixed dimensions, as in TPC-H).
+  *
+  * Everything derives from hash()/arithmetic on existing values — no
+  * RNG — so reruns are byte-stable.
+  */
+object GenScale {
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = if (args.length > 1) args(1) else "testdata_sf1"
+    val copies = if (args.length > 2) args(2).toInt else 10
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def tbl(name: String): DataFrame =
+      spark.read.parquet(s"$src/$name.parquet")
+    def keySpan(df: DataFrame, key: String): Long =
+      df.agg(max(col(key))).head().getLong(0) + 1
+    /** Cross-join with copy ids 0..copies-1 and shift the given keys. */
+    def replicate(df: DataFrame, shifts: (String, Long)*): DataFrame = {
+      val withCp = df.select(col("*"),
+        explode(expr(s"sequence(0, ${copies - 1})")).as("cp"))
+      shifts.foldLeft(withCp) { case (acc, (key, span)) =>
+        acc.withColumn(key, col(key) + col("cp") * lit(span))
+      }
+    }
+    def write(df: DataFrame, name: String): Unit = {
+      df.drop("cp").repartition(32)
+        .write.mode("overwrite").parquet(s"$out/$name.parquet")
+      println(s"[genscale] $name written")
+    }
+
+    val (ck, sk, pk, ok) = (
+      keySpan(tbl("customer"), "c_custkey"),
+      keySpan(tbl("supplier"), "s_suppkey"),
+      keySpan(tbl("part"), "p_partkey"),
+      keySpan(tbl("orders"), "o_orderkey"))
+
+    write(tbl("region").withColumn("cp", lit(0)), "region")
+    write(tbl("nation").withColumn("cp", lit(0)), "nation")
+    write(replicate(tbl("customer"), "c_custkey" -> ck), "customer")
+    write(replicate(tbl("supplier"), "s_suppkey" -> sk), "supplier")
+    write(replicate(tbl("part"), "p_partkey" -> pk), "part")
+    write(replicate(tbl("orders"), "o_orderkey" -> ok, "o_custkey" -> ck),
+      "orders")
+    write(replicate(tbl("lineitem"), "l_orderkey" -> ok,
+      "l_partkey" -> pk, "l_suppkey" -> sk), "lineitem")
+
+    // events.ts is parquet TIMESTAMP(NANOS); keep it as raw nanos longs
+    // (the engine's scan operators read that shape natively)
+    val ev = Tables.eventsRawNanos(spark, src)
+    val ek = keySpan(ev, "event_id"); val uk = keySpan(ev, "user_id")
+    write(replicate(ev, "event_id" -> ek, "user_id" -> uk), "events")
+
+    val docs = tbl("documents")
+    val dk = keySpan(docs, "doc_id")
+    write(replicate(docs, "doc_id" -> dk)
+      .withColumn("text", when(col("cp") === 0, col("text")).otherwise(
+        array_join(flatten(expr(
+          "transform(split(text, ' '), (w, i) -> CASE WHEN i % 3 = 2 " +
+            "THEN array(w, concat('zq', CAST(cp AS STRING), 'x', " +
+            "CAST(i AS STRING))) ELSE array(w) END)")), " ")))
+      .withColumn("n_chars", length(col("text")).cast("long")), "documents")
+
+    val emb = tbl("embeddings")
+    val vk = keySpan(emb, "vec_id")
+    write(replicate(emb, "vec_id" -> vk)
+      .withColumn("embedding", when(col("cp") === 0, col("embedding"))
+        .otherwise(expr(
+          "transform(embedding, (x, i) -> CAST(x + " +
+            "(CAST(pmod(hash(vec_id, i), 1000) AS FLOAT) / 1000.0 - 0.5) " +
+            "* 0.2 AS FLOAT))"))), "embeddings")
+
+    println(s"[genscale] done: $copies x $src -> $out")
+    spark.stop()
+  }
+}

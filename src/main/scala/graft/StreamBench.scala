@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.streaming._
+
+/** Stateful-stream throughput for the bench artifact: drives the five
+  * stateful streams (compaction, sessionize, incremental dedup, sketch,
+  * curation) over the sf tables staged as micro-batch files — several
+  * triggers each, the same file-per-source-batch shape the relay bench
+  * uses — and reports rows/sec plus end-of-run state rows.
+  *
+  * State rows come from the state store's own progress metrics for the
+  * flatMapGroupsWithState / watermark-dedup streams (what a cluster
+  * operator watches for unbounded-state leaks), and from the external
+  * store for the foreachBatch streams (hash rows; sketch cells, which
+  * being CONSTANT is the sketch's whole scale story).
+  */
+object StreamBench {
+
+  /** name -> (rows_per_sec, state_rows) */
+  def run(spark: SparkSession, sfDir: String): Map[String, (Double, Long)] = {
+    val out = scala.collection.mutable.Map[String, (Double, Long)]()
+    val root = java.nio.file.Files.createTempDirectory("bench-streams").toString
+    import spark.implicits._
+
+    // stage events and documents once, ~4096 rows per file so
+    // maxFilesPerTrigger yields several genuine micro-batches
+    val ev = Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val nEv = ev.count()
+    ev.repartition(math.max(1, math.ceil(nEv / 4096.0).toInt))
+      .write.parquet(s"$root/events")
+    val evSchema = spark.read.parquet(s"$root/events").schema
+
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("text"),
+        // producer-stamped ingest time for the curation watermark:
+        // deterministic, monotone-ish in doc_id
+        timestamp_micros(lit(1700000000000000L) +
+          col("doc_id") * 1000000L).as("ingest_ts"))
+    val nDocs = docs.count()
+    docs.repartition(math.max(1, math.ceil(nDocs / 1024.0).toInt))
+      .write.parquet(s"$root/docs")
+    val docSchema = spark.read.parquet(s"$root/docs").schema
+
+    /** Time a stream to completion; stateRows reads the finished query
+      * (progress metrics) or the external store.
+      */
+    def measure(name: String, rows: Long)(build: () => StreamingQuery)(
+        stateRows: StreamingQuery => Long): Unit =
+      try {
+        val t0 = System.nanoTime()
+        val q = build()
+        val st =
+          try { q.processAllAvailable(); stateRows(q) }
+          finally q.stop()
+        val secs = (System.nanoTime() - t0) / 1e9
+        out(name) = (rows / secs, st)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] stream $name failed: ${e.getMessage}")
+      }
+
+    def storeStateRows(q: StreamingQuery): Long =
+      Option(q.lastProgress).map(_.stateOperators.map(_.numRowsTotal).sum)
+        .getOrElse(0L)
+
+    measure("compaction", nEv) { () =>
+      CompactionStream.start(
+        spark.readStream.schema(evSchema)
+          .option("maxFilesPerTrigger", 8).parquet(s"$root/events")
+          .as[CompactionStream.Event],
+        s"$root/compact_out", s"$root/compact_chk")
+    }(storeStateRows)
+
+    measure("sessionize", nEv) { () =>
+      SessionizeStream.sessions(
+        spark.readStream.schema(evSchema)
+          .option("maxFilesPerTrigger", 8).parquet(s"$root/events")
+          .select(col("user_id"), col("ts")).as[SessionizeStream.Event])
+        .writeStream.format("noop")
+        .option("checkpointLocation", s"$root/sess_chk")
+        .outputMode("append").start()
+    }(storeStateRows)
+
+    measure("incremental_dedup", nDocs) { () =>
+      IncrementalDedupStream.start(spark,
+        spark.readStream.schema(docSchema)
+          .option("maxFilesPerTrigger", 2).parquet(s"$root/docs")
+          .select("doc_id", "text"),
+        s"$root/incdedup_out", s"$root/incdedup_store", s"$root/incdedup_chk")
+    }(_ => spark.read.parquet(s"$root/incdedup_store").count())
+
+    measure("sketch", nDocs) { () =>
+      SketchStream.start(spark,
+        spark.readStream.schema(docSchema)
+          .option("maxFilesPerTrigger", 2).parquet(s"$root/docs")
+          .select("text"),
+        s"$root/sketch_out", s"$root/sketch_chk")
+    }(_ => graft.functions.CountMin.Agg.zero.length.toLong) // constant cells
+
+    measure("curation", nDocs) { () =>
+      CurationStream.curated(
+        spark.readStream.schema(docSchema)
+          .option("maxFilesPerTrigger", 2).parquet(s"$root/docs"))
+        .writeStream.format("noop")
+        .option("checkpointLocation", s"$root/cur_chk")
+        .outputMode("append").start()
+    }(storeStateRows)
+
+    Stage.deleteRecursively(new java.io.File(root))
+    out.toMap
+  }
+}

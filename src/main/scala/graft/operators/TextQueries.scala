@@ -231,7 +231,14 @@ object TextQueries {
   // |docs|². Jaccard verification joins exploded distinct shingles only
   // for candidate pairs.
   // -------------------------------------------------------------------
-  def neardupPairs(s: SparkSession, d: String): DataFrame = {
+  def neardupPairs(s: SparkSession, d: String): DataFrame =
+    neardupPairsCore(s, d).orderBy("doc_a", "doc_b")
+
+  /** [[neardupPairs]] without the presentation ordering — composites
+    * (dedup_agreement, dedup_keep) consume the checkpoint-backed pairs
+    * unordered, so they skip the extra range exchange.
+    */
+  private[operators] def neardupPairsCore(s: SparkSession, d: String): DataFrame = {
     // ONE corpus explode total: the flat (doc_id, shingle-hash)
     // relation is staged once and feeds BOTH the signature aggregation
     // (8 mins + set size per doc) and the exact verification join; the
@@ -290,7 +297,6 @@ object TextQueries {
         (col("n_common").cast("double") /
           (col("na") + col("nb") - col("n_common"))).as("jaccard"))
       .filter(col("jaccard") >= 0.4)
-      .orderBy("doc_a", "doc_b")
   }
 
   val neardupPairsSql: String = {
@@ -789,7 +795,7 @@ object TextQueries {
     // four times before round 2) earn their actions; a further
     // checkpoint of the slim projection would cost a full job for no
     // lineage benefit.
-    val pairs = neardupPairs(s, d).select("doc_a", "doc_b")
+    val pairs = neardupPairsCore(s, d).select("doc_a", "doc_b")
     // undirected edge list (labels survive a round via the union with
     // the previous labels below, not via self-loops)
     val edges = pairs
@@ -937,7 +943,13 @@ object TextQueries {
   // (the passage hash), and the relation is staged once via
   // Stage.fanout, so the corpus is exploded and hashed exactly once.
   // -------------------------------------------------------------------
-  def passageDedup(s: SparkSession, d: String): DataFrame = {
+  def passageDedup(s: SparkSession, d: String): DataFrame =
+    passageDedupCore(s, d).orderBy("doc_id")
+
+  /** [[passageDedup]] without the presentation ordering (see
+    * [[neardupPairsCore]]).
+    */
+  private[operators] def passageDedupCore(s: SparkSession, d: String): DataFrame = {
     val ph = documents(s, d)
       .select(col("doc_id"), toks.as("t"))
       .filter(size(col("t")) >= 8)
@@ -958,7 +970,6 @@ object TextQueries {
     }.select(col("doc_id"), col("n_passages"), col("n_dup"),
         (col("n_dup").cast("double") / col("n_passages")).as("dup_ratio"),
         (col("n_dup") * 2 >= col("n_passages")).as("flagged"))
-      .orderBy("doc_id")
   }
 
   val passageDedupSql: String = {
@@ -1608,35 +1619,48 @@ object TextQueries {
       .select(col("doc_id"), md5(col("text")).as("h"))
       .withColumn("nh", count(lit(1)).over(Window.partitionBy("h")))
       .filter(col("nh") > 1).select("doc_id")
-    val nearDocs = neardupPairs(s, d)
+    val nearDocs = neardupPairsCore(s, d)
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
-    val passDocs = passageDedup(s, d).filter(col("flagged")).select("doc_id")
-    val relRaw = exactDocs.withColumn("method", lit("exact"))
+    val passDocs = passageDedupCore(s, d).filter(col("flagged"))
+      .select("doc_id")
+    val rel = exactDocs.withColumn("method", lit("exact"))
       .unionByName(nearDocs.withColumn("method", lit("near")))
       .unionByName(passDocs.withColumn("method", lit("passage")))
       .select("method", "doc_id")
-    // The flag relation fans out three ways (sizes + both self-join
-    // sides); without staging, everything upstream of the pipelines'
-    // own checkpoints — the exact-dup window, the pair explode, the
-    // passage flag projection — re-evaluates per consumer (3× the
-    // corpus-side work; bench r5 measured 20 s vs ~6 s staged).
-    graft.Stage.fanout(relRaw) { rel =>
-      val sizes = rel.groupBy("method").agg(count(lit(1)).as("n"))
-      val a = rel.select(col("method").as("method_a"), col("doc_id").as("ida"))
-      val b = rel.select(col("method").as("method_b"), col("doc_id").as("idb"))
-      a.join(b, col("ida") === col("idb") && col("method_a") <= col("method_b"))
-        .groupBy("method_a", "method_b").agg(count(lit(1)).as("n_both"))
-        .join(sizes.select(col("method").as("ma"), col("n").as("na")),
-          col("method_a") === col("ma"))
-        .join(sizes.select(col("method").as("mb"), col("n").as("nb")),
-          col("method_b") === col("mb"))
-        .select(col("method_a"), col("method_b"), col("na"), col("nb"),
-          col("n_both"),
-          (col("na") + col("nb") - col("n_both")).as("n_either"),
-          (col("n_both").cast("double") /
-            (col("na") + col("nb") - col("n_both"))).as("agreement"))
-    }.orderBy("method_a", "method_b")
+    // ONE pass over the flag relation, no composite-level staging: the
+    // per-doc method set explodes into its ordered in-set pairs
+    // (diagonal included), so pair counts AND method sizes fall out of
+    // a single ≤(3+3)-row aggregate — where the previous self-join
+    // shape consumed the relation three times and needed its own
+    // persist+checkpoint round-trip on top of the constituents'
+    // (measured: the staging overhead, not the pipelines, was the gap
+    // between the composite and its sum of parts). The tiny pair-count
+    // relation is collected and the report assembled driver-side —
+    // bounded at (#methods choose 2) + #methods rows regardless of
+    // corpus size, the same bounded-collect contract as KMeans.
+    val pairs = expr(
+      "flatten(transform(ms, (a, i) -> transform(" +
+        "slice(ms, i + 1, size(ms) - i), " +
+        "b -> struct(a AS method_a, b AS method_b))))")
+    val counts = rel.groupBy("doc_id")
+      .agg(sort_array(collect_set(col("method"))).as("ms"))
+      .select(explode(pairs).as("p"))
+      .groupBy(col("p.method_a").as("method_a"),
+        col("p.method_b").as("method_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .collect().toSeq
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val sizes = counts.collect { case (ma, mb, n) if ma == mb => ma -> n }
+      .toMap
+    val rows = counts.map { case (ma, mb, nBoth) =>
+      val na = sizes(ma); val nb = sizes(mb)
+      val nEither = na + nb - nBoth
+      (ma, mb, na, nb, nBoth, nEither, nBoth.toDouble / nEither)
+    }
+    s.createDataFrame(rows).toDF("method_a", "method_b", "na", "nb",
+        "n_both", "n_either", "agreement")
+      .orderBy("method_a", "method_b")
   }
 
   val dedupAgreementSql: String = {
@@ -1806,6 +1830,17 @@ object TextQueries {
   // Same staged slim-pair shape as ngramJaccard: the gram arrays stay
   // in persist-only staging, the checkpoint holds scored pairs only.
   // -------------------------------------------------------------------
+  // A/B measured (sf0.1, median-of-5, both shapes in one process,
+  // round 9): gram-array scoring 2.97 s vs exploded (doc_id, gh)
+  // hash-join+count 4.30 s — the exploded variant ships every
+  // candidate doc's grams through a ~|cand|×|grams/doc| join (~45M
+  // rows here) where the array variant broadcasts the slim candidate
+  // pairs and intersects per pair with no extra exchange, so the
+  // array shape stays. At-scale caveat (unchanged from the design
+  // note): the staged relation carries per-doc gram arrays
+  // (~kB/row); a pathologically huge doc inflates one row, where the
+  // exploded shape stays 16 B/row flat — if a 100 TB corpus has such
+  // docs, cap gram counts upstream rather than switching shapes.
   def containment(s: SparkSession, d: String): DataFrame = {
     graft.plans.GraftExtensions.register(s)
     val grams = documents(s, d)
@@ -1950,7 +1985,7 @@ object TextQueries {
   // canonicalization is dedup_clusters.)
   // -------------------------------------------------------------------
   def dedupKeep(s: SparkSession, d: String): DataFrame = {
-    val dupOf = neardupPairs(s, d)
+    val dupOf = neardupPairsCore(s, d)
       .groupBy(col("doc_b").as("flagged_id"))
       .agg(min(col("doc_a")).as("dup_of"))
     documents(s, d).select(col("doc_id"))

@@ -792,6 +792,131 @@ object VectorQueries {
   }
 
   // -------------------------------------------------------------------
+  // B29n: trained PQ codebooks — the k-means training pass the max-abs
+  // PQ (vec_pq) defers: per 8-dim subspace, a 16-entry codebook trained
+  // with Lloyd iterations, seeded from the 16 lowest vec_ids'
+  // subvectors. Iteration count is FIXED (2) so the DuckDB oracle can
+  // unroll the loop as chained CTEs. Same distributed shape as
+  // KMeans.run (operators/KMeans.scala) but grouped — all 8 subspaces
+  // train in the SAME pass: vectors are exact micro-unit longs so
+  // centroid sums are order-independent at any parallelism; each
+  // iteration is one broadcast of the 8×16 codebook + an argmin window
+  // + a ≤128-row aggregate; driver state is the codebook only, bounded
+  // regardless of corpus size. Distances are unrolled 8-term
+  // left-associated IEEE sums, identical in both engines; empty codes
+  // keep their previous centroid. Output = the final codebook per
+  // (subspace, code, dim): exact assignment count, exact micro-sum,
+  // and the trained centroid (one double division).
+  // -------------------------------------------------------------------
+  private val PqK = 16
+  private val PqIters = 2
+
+  /** Squared L2 between the micro-unit subvector `sv` and codebook
+    * entry `c` — 8 explicit left-associated terms (IEEE parity with
+    * the oracle's identical expression).
+    */
+  private def pqDist: Column = (1 to 8).map { i =>
+    (col("sv").getItem(i - 1).cast("double") - col("c").getItem(i - 1)) *
+      (col("sv").getItem(i - 1).cast("double") - col("c").getItem(i - 1))
+  }.reduce(_ + _)
+
+  private def pqDistSql(sv: String, c: String): String = (1 to 8).map { i =>
+    s"(CAST($sv[$i] AS DOUBLE) - $c[$i]) * (CAST($sv[$i] AS DOUBLE) - $c[$i])"
+  }.mkString(" + ")
+
+  def pqCodebook(s: SparkSession, d: String): DataFrame = {
+    val sv = embeddings(s, d)
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))")
+        .as("v"))
+      .select(col("vec_id"), explode(expr("sequence(0, 7)")).as("sub"), col("v"))
+      .select(col("vec_id"), col("sub"), expr("slice(v, sub * 8 + 1, 8)").as("sv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sv.queryExecution.toRdd.count(): Unit // materialize before the loop
+    // seeds: the 16 lowest vec_ids' subvectors; code = seed vec_id
+    var cent: Seq[(Int, Long, Seq[Double])] = sv.filter(col("vec_id") < PqK)
+      .collect().toSeq
+      .map(r => (r.getInt(1), r.getLong(0), r.getSeq[Long](2).map(_.toDouble)))
+    var last: Seq[(Int, Long, Long, Seq[Long])] = Seq.empty
+    for (_ <- 1 to PqIters) {
+      val centDf = broadcast(s.createDataFrame(cent).toDF("csub", "code", "c"))
+      val w = Window.partitionBy("vec_id", "sub")
+        .orderBy(col("dist"), col("code"))
+      val assigned = sv.join(centDf, col("sub") === col("csub"))
+        .withColumn("dist", pqDist)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      val stats = assigned.groupBy("sub", "code")
+        .agg(count(lit(1)).as("n"),
+          call_function("array_sum_agg", col("sv")).as("sums"))
+        .collect().toSeq
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getSeq[Long](3)))
+      val prev = cent.map { case (sub, code, c) => (sub, code) -> c }.toMap
+      cent = cent.map { case (sub, code, _) =>
+        stats.find(t => t._1 == sub && t._2 == code) match {
+          case Some((_, _, n, sums)) => (sub, code, sums.map(_.toDouble / n))
+          case None => (sub, code, prev((sub, code)))
+        }
+      }
+      last = stats
+    }
+    sv.unpersist(blocking = true)
+    s.createDataFrame(last).toDF("sub", "code", "n_vectors", "sums")
+      .select((col("sub") + 1).as("sub_id"), col("code"), col("n_vectors"),
+        posexplode(col("sums")).as(Seq("di", "q_sum")))
+      .select(col("sub_id"), col("code"),
+        (col("di") + 1).cast("int").as("dim"), col("n_vectors"),
+        col("q_sum"),
+        (col("q_sum").cast("double") / col("n_vectors")).as("centroid"))
+      .orderBy("sub_id", "code", "dim")
+  }
+
+  val pqCodebookSql: String = {
+    def assign(cRel: String): String =
+      s"""SELECT vec_id, sub, code, sv FROM (
+         |    SELECT s.vec_id, s.sub, c.code, s.sv,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.sub
+         |        ORDER BY ${pqDistSql("s.sv", "c.c")}, c.code) AS rn
+         |    FROM sv s JOIN $cRel c ON s.sub = c.sub)
+         |  WHERE rn = 1""".stripMargin
+    def sums(aRel: String): String =
+      s"""SELECT sub, code, dim, count(*) AS n,
+         |    CAST(sum(sv[dim]) AS BIGINT) AS s
+         |  FROM $aRel CROSS JOIN (SELECT unnest(range(1, 9)) AS dim)
+         |  GROUP BY sub, code, dim""".stripMargin
+    s"""WITH base AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |sv AS (
+       |  SELECT vec_id, sub, v[sub * 8 + 1 : sub * 8 + 8] AS sv
+       |  FROM base CROSS JOIN (SELECT unnest(range(0, 8)) AS sub)),
+       |c0 AS (
+       |  SELECT sub, vec_id AS code,
+       |    list_transform(sv, x -> CAST(x AS DOUBLE)) AS c
+       |  FROM sv WHERE vec_id < $PqK),
+       |a1 AS (
+       |  ${assign("c0")}),
+       |u1 AS (
+       |  ${sums("a1")}),
+       |c1 AS (
+       |  SELECT c0.sub, c0.code, coalesce(m.c, c0.c) AS c
+       |  FROM c0 LEFT JOIN (
+       |    SELECT sub, code, list(CAST(s AS DOUBLE) / n ORDER BY dim) AS c
+       |    FROM u1 GROUP BY sub, code) m
+       |    ON c0.sub = m.sub AND c0.code = m.code),
+       |a2 AS (
+       |  ${assign("c1")}),
+       |u2 AS (
+       |  ${sums("a2")})
+       |SELECT CAST(sub + 1 AS INTEGER) AS sub_id, code,
+       |  CAST(dim AS INTEGER) AS dim, n AS n_vectors, s AS q_sum,
+       |  CAST(s AS DOUBLE) / n AS centroid
+       |FROM u2
+       |ORDER BY sub_id, code, dim""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // B29m: embedding-quality eval — leave-one-out kNN label prediction:
   // for 20 probe vectors, the majority label of the 10 nearest
   // neighbors (self excluded) against the probe's own label. The
@@ -942,6 +1067,7 @@ object VectorQueries {
     "vec_recall_curve" -> (recallCurve _),
     "vec_knn_eval" -> (knnEval _),
     "vec_pq" -> (productQuantize _),
+    "vec_pq_codebook" -> (pqCodebook _),
     "vec_pq_ann" -> (pqAnn _),
     "vec_ivf_pq" -> (ivfPq _),
     "vec_centroid" -> (centroids _),
@@ -963,6 +1089,7 @@ object VectorQueries {
     "vec_recall_curve" -> recallCurveSql,
     "vec_knn_eval" -> knnEvalSql,
     "vec_pq" -> productQuantizeSql,
+    "vec_pq_codebook" -> pqCodebookSql,
     "vec_pq_ann" -> pqAnnSql,
     "vec_ivf_pq" -> ivfPqSql,
     "vec_centroid" -> centroidsSql,

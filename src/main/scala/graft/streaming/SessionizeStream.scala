@@ -54,8 +54,22 @@ object SessionizeStream {
         }
       }
       cur.foreach { s =>
-        state.update(s)
-        state.setTimeoutTimestamp(s.last / 1000 + GapMicros / 1000 + 1)
+        val timeoutMs = s.last / 1000 + GapMicros / 1000 + 1
+        // A timeout below the current watermark is both illegal to set
+        // (Spark aborts the query) and semantically CLOSED already:
+        // events below the watermark never reach this function, and any
+        // future event has t > watermark > last + gap, so nothing can
+        // extend this session — emit it now instead of storing state.
+        // Hit in practice when one micro-batch spans a wide event-time
+        // range (bulk backfill), where keys early in the range fall
+        // behind the batch-end watermark.
+        if (timeoutMs <= state.getCurrentWatermarkMs()) {
+          close(s)
+          if (state.exists) state.remove()
+        } else {
+          state.update(s)
+          state.setTimeoutTimestamp(timeoutMs)
+        }
       }
     }
     out.result().iterator

@@ -143,4 +143,48 @@ class SessionizeStreamSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((first, first, 1L), (second, second, 1L)),
       got.mkString(", "))
   }
+
+  test("a backfill batch far below the watermark closes its sessions " +
+      "immediately instead of aborting the query") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val root = Files.createTempDirectory("sess4").toString
+    val in = s"$root/in"; new java.io.File(in).mkdirs()
+    val base = 1700000000000000L
+    def row(id: Long, user: Long, offMin: Long) =
+      Row(id, new java.sql.Timestamp((base + offMin * 60000000L) / 1000),
+        user, "view", 1.0, """{"k": 1}""")
+    def write(name: String, rows: Seq[Row]): Unit = {
+      spark.createDataFrame(rows.asJava, CdcRelay.inputSchema)
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/stage")
+      val part = new java.io.File(s"$root/stage").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(s"$in/$name").toPath)
+    }
+    // batch 1 advances the watermark to t=540 (600 - 1h); batch 2 is a
+    // backfill whose session timeout (t=40) is far BELOW it —
+    // mapGroupsWithState does not filter late rows, so without the
+    // clamp the state write aborts the whole query
+    write("b1.parquet", Seq(row(1, 1, 600)))
+    write("b2.parquet", Seq(row(2, 2, 0), row(3, 2, 10)))
+
+    val events = spark.readStream.schema(CdcRelay.inputSchema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+      .select(col("user_id"), col("ts")).as[SessionizeStream.Event]
+    val q = SessionizeStream.sessions(events)
+      .writeStream.format("memory").queryName("backfill_sessions")
+      .outputMode("append")
+      .option("checkpointLocation", s"$root/chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    def ms(offMin: Long) = (base + offMin * 60000000L) / 1000
+    val got = spark.table("backfill_sessions")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+        r.getTimestamp(2).getTime, r.getLong(3)))
+    // the backfilled session is emitted at once; user 1's stays open
+    assert(got.toSeq == Seq((2L, ms(0), ms(10), 2L)), got.mkString(", "))
+  }
 }
