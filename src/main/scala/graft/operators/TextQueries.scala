@@ -627,18 +627,32 @@ object TextQueries {
     """list_transform(range(1, greatest(length(text) - 2, 2)),
       |      i -> substring(text, i, 4))""".stripMargin
 
+  private val char8gramsSql: String =
+    """list_transform(range(1, greatest(length(text) - 6, 2)),
+      |      i -> substring(text, i, 8))""".stripMargin
+
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
-    // Round-2's slowest query, restructured twice over: (1) gram
+    // Round-2's slowest query, restructured three times over: (1) gram
     // construction moves from interpreted higher-order functions to the
     // native codegen'd char_ngrams loop; (2) the exploded gram relation
-    // collapses to ONE per-doc aggregate (hash array + blocking mins +
-    // size) consumed by a self-join, so nothing re-explodes the corpus.
+    // collapses to ONE per-doc aggregate (hash array + size) consumed by
+    // a self-join, so nothing re-explodes the corpus; (3) — round-9 sf1
+    // scaling study — the BLOCKING key moves from char-4-gram minima to
+    // char-8-gram minima. 4-grams are dense: unrelated docs share ~0.25
+    // Jaccard of common grams, so the per-doc minimum collapses onto the
+    // globally-common minimal gram and blocks degenerate quadratically
+    // with corpus size (measured: 5.75M candidate pairs at sf1, single
+    // blocks of 819 docs; 6.2× runtime growth hiding ~127× candidate
+    // growth). 8-grams are sparse enough that minima stay doc-specific:
+    // 110k pairs at sf1, max block 59 — and ground-truth recall at
+    // sf0.01 (exact all-pairs J4) is IDENTICAL: 23/25 true pairs caught
+    // by both keys. Scoring stays char-4-gram Jaccard.
     // Verification intersects the per-doc hash ARRAYS per candidate
     // pair — measured 1.7× faster than the flat same-key join that
-    // neardupPairs uses, because char grams are DENSE (one per
-    // codepoint; the flat relation is ~6× the word-shingle one, so
-    // staging and double-probing it dominates) while blocking yields
-    // only a few hundred candidate pairs to intersect. The arrays live
+    // neardupPairs uses at sf0.1, and the flat shape OOMs a 4.6 GB JVM
+    // outright under degenerate candidates at sf1 (the pair×gram join
+    // intermediate is the hazard; arrays ship each doc's grams once per
+    // pair but never materialize the cross product). The arrays live
     // in persist-only staging — the checkpoint holds just the slim
     // scored pairs (Stage.fanout checkpoints build's output, never the
     // staged input). For a corpus of multi-MB documents, flip to the
@@ -646,28 +660,31 @@ object TextQueries {
     // length and an 8 MB array cell is an executor-memory hazard the
     // flat relation doesn't have.
     graft.plans.GraftExtensions.register(s)
-    // the second, independent blocking min comes from an affine
-    // permutation of the SAME 60-bit hash (one-hash minhash, see
-    // MinhashP) — one md5 per gram instead of two
     val grams = documents(s, d)
       .select(col("doc_id"), length(col("text")).as("len"),
         explode(call_function("char_ngrams", col("text"), lit(4), lit(true)))
           .as("g"))
       .select(col("doc_id"), col("len"), h60(col("g")).as("gh"))
-      .withColumn("gh2", ((col("gh") % MinhashP) * lit(179424673L)
-        + lit(777777L)) % MinhashP)
-    // block on TWO independent min-hashes: with a tiny vocabulary the
-    // single globally-minimal gram lands in most documents (degenerate
-    // all-pairs blocks); requiring agreement on both mins keeps blocks
-    // ~near-dup-only
+    // blocking relation: per-doc minima over sparse 8-gram hashes; the
+    // second, independent min comes from an affine permutation of the
+    // SAME 60-bit hash (one-hash minhash, see MinhashP) — one md5 per
+    // gram instead of two
+    val blocks = documents(s, d)
+      .select(col("doc_id"),
+        explode(call_function("char_ngrams", col("text"), lit(8), lit(true)))
+          .as("g8"))
+      .select(col("doc_id"), h60(col("g8")).as("bh"))
+      .groupBy("doc_id")
+      .agg(min(col("bh")).as("min_bh"),
+        min(((col("bh") % MinhashP) * lit(179424673L) + lit(777777L))
+          % MinhashP).as("min_bh2"))
     val docgr = grams.groupBy("doc_id", "len")
-      .agg(collect_list(col("gh")).as("ghs"),
-        min(col("gh")).as("min_gh"), min(col("gh2")).as("min_gh2"),
-        count(lit(1)).as("n"))
+      .agg(collect_list(col("gh")).as("ghs"), count(lit(1)).as("n"))
+      .join(blocks, "doc_id")
       // floor-divide explicitly: a bare cast would truncate here but
       // ROUND in DuckDB, splitting blocks differently across engines
       .withColumn("block", concat_ws("_", floor(col("len") / 50).cast("int"),
-        col("min_gh"), col("min_gh2")))
+        col("min_bh"), col("min_bh2")))
     // stage docgr (|docs| rows): a broadcast self-join cannot reuse the
     // build side's exchange, so without staging the whole gram pipeline
     // runs once per side. The scored pair relation is materialized slim
@@ -675,7 +692,15 @@ object TextQueries {
     // the filter cannot be pushed into the join condition — where it
     // would re-evaluate array_intersect two more times per pair.
     val pairs = graft.Stage.fanout(docgr) { dg =>
+      // degenerate-block cap: a block this key cannot split (boilerplate
+      // corpora where even 8-gram minima collapse) is noise-dominated —
+      // skip it rather than emit its quadratic pair count. No measured
+      // corpus (sf0.01/0.1/1) has a block over 59 docs, so this changes
+      // nothing at any tested scale; it bounds the worst case at 100 TB.
+      val okBlocks = dg.groupBy("block").agg(count(lit(1)).as("bn"))
+        .filter(col("bn") <= 64).select("block")
       val slim = dg.select(col("doc_id"), col("block"), col("n"))
+        .join(okBlocks, "block")
       val cand = slim.as("x").join(slim.as("y"),
           col("x.block") === col("y.block") && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
@@ -699,21 +724,31 @@ object TextQueries {
 
   val ngramJaccardSql: String = {
     val gh = h60Sql("g")
-    val gh2 = s"((($gh) % $MinhashP) * 179424673 + 777777) % $MinhashP"
+    val bh = h60Sql("g8")
+    val bh2 = s"((($bh) % $MinhashP) * 179424673 + 777777) % $MinhashP"
     s"""WITH grams AS (
-       |  SELECT doc_id, len, $gh AS gh, $gh2 AS gh2 FROM (
+       |  SELECT doc_id, len, $gh AS gh FROM (
        |    SELECT doc_id, length(text) AS len,
        |      unnest(list_distinct($char4gramsSql)) AS g
        |    FROM documents)),
+       |blocks AS (
+       |  SELECT doc_id, min($bh) AS min_bh, min($bh2) AS min_bh2 FROM (
+       |    SELECT doc_id, unnest(list_distinct($char8gramsSql)) AS g8
+       |    FROM documents)
+       |  GROUP BY doc_id),
        |blocked AS (
-       |  SELECT doc_id, len, min(gh) AS min_gh, count(*) AS n,
-       |    CAST(CAST(len // 50 AS INT) AS VARCHAR) || '_' || CAST(min(gh) AS VARCHAR)
-       |      || '_' || CAST(min(gh2) AS VARCHAR) AS block
-       |  FROM grams GROUP BY doc_id, len),
+       |  SELECT g.doc_id, g.len, count(*) AS n,
+       |    CAST(CAST(g.len // 50 AS INT) AS VARCHAR) || '_'
+       |      || CAST(b.min_bh AS VARCHAR) || '_'
+       |      || CAST(b.min_bh2 AS VARCHAR) AS block
+       |  FROM grams g JOIN blocks b ON g.doc_id = b.doc_id
+       |  GROUP BY g.doc_id, g.len, b.min_bh, b.min_bh2),
+       |ok AS (
+       |  SELECT block FROM blocked GROUP BY block HAVING count(*) <= 64),
        |cand AS (
        |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.n AS na, y.n AS nb
-       |  FROM blocked x JOIN blocked y
-       |    ON x.block = y.block AND x.doc_id < y.doc_id),
+       |  FROM blocked x JOIN ok ox ON x.block = ox.block
+       |  JOIN blocked y ON x.block = y.block AND x.doc_id < y.doc_id),
        |inter AS (
        |  SELECT doc_a, doc_b, na, nb, count(*) AS n_common
        |  FROM cand
