@@ -1858,10 +1858,17 @@ object TextQueries {
   // embedded in a long one scores low on union but high on containment);
   // this is the operator that catches it. Blocking: agreement on the
   // raw gram-hash min AND three one-hash minhash permutation mins (a
-  // single min degenerates to near-all-pairs blocks on a tiny
-  // vocabulary; each extra min splits the blocks — measured 380k → 112k
-  // candidate pairs at sf0.1) but deliberately NOT length-bucketed,
-  // because containment pairs have dissimilar lengths by definition.
+  // single min degenerates to near-all-pairs blocks; each extra min
+  // splits the blocks) — over char-8-gram hashes, NOT the 4-grams being
+  // scored, and deliberately NOT length-bucketed, because containment
+  // pairs have dissimilar lengths by definition. Blocking on the dense
+  // 4-grams collapsed quadratically at scale exactly like ngramJaccard
+  // (round-9 sf1 study: 20k → 1.3M candidates for 10× data, max block
+  // 649); sparse 8-gram minima hold it linear (274 → 14k, max block
+  // 27) and ground-truth recall at sf0.01 (exact all-pairs containment
+  // ≥ 0.8) is IDENTICAL — both keys catch the same 25/105 true pairs,
+  // the same 25-row result. The ≤64 block cap is the same worst-case
+  // backstop as ngramJaccard (no measured block exceeds 27).
   // Same staged slim-pair shape as ngramJaccard: the gram arrays stay
   // in persist-only staging, the checkpoint holds scored pairs only.
   // -------------------------------------------------------------------
@@ -1883,20 +1890,28 @@ object TextQueries {
         explode(call_function("char_ngrams", col("text"), lit(4), lit(true)))
           .as("g"))
       .select(col("doc_id"), h60(col("g")).as("gh"))
+    val blocks = documents(s, d)
+      .select(col("doc_id"),
+        explode(call_function("char_ngrams", col("text"), lit(8), lit(true)))
+          .as("g8"))
+      .select(col("doc_id"), h60(col("g8")).as("bh"))
+      .groupBy("doc_id")
+      .agg(min(col("bh")).as("min_bh"),
+        min(perm(0, col("bh"))).as("min_p0"),
+        min(perm(1, col("bh"))).as("min_p1"),
+        min(perm(2, col("bh"))).as("min_p2"))
     val docgr = grams.groupBy("doc_id")
-      .agg(collect_list(col("gh")).as("ghs"), min(col("gh")).as("min_gh"),
-        min(perm(0, col("gh"))).as("min_p0"),
-        min(perm(1, col("gh"))).as("min_p1"),
-        min(perm(2, col("gh"))).as("min_p2"),
-        count(lit(1)).as("n"))
-    val blockKeys = Seq("min_gh", "min_p0", "min_p1", "min_p2")
+      .agg(collect_list(col("gh")).as("ghs"), count(lit(1)).as("n"))
+      .join(blocks, "doc_id")
+      .withColumn("block", concat_ws("_", col("min_bh"),
+        col("min_p0"), col("min_p1"), col("min_p2")))
     val pairs = graft.Stage.fanout(docgr) { dg =>
-      val slim = dg.select(
-        (Seq("doc_id", "n") ++ blockKeys).map(col): _*)
+      val okBlocks = dg.groupBy("block").agg(count(lit(1)).as("bn"))
+        .filter(col("bn") <= 64).select("block")
+      val slim = dg.select(col("doc_id"), col("block"), col("n"))
+        .join(okBlocks, "block")
       val cand = slim.as("x").join(slim.as("y"),
-          blockKeys.map(k => col(s"x.$k") === col(s"y.$k"))
-            .reduce(_ && _)
-            && col("x.doc_id") < col("y.doc_id"))
+          col("x.block") === col("y.block") && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
           col("x.n").as("na"), col("y.n").as("nb"))
       cand
@@ -1918,22 +1933,31 @@ object TextQueries {
 
   val containmentSql: String = {
     val gh = h60Sql("g")
+    val bh = h60Sql("g8")
     s"""WITH grams AS (
-       |  SELECT doc_id, gh, ${permSql(0, "gh")} AS p0,
-       |    ${permSql(1, "gh")} AS p1, ${permSql(2, "gh")} AS p2
-       |  FROM (SELECT doc_id, $gh AS gh FROM (
+       |  SELECT doc_id, $gh AS gh FROM (
        |    SELECT doc_id, unnest(list_distinct($char4gramsSql)) AS g
-       |    FROM documents))),
+       |    FROM documents)),
+       |blocks AS (
+       |  SELECT doc_id, min(bh) AS min_bh, min(${permSql(0, "bh")}) AS min_p0,
+       |    min(${permSql(1, "bh")}) AS min_p1, min(${permSql(2, "bh")}) AS min_p2
+       |  FROM (SELECT doc_id, $bh AS bh FROM (
+       |    SELECT doc_id, unnest(list_distinct($char8gramsSql)) AS g8
+       |    FROM documents))
+       |  GROUP BY doc_id),
        |docgr AS (
-       |  SELECT doc_id, min(gh) AS min_gh, min(p0) AS min_p0,
-       |    min(p1) AS min_p1, min(p2) AS min_p2, count(*) AS n
-       |  FROM grams GROUP BY doc_id),
+       |  SELECT g.doc_id, count(*) AS n,
+       |    CAST(b.min_bh AS VARCHAR) || '_' || CAST(b.min_p0 AS VARCHAR)
+       |      || '_' || CAST(b.min_p1 AS VARCHAR)
+       |      || '_' || CAST(b.min_p2 AS VARCHAR) AS block
+       |  FROM grams g JOIN blocks b ON g.doc_id = b.doc_id
+       |  GROUP BY g.doc_id, b.min_bh, b.min_p0, b.min_p1, b.min_p2),
+       |ok AS (
+       |  SELECT block FROM docgr GROUP BY block HAVING count(*) <= 64),
        |cand AS (
        |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.n AS na, y.n AS nb
-       |  FROM docgr x JOIN docgr y
-       |    ON x.min_gh = y.min_gh AND x.min_p0 = y.min_p0
-       |    AND x.min_p1 = y.min_p1 AND x.min_p2 = y.min_p2
-       |    AND x.doc_id < y.doc_id),
+       |  FROM docgr x JOIN ok ox ON x.block = ox.block
+       |  JOIN docgr y ON x.block = y.block AND x.doc_id < y.doc_id),
        |inter AS (
        |  SELECT doc_a, doc_b, na, nb, count(*) AS n_common
        |  FROM cand
