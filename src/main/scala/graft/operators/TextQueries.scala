@@ -1871,6 +1871,16 @@ object TextQueries {
   // backstop as ngramJaccard (no measured block exceeds 27).
   // Same staged slim-pair shape as ngramJaccard: the gram arrays stay
   // in persist-only staging, the checkpoint holds scored pairs only.
+  //
+  // Recall frontier (measured, round 9, vs exact all-pairs ground truth
+  // at sf0.01 = 105 true pairs): conjunctive 4-min blocking catches 25;
+  // bottom-8 sketch blocking 41 at 180× the candidates; disjunctive
+  // 4/8-band single-min LSH 40/44 at ~90-150× the candidates (and both
+  // degenerate again at sf1: 430k-880k candidates, pre-cap blocks of
+  // 5k-19k docs). The uncaught pairs share too little hash-min mass for
+  // ANY min-agreement key; catching them needs inverted-index retrieval
+  // (rare-gram posting lists), a different operator shape. Conjunctive
+  // blocking stays: linear candidates, the documented trade.
   // -------------------------------------------------------------------
   // A/B measured (sf0.1, median-of-5, both shapes in one process,
   // round 9): gram-array scoring 2.97 s vs exploded (doc_id, gh)
