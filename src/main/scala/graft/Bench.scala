@@ -9,6 +9,51 @@ object Bench {
     else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
   }
 
+  /** Per-query bench outcome. `err` is the first failure message across
+    * the reps — a failed query must be marked in the artifact, not
+    * recorded as a plausible (fast) wall time (CORRECTNESS would catch
+    * the breakage separately, but the bench must self-mark).
+    */
+  final case class QueryTiming(median: Double, min: Double, err: Option[String])
+
+  /** Run each query `reps` times through the noop sink and record
+    * median + min + first error. Factored out of `main` so a spec can
+    * inject a throwing query and assert the artifact marks it.
+    */
+  def timeQueries(spark: SparkSession, sfDir: String,
+      queries: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
+      reps: Int,
+      betweenBlocks: () => Unit = () => ()): Seq[(String, QueryTiming)] = {
+    def timeOnce(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Option[String]) = {
+      val t0 = System.nanoTime()
+      val err =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+        }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // isolate measurements: a staged query must not tax its
+      // successors with leftover cache entries / cleaner backlog
+      // (round-4 bench: untouched queries 2-8x slower downstream of
+      // the dedup family). clearCache is a no-op when queries release
+      // their own staging (Stage.fanout does), but guards the timing
+      // against any future leak; the GC nudges the ContextCleaner to
+      // reclaim unreachable checkpoint/shuffle state between runs.
+      spark.catalog.clearCache()
+      System.gc()
+      (dt, err)
+    }
+    queries.zipWithIndex.map { case ((name, fn), i) =>
+      if (i % 25 == 24) betweenBlocks()
+      val runs = (1 to reps).map(_ => timeOnce(name, fn))
+      val times = runs.map(_._1)
+      name -> QueryTiming(median(times), times.min, runs.flatMap(_._2).headOption)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -23,6 +68,20 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Spill accounting: the low-memory runs (SCALING.md) must SHOW that
+    // constrained heaps exercise the spill paths rather than silently
+    // fitting in memory — total spill bytes ride the artifact.
+    val memSpilled = new java.util.concurrent.atomic.AtomicLong
+    val diskSpilled = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          Option(t.taskMetrics).foreach { m =>
+            memSpilled.addAndGet(m.memoryBytesSpilled): Unit
+            diskSpilled.addAndGet(m.diskBytesSpilled): Unit
+          }
+      })
     // Uncounted warmup: absorb JVM/codegen/file-index startup so the
     // first measured query isn't charged ~4s of session initialization.
     try {
@@ -46,25 +105,6 @@ object Bench {
     // and the MEDIAN is the recorded figure (min kept alongside — the
     // best observed run is the least-noise estimate of the plan cost).
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt)
-    def timeOnce(name: String,
-        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // isolate measurements: a staged query must not tax its
-      // successors with leftover cache entries / cleaner backlog
-      // (round-4 bench: untouched queries 2-8x slower downstream of
-      // the dedup family). clearCache is a no-op when queries release
-      // their own staging (Stage.fanout does), but guards the timing
-      // against any future leak; the GC nudges the ContextCleaner to
-      // reclaim unreachable checkpoint/shuffle state between runs.
-      spark.catalog.clearCache()
-      System.gc()
-      dt
-    }
     // No-op control: a FIXED tiny workload timed at intervals across
     // the sweep. Its spread measures the ENVIRONMENT's noise floor
     // during this run — a per-query regression smaller than the
@@ -84,14 +124,11 @@ object Bench {
     }
     control(); controlTimes.clear() // first run absorbs cold file-index cost
     control()
-    val timed = selected.zipWithIndex.map { case ((name, fn), i) =>
-      if (i % 25 == 24) control()
-      val runs = (1 to reps).map(_ => timeOnce(name, fn))
-      name -> ((median(runs), runs.min))
-    }
+    val timed = timeQueries(spark, sfDir, selected, reps, () => control())
     control()
-    val results = timed.map { case (n, (med, _)) => n -> med }.toMap
-    val resultsMin = timed.map { case (n, (_, mn)) => n -> mn }.toMap
+    val results = timed.map { case (n, t) => n -> t.median }.toMap
+    val resultsMin = timed.map { case (n, t) => n -> t.min }.toMap
+    val errors = timed.collect { case (n, QueryTiming(_, _, Some(e))) => n -> e }.toMap
     val ctl = controlTimes.toSeq
     val ctlMedian = median(ctl)
     val ctlSpread = if (ctl.nonEmpty && ctlMedian > 0)
@@ -150,8 +187,17 @@ object Bench {
         val nEv = ev.count()
         val files = math.max(1, math.ceil(nEv / 4096.0).toInt)
         ev.repartition(files).write.parquet(s"$root/in")
+        // Per-trigger file cap: each micro-batch pays a fixed commit
+        // barrier (~0.5-1 s: offset log + sink commit), so drain
+        // throughput scales with events-per-trigger until executor
+        // parallelism saturates. 256 files ≈ 1M events/trigger keeps
+        // the sf1 corpus to a single-digit trigger count (measured
+        // curve in SCALING.md §Relay); a LIVE relay tuning for latency
+        // would lower this toward the reference's event-count-max
+        // batching instead. Overridable for the tuning sweep.
+        val mfpt = sys.env.getOrElse("SPARK_GRAFT_RELAY_MFPT", "256").toInt
         val cfg = graft.streaming.CdcRelay.RelayConfig(
-          s"$root/in", s"$root/out", s"$root/chk", maxFilesPerTrigger = 32)
+          s"$root/in", s"$root/out", s"$root/chk", maxFilesPerTrigger = mfpt)
         val t0 = System.nanoTime()
         graft.streaming.CdcRelay.start(spark, cfg).awaitTermination()
         val secs = (System.nanoTime() - t0) / 1e9
@@ -175,7 +221,21 @@ object Bench {
         "\"" + n + "\":{\"rows_per_sec\":" + num(rps, 1) +
           ",\"state_rows\":" + st + "}"
     }.mkString("{", ",", "}")
-    val detail = s"""{"queries":$qs,"queries_min":$qsMin,"reps":$reps,"noise":$noiseJson,"streaming":$streamingJson,"sf":"$sfDir","n_queries":${results.size},"total_all":${num(totalAll, 6)},"events_per_sec":${num(relayEps, 1)}}"""
+    // A query that threw is present in "queries" (its wall time is still
+    // real) but ALSO keyed in "errors" — consumers must treat such a
+    // timing as invalid rather than a plausible fast run.
+    def jsonStr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val errorsJson = errors.toSeq.sortBy(_._1).map { case (k, v) =>
+      jsonStr(k) + ":" + jsonStr(v)
+    }.mkString("{", ",", "}")
+    val spillJson = s"""{"mem_bytes":${memSpilled.get},"disk_bytes":${diskSpilled.get},"max_heap_mb":${Runtime.getRuntime.maxMemory() / (1 << 20)}}"""
+    val detail = s"""{"queries":$qs,"queries_min":$qsMin,"errors":$errorsJson,"reps":$reps,"noise":$noiseJson,"streaming":$streamingJson,"spill":$spillJson,"sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size},"total_all":${num(totalAll, 6)},"events_per_sec":${num(relayEps, 1)}}"""
     println(detail)
     try {
       // cwd-relative default so the build isn't coupled to one machine's
@@ -196,7 +256,7 @@ object Bench {
     val headlineQs = jsonMap(results.filter(kv => headline.contains(kv._1)), 3)
     val streamRps = jsonMap(
       streaming.map { case (n, (rps, _)) => n -> rps }, 1)
-    println(s"""{"metric":"headline_total_15q","value":${num(total, 6)},"unit":"sec","sf":"$sfDir","n_headline":${headline.size - missingHeadline.size},"n_queries":${results.size},"reps":$reps,"noise":${num(ctlSpread, 4)},"total_all":${num(totalAll, 3)},"events_per_sec":${num(relayEps, 1)},"stream_rows_per_sec":$streamRps,"queries":$headlineQs}""")
+    println(s"""{"metric":"headline_total_15q","value":${num(total, 6)},"unit":"sec","sf":"$sfDir","n_headline":${headline.size - missingHeadline.size},"n_queries":${results.size},"n_errors":${errors.size},"reps":$reps,"noise":${num(ctlSpread, 4)},"total_all":${num(totalAll, 3)},"events_per_sec":${num(relayEps, 1)},"stream_rows_per_sec":$streamRps,"queries":$headlineQs}""")
     spark.stop()
   }
 }

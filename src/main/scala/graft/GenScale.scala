@@ -26,6 +26,14 @@ import org.apache.spark.sql.functions._
   *
   * Everything derives from hash()/arithmetic on existing values — no
   * RNG — so reruns are byte-stable.
+  *
+  * Schema note: the source events table stores ts as parquet
+  * TIMESTAMP(NANOS); this tool reads it with
+  * `spark.sql.legacy.parquet.nanosAsLong` (Tables.eventsRawNanos) and
+  * therefore WRITES ts as a plain INT64 column. Every engine reader
+  * sets the same conf, so behavior is identical — but a third-party
+  * tool reading the source and a replica side by side without the conf
+  * sees different parquet logical types for ts.
   */
 object GenScale {
 
@@ -33,6 +41,10 @@ object GenScale {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = if (args.length > 1) args(1) else "testdata_sf1"
     val copies = if (args.length > 2) args(2).toInt else 10
+    // "docs" replicates only the documents table — the dedup family's
+    // input — for scale decades where the full corpus would waste disk
+    // (the sf10 blocking validation needs 100× documents, nothing else)
+    val docsOnly = args.lift(3).contains("docs")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -42,8 +54,11 @@ object GenScale {
 
     def tbl(name: String): DataFrame =
       spark.read.parquet(s"$src/$name.parquet")
+    // getAs[Number]: key columns are BIGINT in the driver corpus, but a
+    // narrower integer type (e.g. INT32 doc ids in a re-generated
+    // corpus) must widen, not ClassCastException
     def keySpan(df: DataFrame, key: String): Long =
-      df.agg(max(col(key))).head().getLong(0) + 1
+      df.agg(max(col(key))).head().getAs[Number](0).longValue() + 1
     /** Cross-join with copy ids 0..copies-1 and shift the given keys. */
     def replicate(df: DataFrame, shifts: (String, Long)*): DataFrame = {
       val withCp = df.select(col("*"),
@@ -58,27 +73,29 @@ object GenScale {
       println(s"[genscale] $name written")
     }
 
-    val (ck, sk, pk, ok) = (
-      keySpan(tbl("customer"), "c_custkey"),
-      keySpan(tbl("supplier"), "s_suppkey"),
-      keySpan(tbl("part"), "p_partkey"),
-      keySpan(tbl("orders"), "o_orderkey"))
+    if (!docsOnly) {
+      val (ck, sk, pk, ok) = (
+        keySpan(tbl("customer"), "c_custkey"),
+        keySpan(tbl("supplier"), "s_suppkey"),
+        keySpan(tbl("part"), "p_partkey"),
+        keySpan(tbl("orders"), "o_orderkey"))
 
-    write(tbl("region").withColumn("cp", lit(0)), "region")
-    write(tbl("nation").withColumn("cp", lit(0)), "nation")
-    write(replicate(tbl("customer"), "c_custkey" -> ck), "customer")
-    write(replicate(tbl("supplier"), "s_suppkey" -> sk), "supplier")
-    write(replicate(tbl("part"), "p_partkey" -> pk), "part")
-    write(replicate(tbl("orders"), "o_orderkey" -> ok, "o_custkey" -> ck),
-      "orders")
-    write(replicate(tbl("lineitem"), "l_orderkey" -> ok,
-      "l_partkey" -> pk, "l_suppkey" -> sk), "lineitem")
+      write(tbl("region").withColumn("cp", lit(0)), "region")
+      write(tbl("nation").withColumn("cp", lit(0)), "nation")
+      write(replicate(tbl("customer"), "c_custkey" -> ck), "customer")
+      write(replicate(tbl("supplier"), "s_suppkey" -> sk), "supplier")
+      write(replicate(tbl("part"), "p_partkey" -> pk), "part")
+      write(replicate(tbl("orders"), "o_orderkey" -> ok, "o_custkey" -> ck),
+        "orders")
+      write(replicate(tbl("lineitem"), "l_orderkey" -> ok,
+        "l_partkey" -> pk, "l_suppkey" -> sk), "lineitem")
 
-    // events.ts is parquet TIMESTAMP(NANOS); keep it as raw nanos longs
-    // (the engine's scan operators read that shape natively)
-    val ev = Tables.eventsRawNanos(spark, src)
-    val ek = keySpan(ev, "event_id"); val uk = keySpan(ev, "user_id")
-    write(replicate(ev, "event_id" -> ek, "user_id" -> uk), "events")
+      // events.ts is parquet TIMESTAMP(NANOS); keep it as raw nanos longs
+      // (the engine's scan operators read that shape natively)
+      val ev = Tables.eventsRawNanos(spark, src)
+      val ek = keySpan(ev, "event_id"); val uk = keySpan(ev, "user_id")
+      write(replicate(ev, "event_id" -> ek, "user_id" -> uk), "events")
+    }
 
     val docs = tbl("documents")
     val dk = keySpan(docs, "doc_id")
@@ -90,14 +107,16 @@ object GenScale {
             "CAST(i AS STRING))) ELSE array(w) END)")), " ")))
       .withColumn("n_chars", length(col("text")).cast("long")), "documents")
 
-    val emb = tbl("embeddings")
-    val vk = keySpan(emb, "vec_id")
-    write(replicate(emb, "vec_id" -> vk)
-      .withColumn("embedding", when(col("cp") === 0, col("embedding"))
-        .otherwise(expr(
-          "transform(embedding, (x, i) -> CAST(x + " +
-            "(CAST(pmod(hash(vec_id, i), 1000) AS FLOAT) / 1000.0 - 0.5) " +
-            "* 0.2 AS FLOAT))"))), "embeddings")
+    if (!docsOnly) {
+      val emb = tbl("embeddings")
+      val vk = keySpan(emb, "vec_id")
+      write(replicate(emb, "vec_id" -> vk)
+        .withColumn("embedding", when(col("cp") === 0, col("embedding"))
+          .otherwise(expr(
+            "transform(embedding, (x, i) -> CAST(x + " +
+              "(CAST(pmod(hash(vec_id, i), 1000) AS FLOAT) / 1000.0 - 0.5) " +
+              "* 0.2 AS FLOAT))"))), "embeddings")
+    }
 
     println(s"[genscale] done: $copies x $src -> $out")
     spark.stop()

@@ -46,17 +46,23 @@ object StreamBench {
     val docSchema = spark.read.parquet(s"$root/docs").schema
 
     /** Time a stream to completion; stateRows reads the finished query
-      * (progress metrics) or the external store.
+      * (progress metrics) or the external store. The timed window closes
+      * at processAllAvailable() — the state probe (which may itself be a
+      * full parquet count of an external store) runs OUTSIDE it, so
+      * rows_per_sec is comparable across foreachBatch and state-store
+      * streams.
       */
     def measure(name: String, rows: Long)(build: () => StreamingQuery)(
         stateRows: StreamingQuery => Long): Unit =
       try {
         val t0 = System.nanoTime()
         val q = build()
-        val st =
-          try { q.processAllAvailable(); stateRows(q) }
-          finally q.stop()
-        val secs = (System.nanoTime() - t0) / 1e9
+        val (secs, st) =
+          try {
+            q.processAllAvailable()
+            val elapsed = (System.nanoTime() - t0) / 1e9
+            (elapsed, stateRows(q))
+          } finally q.stop()
         out(name) = (rows / secs, st)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] stream $name failed: ${e.getMessage}")

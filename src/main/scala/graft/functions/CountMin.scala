@@ -75,6 +75,26 @@ object CountMin {
     out
   }
 
+  /** Declarative (whole-stage-codegen) form of [[estimate]]: the same
+    * affine-permutation arithmetic as [[buckets]], built on the native
+    * `md5_top60` expression + integer ops + `element_at`/`least` — no
+    * Scala UDF, so a verification pass over the sketch stays inside
+    * codegen. Bit-identical to the host-side form (the affine product
+    * stays under 2^56, see [[P]]); pinned against [[estimate]] in
+    * CountMinSpec. Requires the graft extensions (md5_top60) on the
+    * session.
+    */
+  def estimateCol(sketch: org.apache.spark.sql.Column,
+      term: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{call_function, element_at, least, lit}
+    val h = call_function("md5_top60", term) % P
+    val cells = (0 until Depth).map { r =>
+      element_at(sketch,
+        ((h * RowA(r) + RowB(r)) % P % Width + lit(1 + r * Width)).cast("int"))
+    }
+    least(cells: _*)
+  }
+
   /** Point estimate: min over rows of the addressed counter. */
   def estimate(sketch: Array[Long], term: String): Long = {
     val bs = buckets(term)

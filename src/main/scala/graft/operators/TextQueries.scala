@@ -31,7 +31,7 @@ object TextQueries {
     * (possibly driver-owned, vanilla) session before any column tree
     * referencing them is analyzed.
     */
-  private def documents(s: SparkSession, d: String): DataFrame = {
+  private[graft] def documents(s: SparkSession, d: String): DataFrame = {
     graft.plans.GraftExtensions.register(s)
     graft.Tables.documents(s, d)
   }
@@ -43,7 +43,7 @@ object TextQueries {
     * the digest cost itself across the millions of per-gram
     * evaluations in the dedup pipelines.
     */
-  private def h60(c: Column): Column = call_function("md5_top60", c)
+  private[graft] def h60(c: Column): Column = call_function("md5_top60", c)
 
   private def h60Sql(e: String): String =
     s"CAST(('0x' || substr(md5($e), 1, 15)) AS BIGINT)"
@@ -170,17 +170,51 @@ object TextQueries {
     * signature cost. All operands stay < 2^62, so the arithmetic is
     * ANSI-overflow-safe in Spark and exactly mirrored in DuckDB BIGINT.
     */
-  private val MinhashP = 2147483647L
+  private[graft] val MinhashP = 2147483647L
   private val MinhashA = Seq(1103515245L, 1299709L, 15485863L, 32452843L,
     49979687L, 67867967L, 86028121L, 104395301L)
   private val MinhashB = Seq(12345L, 67890L, 111111L, 222222L,
     333333L, 444444L, 555555L, 666666L)
 
-  private def perm(i: Int, h: Column): Column =
+  private[graft] def perm(i: Int, h: Column): Column =
     ((h % MinhashP) * MinhashA(i) + MinhashB(i)) % MinhashP
 
   private def permSql(i: Int, h: String): String =
     s"((($h) % $MinhashP) * ${MinhashA(i)} + ${MinhashB(i)}) % $MinhashP"
+
+  /** Worst-case bound on a blocking group (shared by ngramJaccard and
+    * containment, Scala AND oracle SQL): a block even sparse 8-gram
+    * minima cannot split (boilerplate corpora) is noise-dominated —
+    * skip it rather than emit its quadratic pair count. No measured
+    * corpus (sf0.01/0.1/1) has a block over 59 docs, so the cap changes
+    * nothing at any tested scale; it bounds the worst case at 100 TB.
+    * The trade is a recall cliff INSIDE an oversized block (its pairs
+    * score zero) — which is why [[cappedBlocks]] logs every activation
+    * instead of dropping silently.
+    */
+  val DegenerateBlockCap = 64
+
+  /** Blocks small enough to pair-join, with cap activation observable:
+    * an Observation rides the block-size aggregate (same job, no extra
+    * pass) and a non-blocking callback logs dropped blocks + max block
+    * size when the metrics land.
+    */
+  private def cappedBlocks(dg: DataFrame, op: String): DataFrame = {
+    val obs = new org.apache.spark.sql.Observation()
+    val sizes = dg.groupBy("block").agg(count(lit(1)).as("bn"))
+      .observe(obs,
+        coalesce(sum(when(col("bn") > DegenerateBlockCap, 1L).otherwise(0L)),
+          lit(0L)).as("dropped_blocks"),
+        coalesce(max(col("bn")), lit(0L)).as("max_block"))
+    org.apache.spark.sql.graftbridge.DatasetBridge.onObserved(obs) { m =>
+      val dropped = m.get("dropped_blocks").collect { case l: Long => l }.getOrElse(0L)
+      if (dropped > 0) System.err.println(
+        s"[graft] $op: degenerate-block cap ($DegenerateBlockCap) dropped " +
+          s"$dropped block(s), max block size ${m.getOrElse("max_block", "?")} — " +
+          "near-dup recall inside those blocks is zero")
+    }
+    sizes.filter(col("bn") <= DegenerateBlockCap).select("block")
+  }
 
   /** documents with doc_id + exploded shingle column `sh`, via the
     * native [[graft.plans.WordShingles]] expression — a compiled loop
@@ -692,13 +726,8 @@ object TextQueries {
     // the filter cannot be pushed into the join condition — where it
     // would re-evaluate array_intersect two more times per pair.
     val pairs = graft.Stage.fanout(docgr) { dg =>
-      // degenerate-block cap: a block this key cannot split (boilerplate
-      // corpora where even 8-gram minima collapse) is noise-dominated —
-      // skip it rather than emit its quadratic pair count. No measured
-      // corpus (sf0.01/0.1/1) has a block over 59 docs, so this changes
-      // nothing at any tested scale; it bounds the worst case at 100 TB.
-      val okBlocks = dg.groupBy("block").agg(count(lit(1)).as("bn"))
-        .filter(col("bn") <= 64).select("block")
+      // degenerate-block cap: see DegenerateBlockCap/cappedBlocks
+      val okBlocks = cappedBlocks(dg, "dedup_ngram_jaccard")
       val slim = dg.select(col("doc_id"), col("block"), col("n"))
         .join(okBlocks, "block")
       val cand = slim.as("x").join(slim.as("y"),
@@ -744,7 +773,7 @@ object TextQueries {
        |  FROM grams g JOIN blocks b ON g.doc_id = b.doc_id
        |  GROUP BY g.doc_id, g.len, b.min_bh, b.min_bh2),
        |ok AS (
-       |  SELECT block FROM blocked GROUP BY block HAVING count(*) <= 64),
+       |  SELECT block FROM blocked GROUP BY block HAVING count(*) <= $DegenerateBlockCap),
        |cand AS (
        |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.n AS na, y.n AS nb
        |  FROM blocked x JOIN ok ox ON x.block = ox.block
@@ -873,15 +902,12 @@ object TextQueries {
         .groupBy("doc").agg(min("label").as("label"))
         .observe(obs, sumExpr.as("label_sum"))
         .checkpoint()
-      // bounded wait for the metric (listener delivery is async); if it
-      // never lands, fall back to the direct agg — correctness never
-      // depends on the optimization
-      import org.apache.spark.sql.graftbridge.DatasetBridge.observedOrEmpty
-      var waitedMs = 0L
-      var metrics = observedOrEmpty(obs)
-      while (metrics.isEmpty && waitedMs < 30000) {
-        Thread.sleep(50); waitedMs += 50; metrics = observedOrEmpty(obs)
-      }
+      // bounded LATCH wait for the metric (listener delivery is async):
+      // parks on the observation's completion future and wakes at
+      // delivery — no polling. If it never lands, fall back to the
+      // direct agg — correctness never depends on the optimization.
+      import org.apache.spark.sql.graftbridge.DatasetBridge.observedWithin
+      val metrics = observedWithin(obs, 30000)
       val nextSum = metrics.get("label_sum") match {
         case Some(d: java.math.BigDecimal) => d
         case Some(d: scala.math.BigDecimal) => d.bigDecimal
@@ -1510,10 +1536,9 @@ object TextQueries {
       val sketch = terms.select(col("term")).as[String]
         .select(graft.functions.CountMin.Agg.toColumn)
         .toDF("sk")
-      val est = udf((term: String, sk: Seq[Long]) =>
-        graft.functions.CountMin.estimate(sk.toArray, term))
       top.crossJoin(broadcast(sketch))
-        .withColumn("est", est(col("term"), col("sk")))
+        .withColumn("est",
+          graft.functions.CountMin.estimateCol(col("sk"), col("term")))
         .select(col("term"), col("c"),
           (col("est") >= col("c") &&
             col("est") <= col("c") + col("total") / 16).as("est_ok"))
@@ -1916,8 +1941,7 @@ object TextQueries {
       .withColumn("block", concat_ws("_", col("min_bh"),
         col("min_p0"), col("min_p1"), col("min_p2")))
     val pairs = graft.Stage.fanout(docgr) { dg =>
-      val okBlocks = dg.groupBy("block").agg(count(lit(1)).as("bn"))
-        .filter(col("bn") <= 64).select("block")
+      val okBlocks = cappedBlocks(dg, "dedup_containment")
       val slim = dg.select(col("doc_id"), col("block"), col("n"))
         .join(okBlocks, "block")
       val cand = slim.as("x").join(slim.as("y"),
@@ -1963,7 +1987,7 @@ object TextQueries {
        |  FROM grams g JOIN blocks b ON g.doc_id = b.doc_id
        |  GROUP BY g.doc_id, b.min_bh, b.min_p0, b.min_p1, b.min_p2),
        |ok AS (
-       |  SELECT block FROM docgr GROUP BY block HAVING count(*) <= 64),
+       |  SELECT block FROM docgr GROUP BY block HAVING count(*) <= $DegenerateBlockCap),
        |cand AS (
        |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.n AS na, y.n AS nb
        |  FROM docgr x JOIN ok ox ON x.block = ox.block

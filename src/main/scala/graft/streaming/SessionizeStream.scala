@@ -55,11 +55,22 @@ object SessionizeStream {
       }
       cur.foreach { s =>
         val timeoutMs = s.last / 1000 + GapMicros / 1000 + 1
-        // A timeout below the current watermark is both illegal to set
-        // (Spark aborts the query) and semantically CLOSED already:
-        // events below the watermark never reach this function, and any
-        // future event has t > watermark > last + gap, so nothing can
-        // extend this session — emit it now instead of storing state.
+        // A timeout below the eviction watermark is illegal to set
+        // (Spark aborts the query), so a session whose close time has
+        // fallen behind it is emitted now instead of stored. Such rows
+        // DO reach this function: FlatMapGroupsWithStateExec's late-row
+        // filter uses the PREVIOUS batch's watermark (one-batch lag —
+        // watermarkPredicateForDataForLateEvents), so the batch right
+        // after a watermark jump still delivers events that are below
+        // the eviction watermark but above the late filter; state for
+        // them cannot legally be kept, hence the early close. Events
+        // arriving beyond the lag never reach here — the operator drops
+        // them, the standard watermark contract — so a multi-batch
+        // backfill diverges from batch rel_sessionize by EXCLUDING
+        // those late events entirely (measured in SessionizeStreamSpec;
+        // it can never split a session, because any event that could
+        // merge with an early-closed session is necessarily below the
+        // late filter of every later batch).
         // Hit in practice when one micro-batch spans a wide event-time
         // range (bulk backfill), where keys early in the range fall
         // behind the batch-end watermark.

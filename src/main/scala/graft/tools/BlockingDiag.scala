@@ -1,0 +1,112 @@
+package graft.tools
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.TextQueries
+
+/** Blocking-selectivity diagnostics for the dedup scaling studies
+  * (SCALING.md): per corpus, the block-size distribution and candidate
+  * pair count each blocking key yields for `dedup_ngram_jaccard` and
+  * `dedup_containment`, WITHOUT running the scoring joins.
+  *
+  * This is the measurement the round-9 study showed matters: runtime
+  * can stay sub-linear while candidate pairs grow quadratically
+  * (the dense 4-gram key grew 127× for 10× data one decade before it
+  * would have blown up). Candidate counts across sf0.1 → sf1 → sf10
+  * are the direct witness that a blocking key stays ~linear.
+  *
+  * Block keys mirror the operators line-for-line (TextQueries
+  * ngramJaccard / containment — same 8-gram minima, same affine
+  * permutations, same length bucket); only the per-block pair count
+  * replaces the pair join, so the tool runs at decades the full
+  * scoring pass would need a cluster for.
+  *
+  *   sbt "runMain graft.tools.BlockingDiag dir1 [dir2 ...]"
+  *
+  * Prints one JSON line per (dir, family).
+  */
+object BlockingDiag {
+
+  /** (doc_id, block) under ngramJaccard's key: floor(len/50) length
+    * bucket + two 8-gram-hash minima (TextQueries.ngramJaccard).
+    */
+  def jaccardBlocks(s: SparkSession, d: String): DataFrame = {
+    val docs = TextQueries.documents(s, d)
+    val blocks = docs
+      .select(col("doc_id"),
+        explode(call_function("char_ngrams", col("text"), lit(8), lit(true)))
+          .as("g8"))
+      .select(col("doc_id"), TextQueries.h60(col("g8")).as("bh"))
+      .groupBy("doc_id")
+      .agg(min(col("bh")).as("min_bh"),
+        min(((col("bh") % TextQueries.MinhashP) * lit(179424673L)
+          + lit(777777L)) % TextQueries.MinhashP).as("min_bh2"))
+    docs.select(col("doc_id"), length(col("text")).as("len"))
+      .join(blocks, "doc_id")
+      .select(col("doc_id"),
+        concat_ws("_", floor(col("len") / 50).cast("int"),
+          col("min_bh"), col("min_bh2")).as("block"))
+  }
+
+  /** (doc_id, block) under containment's key: raw 8-gram-hash min +
+    * three one-hash minhash permutation minima, no length bucket
+    * (TextQueries.containment).
+    */
+  def containmentBlocks(s: SparkSession, d: String): DataFrame = {
+    TextQueries.documents(s, d)
+      .select(col("doc_id"),
+        explode(call_function("char_ngrams", col("text"), lit(8), lit(true)))
+          .as("g8"))
+      .select(col("doc_id"), TextQueries.h60(col("g8")).as("bh"))
+      .groupBy("doc_id")
+      .agg(min(col("bh")).as("min_bh"),
+        min(TextQueries.perm(0, col("bh"))).as("min_p0"),
+        min(TextQueries.perm(1, col("bh"))).as("min_p1"),
+        min(TextQueries.perm(2, col("bh"))).as("min_p2"))
+      .select(col("doc_id"),
+        concat_ws("_", col("min_bh"),
+          col("min_p0"), col("min_p1"), col("min_p2")).as("block"))
+  }
+
+  /** One stats row over a (doc_id, block) relation: candidate pairs
+    * under the cap, what the cap drops, and the block-size tail.
+    */
+  def stats(blocks: DataFrame): Map[String, Long] = {
+    val cap = TextQueries.DegenerateBlockCap
+    // bn*(bn-1) is even, so the double division is exact (< 2^52)
+    val pairsOf: Column = (col("bn") * (col("bn") - 1) / 2).cast("long")
+    val r = blocks.groupBy("block").agg(count(lit(1)).as("bn"))
+      .agg(
+        count(lit(1)).as("n_blocks"),
+        sum(col("bn")).as("n_docs"),
+        max(col("bn")).as("max_block"),
+        sum(when(col("bn") <= cap, pairsOf).otherwise(0L)).as("cand_pairs"),
+        sum(when(col("bn") > cap, 1L).otherwise(0L)).as("dropped_blocks"),
+        sum(when(col("bn") > cap, pairsOf).otherwise(0L)).as("dropped_pairs"))
+      .head()
+    (0 until r.length).map(i =>
+      r.schema(i).name -> r.getAs[Number](i).longValue()).toMap
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dirs = if (args.nonEmpty) args.toSeq else Seq("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val fields = Seq("n_docs", "n_blocks", "max_block", "cand_pairs",
+      "dropped_blocks", "dropped_pairs")
+    for (d <- dirs;
+         (family, blocks) <- Seq(
+           "jaccard" -> jaccardBlocks(spark, d),
+           "containment" -> containmentBlocks(spark, d))) {
+      val st = stats(blocks)
+      val body = fields.map(f => s""""$f":${st(f)}""").mkString(",")
+      println(s"""{"dir":"$d","family":"$family",$body}""")
+    }
+    spark.stop()
+  }
+}

@@ -16,9 +16,42 @@ object DatasetBridge {
 
   /** `Observation.getOrEmpty` is `private[sql]`; the public `get`
     * blocks forever if the observed action's listener never fires —
-    * iterative drivers need the non-blocking probe to poll with a
-    * bounded wait and fall back.
+    * iterative drivers need the non-blocking probe with a bounded wait
+    * and a fallback.
     */
   def observedOrEmpty(obs: org.apache.spark.sql.Observation): Map[String, Any] =
     obs.getOrEmpty
+
+  /** Bounded LATCH wait for an observation's metrics: the listener
+    * completes the observation's internal Promise, so parking on its
+    * `future` wakes at delivery instead of polling (a 50 ms sleep loop
+    * could stall an iterative driver up to 30 s per round on a slow
+    * listener bus). Returns empty on timeout — callers keep their
+    * direct-aggregation fallback; correctness never depends on
+    * listener delivery.
+    */
+  def observedWithin(obs: org.apache.spark.sql.Observation,
+      timeoutMs: Long): Map[String, Any] = {
+    try scala.concurrent.Await.ready(obs.future,
+      scala.concurrent.duration.Duration(timeoutMs, "ms"))
+    catch {
+      case _: java.util.concurrent.TimeoutException => ()
+      case _: InterruptedException => Thread.currentThread().interrupt()
+    }
+    obs.getOrEmpty
+  }
+
+  /** Run `f` with the metrics when (if ever) they land — fully
+    * non-blocking, for best-effort observability side channels (log
+    * lines); never use for correctness.
+    */
+  def onObserved(obs: org.apache.spark.sql.Observation)(
+      f: Map[String, Any] => Unit): Unit = {
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.parasitic
+    obs.future.foreach { row =>
+      val names = row.schema.map(_.name)
+      f(names.zip(names.indices.map(row.get)).toMap)
+    }
+  }
 }

@@ -187,4 +187,61 @@ class SessionizeStreamSpec extends AnyFunSuite {
     // the backfilled session is emitted at once; user 1's stays open
     assert(got.toSeq == Seq((2L, ms(0), ms(10), 2L)), got.mkString(", "))
   }
+
+  test("multi-batch backfill DROPS events beyond the one-batch watermark " +
+      "lag (documented divergence from batch sessionize)") {
+    // The exec's late-row filter uses the PREVIOUS batch's watermark,
+    // so a backfill batch right after a watermark jump still reaches
+    // the state function (and the clamp early-closes it — previous
+    // test). But an event arriving one batch LATER sits below the late
+    // filter and never reaches the function at all: batch
+    // rel_sessionize over the same events would merge it into one
+    // session (0..20, n=3); the stream emits (0..10, n=2) and excludes
+    // t=20 — late-data exclusion, the standard watermark contract.
+    // (A SPLIT session cannot happen: an event close enough to merge
+    // with an early-closed session is necessarily below every later
+    // batch's late filter.) Replays through ONE batch (no
+    // maxFilesPerTrigger cap) sessionize exactly.
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val root = Files.createTempDirectory("sess5").toString
+    val in = s"$root/in"; new java.io.File(in).mkdirs()
+    val base = 1700000000000000L
+    def row(id: Long, user: Long, offMin: Long) =
+      Row(id, new java.sql.Timestamp((base + offMin * 60000000L) / 1000),
+        user, "view", 1.0, """{"k": 1}""")
+    def write(name: String, rows: Seq[Row]): Unit = {
+      spark.createDataFrame(rows.asJava, CdcRelay.inputSchema)
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/stage")
+      val part = new java.io.File(s"$root/stage").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(s"$in/$name").toPath)
+    }
+    // batch 1 advances the watermark far past the backfill range;
+    // batches 2 and 3 deliver user 2's events 10 minutes apart (well
+    // inside the 30-minute gap) in SEPARATE micro-batches
+    write("b1.parquet", Seq(row(1, 1, 600)))
+    write("b2.parquet", Seq(row(2, 2, 0), row(3, 2, 10)))
+    write("b3.parquet", Seq(row(4, 2, 20)))
+
+    val events = spark.readStream.schema(CdcRelay.inputSchema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+      .select(col("user_id"), col("ts")).as[SessionizeStream.Event]
+    val q = SessionizeStream.sessions(events)
+      .writeStream.format("memory").queryName("backfill_split_sessions")
+      .outputMode("append")
+      .option("checkpointLocation", s"$root/chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    def ms(offMin: Long) = (base + offMin * 60000000L) / 1000
+    val got = spark.table("backfill_split_sessions")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+        r.getTimestamp(2).getTime, r.getLong(3))).toSeq.sortBy(_._2)
+    // batch semantics would give ONE session (0..20, n=3); the stream
+    // emits the lag-window part and DROPS the t=20 straggler
+    assert(got == Seq((2L, ms(0), ms(10), 2L)), got.mkString(", "))
+  }
 }
