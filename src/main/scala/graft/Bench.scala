@@ -179,14 +179,25 @@ object Bench {
     // files (one file ≈ one reference source batch) and record
     // events/sec alongside the query timings. SPARK_GRAFT_RELAY=0
     // skips it in local single-query tuning loops.
-    val relayEps: Double =
-      if (sys.env.get("SPARK_GRAFT_RELAY").contains("0")) 0.0
+    // (events relayed, events staged, eps) — relayed != staged means
+    // the watermark dropped events, which must be visible in the
+    // artifact, not silently folded into a low eps
+    val (relayedEvents, stagedEvents, relayEps): (Long, Long, Double) =
+      if (sys.env.get("SPARK_GRAFT_RELAY").contains("0")) (0L, 0L, 0.0)
       else try {
         val root = java.nio.file.Files.createTempDirectory("bench-relay").toString
         val ev = graft.Tables.events(spark, sfDir)
         val nEv = ev.count()
         val files = math.max(1, math.ceil(nEv / 4096.0).toInt)
-        ev.repartition(files).write.parquet(s"$root/in")
+        // EVENT-TIME-ORDERED staging (file i = i-th ts range): the
+        // reference input is an ordered CDC scan (SURVEY A1); random
+        // repartitioning interleaves the full time range into every
+        // file and a multi-trigger run then drops later files as
+        // below-watermark late data (measured: 95k of 1M survived at
+        // sf1/mfpt=32), corrupting the throughput number.
+        ev.repartitionByRange(files, org.apache.spark.sql.functions.col("ts"))
+          .sortWithinPartitions("ts").write.parquet(s"$root/in")
+        graft.Stage.orderStagedFiles(s"$root/in")
         // Per-trigger file cap: each micro-batch pays a fixed commit
         // barrier (~0.5-1 s: offset log + sink commit), so drain
         // throughput scales with events-per-trigger until executor
@@ -203,10 +214,13 @@ object Bench {
         val secs = (System.nanoTime() - t0) / 1e9
         val relayed = spark.read.parquet(s"$root/out").count()
         graft.Stage.deleteRecursively(new java.io.File(root))
-        relayed / secs
+        if (relayed != nEv)
+          System.err.println(
+            s"[bench] relay delivered $relayed of $nEv staged events")
+        (relayed, nEv, relayed / secs)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] relay throughput failed: ${e.getMessage}")
-        0.0
+        (0L, 0L, 0.0)
       }
     // Stateful-stream metrics: drive the five stateful streams over the
     // sf tables staged as micro-batch files and record rows/sec plus
@@ -235,7 +249,7 @@ object Bench {
       jsonStr(k) + ":" + jsonStr(v)
     }.mkString("{", ",", "}")
     val spillJson = s"""{"mem_bytes":${memSpilled.get},"disk_bytes":${diskSpilled.get},"max_heap_mb":${Runtime.getRuntime.maxMemory() / (1 << 20)}}"""
-    val detail = s"""{"queries":$qs,"queries_min":$qsMin,"errors":$errorsJson,"reps":$reps,"noise":$noiseJson,"streaming":$streamingJson,"spill":$spillJson,"sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size},"total_all":${num(totalAll, 6)},"events_per_sec":${num(relayEps, 1)}}"""
+    val detail = s"""{"queries":$qs,"queries_min":$qsMin,"errors":$errorsJson,"reps":$reps,"noise":$noiseJson,"streaming":$streamingJson,"spill":$spillJson,"sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size},"total_all":${num(totalAll, 6)},"events_per_sec":${num(relayEps, 1)},"relay_events":$relayedEvents,"relay_staged":$stagedEvents}"""
     println(detail)
     try {
       // cwd-relative default so the build isn't coupled to one machine's

@@ -14,6 +14,10 @@ import org.apache.spark.sql.functions._
   *     across tables, so join fan-outs and group cardinalities scale
   *     linearly (10× keys, same per-key row counts) instead of
   *     inflating per-key history 10×;
+  *   - event timestamps shift by `copy × (ts_span + 1 h)` — disjoint
+  *     time ranges per copy — because the reference's CDC dedup key IS
+  *     the (system-unique) event timestamp; the replica corpus is a
+  *     longer ordered history, not an interleaved replay;
   *   - document text gets a copy-tagged token spliced in every 3rd
   *     position (copy > 0), which breaks cross-copy 3-shingles and
   *     4-grams — near-dup structure stays per-copy and pair counts
@@ -91,10 +95,24 @@ object GenScale {
         "l_partkey" -> pk, "l_suppkey" -> sk), "lineitem")
 
       // events.ts is parquet TIMESTAMP(NANOS); keep it as raw nanos longs
-      // (the engine's scan operators read that shape natively)
+      // (the engine's scan operators read that shape natively).
+      // ts SHIFTS per copy (disjoint time ranges, 1 h guard gap): event
+      // timestamps are globally unique by the reference system's
+      // invariant (the CDC dedup key is cluster/timestamp,
+      // runner.go:602), so an unshifted replica would be 90% true
+      // duplicates — the relay would correctly suppress them and every
+      // throughput number would measure dedup, not relay. A 10× corpus
+      // is an ordered CDC history 10× LONGER, not 10 interleaved
+      // replays of the same one.
       val ev = Tables.eventsRawNanos(spark, src)
       val ek = keySpan(ev, "event_id"); val uk = keySpan(ev, "user_id")
-      write(replicate(ev, "event_id" -> ek, "user_id" -> uk), "events")
+      val (tsMin, tsMax) = {
+        val r = ev.agg(min(col("ts")), max(col("ts"))).head()
+        (r.getAs[Number](0).longValue(), r.getAs[Number](1).longValue())
+      }
+      val tsSpan = tsMax - tsMin + 3600L * 1000000000L
+      write(replicate(ev, "event_id" -> ek, "user_id" -> uk, "ts" -> tsSpan),
+        "events")
     }
 
     val docs = tbl("documents")

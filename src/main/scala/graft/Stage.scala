@@ -127,4 +127,25 @@ object Stage {
     if (children != null) children.foreach(deleteRecursively)
     f.delete(): Unit
   }
+
+  /** Stamp a range-staged stream-input directory's part files with
+    * STRICTLY INCREASING modification times in path order.
+    *
+    * FileStreamSource admits pending files in modification-time order;
+    * a parallel `repartitionByRange(...).write.parquet` leaves part
+    * files with write-COMPLETION-order mtimes (effectively random), so
+    * under a small `maxFilesPerTrigger` later timestamp ranges can be
+    * admitted before earlier ones and the earlier files' rows then
+    * arrive below the watermark and are dropped (measured: mfpt=8 at
+    * sf1 delivered 844k of 1M staged events). Path order IS range
+    * order for part-NNNNN files, so re-stamping restores the ordered
+    * CDC-input contract for every trigger size.
+    */
+  private[graft] def orderStagedFiles(dir: String): Unit = {
+    val parts = Option(new java.io.File(dir).listFiles()).getOrElse(Array())
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    var t = System.currentTimeMillis() - parts.length * 1000L
+    parts.foreach { f => f.setLastModified(t): Unit; t += 1000L }
+  }
 }

@@ -30,8 +30,14 @@ object StreamBench {
     val ev = Tables.events(spark, sfDir)
       .select("event_id", "ts", "user_id", "event_type", "value")
     val nEv = ev.count()
-    ev.repartition(math.max(1, math.ceil(nEv / 4096.0).toInt))
-      .write.parquet(s"$root/events")
+    // event-time-ordered staging (file i = i-th ts range), the ordered
+    // CDC input contract — random staging makes every later trigger's
+    // rows below-watermark "late" for the sessionize stream (see the
+    // relay staging note in Bench.scala)
+    ev.repartitionByRange(math.max(1, math.ceil(nEv / 4096.0).toInt),
+        col("ts"))
+      .sortWithinPartitions("ts").write.parquet(s"$root/events")
+    Stage.orderStagedFiles(s"$root/events")
     val evSchema = spark.read.parquet(s"$root/events").schema
 
     val docs = Tables.documents(spark, sfDir)
@@ -41,8 +47,12 @@ object StreamBench {
         timestamp_micros(lit(1700000000000000L) +
           col("doc_id") * 1000000L).as("ingest_ts"))
     val nDocs = docs.count()
-    docs.repartition(math.max(1, math.ceil(nDocs / 1024.0).toInt))
-      .write.parquet(s"$root/docs")
+    // ingest_ts is monotone in doc_id, so range-stage by doc_id for the
+    // same ordered-arrival contract (curation's watermark)
+    docs.repartitionByRange(math.max(1, math.ceil(nDocs / 1024.0).toInt),
+        col("doc_id"))
+      .sortWithinPartitions("doc_id").write.parquet(s"$root/docs")
+    Stage.orderStagedFiles(s"$root/docs")
     val docSchema = spark.read.parquet(s"$root/docs").schema
 
     /** Time a stream to completion; stateRows reads the finished query

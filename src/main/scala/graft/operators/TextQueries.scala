@@ -210,8 +210,8 @@ object TextQueries {
       val dropped = m.get("dropped_blocks").collect { case l: Long => l }.getOrElse(0L)
       if (dropped > 0) System.err.println(
         s"[graft] $op: degenerate-block cap ($DegenerateBlockCap) dropped " +
-          s"$dropped block(s), max block size ${m.getOrElse("max_block", "?")} — " +
-          "near-dup recall inside those blocks is zero")
+          s"$dropped block(s), max block size ${m.getOrElse("max_block", "?")} " +
+          "-- near-dup recall inside those blocks is zero")
     }
     sizes.filter(col("bn") <= DegenerateBlockCap).select("block")
   }

@@ -30,7 +30,7 @@ object VectorQueries {
     * array_dot expression on the (possibly driver-owned, vanilla)
     * session before any column tree referencing it is analyzed.
     */
-  private def embeddings(s: SparkSession, d: String): DataFrame = {
+  private[graft] def embeddings(s: SparkSession, d: String): DataFrame = {
     graft.plans.GraftExtensions.register(s)
     graft.Tables.embeddings(s, d)
   }
@@ -93,7 +93,7 @@ object VectorQueries {
     }.mkString(" + ")
 
   /** LSH bucket id: sign bit per hyperplane. */
-  private def bucket: Column =
+  private[graft] def bucket: Column =
     (0 until Planes).map { j =>
       when(planeDot(j) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)

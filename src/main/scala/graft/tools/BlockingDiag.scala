@@ -68,11 +68,23 @@ object BlockingDiag {
           col("min_p0"), col("min_p1"), col("min_p2")).as("block"))
   }
 
+  /** (doc_id, block) under vec_cosine_neardup's key: the FIXED 8-plane
+    * sign-LSH bucket (VectorQueries.bucket). Unlike the text families,
+    * the bucket count here is constant (2^8), so candidate pairs grow
+    * ~N²/256 BY CONSTRUCTION — this family exists to measure that
+    * growth; the scale lever is planes ≈ log2(N/target_bucket_size)
+    * (SCALING.md §Vector LSH), or the IVF route.
+    */
+  def vecLshBlocks(s: SparkSession, d: String): DataFrame =
+    graft.operators.VectorQueries.embeddings(s, d)
+      .select(col("vec_id").as("doc_id"),
+        graft.operators.VectorQueries.bucket.cast("string").as("block"))
+
   /** One stats row over a (doc_id, block) relation: candidate pairs
     * under the cap, what the cap drops, and the block-size tail.
     */
-  def stats(blocks: DataFrame): Map[String, Long] = {
-    val cap = TextQueries.DegenerateBlockCap
+  def stats(blocks: DataFrame,
+      cap: Long = TextQueries.DegenerateBlockCap.toLong): Map[String, Long] = {
     // bn*(bn-1) is even, so the double division is exact (< 2^52)
     val pairsOf: Column = (col("bn") * (col("bn") - 1) / 2).cast("long")
     val r = blocks.groupBy("block").agg(count(lit(1)).as("bn"))
@@ -102,8 +114,15 @@ object BlockingDiag {
     for (d <- dirs;
          (family, blocks) <- Seq(
            "jaccard" -> jaccardBlocks(spark, d),
-           "containment" -> containmentBlocks(spark, d))) {
-      val st = stats(blocks)
+           "containment" -> containmentBlocks(spark, d)) ++
+           // embeddings replicas exist for sf0.1/sf1 but not the
+           // docs-only sf10 corpus
+           (if (new java.io.File(s"$d/embeddings.parquet").exists())
+             Seq("vec_lsh" -> vecLshBlocks(spark, d)) else Nil)) {
+      // the text operators cap degenerate blocks; vec_cosine_neardup
+      // scores every bucket pair — report its full candidate count
+      val st = stats(blocks,
+        if (family == "vec_lsh") Long.MaxValue else TextQueries.DegenerateBlockCap.toLong)
       val body = fields.map(f => s""""$f":${st(f)}""").mkString(",")
       println(s"""{"dir":"$d","family":"$family",$body}""")
     }

@@ -33,17 +33,30 @@ object RelayThroughput {
     val in = s"$root/in"
     val ev = graft.Tables.events(spark, sfDir)
     val total = ev.count()
-    // one staged file ≈ one reference source batch (4096 events)
+    // one staged file ≈ one reference source batch (4096 events), in
+    // EVENT-TIME ORDER: the reference's input is an ordered CDC range
+    // scan (SURVEY A1), so file i must hold the i-th timestamp range —
+    // a randomly repartitioned staging interleaves the whole time range
+    // into every file, and any multi-trigger run then drops ~90% of
+    // later files as below-watermark "late" data (measured at sf1:
+    // 95k of 1M events survived), understating BOTH throughput and
+    // delivery. FileStreamSource breaks modification-time ties by
+    // path, so part-00000.. preserves the range order.
     val files = math.max(1, math.ceil(total / 4096.0).toInt)
-    ev.repartition(files).write.parquet(in)
+    ev.repartitionByRange(files, org.apache.spark.sql.functions.col("ts"))
+      .sortWithinPartitions("ts").write.parquet(in)
+    graft.Stage.orderStagedFiles(in)
 
+    // per-trigger batch size knob (reference --event-count-max analog):
+    // sweepable for the throughput-vs-trigger-granularity curve
+    val mfpt = sys.env.getOrElse("SPARK_GRAFT_RELAY_MFPT", "32").toInt
     val cfg = graft.streaming.CdcRelay.RelayConfig(
-      in, s"$root/out", s"$root/chk", maxFilesPerTrigger = 32)
+      in, s"$root/out", s"$root/chk", maxFilesPerTrigger = mfpt)
     val t0 = System.nanoTime()
     graft.streaming.CdcRelay.start(spark, cfg).awaitTermination()
     val secs = (System.nanoTime() - t0) / 1e9
     val relayed = spark.read.parquet(cfg.outputDir).count()
-    println(f"""{"metric":"relay_events_per_sec","value":${relayed / secs}%.1f,"events":$relayed,"sec":$secs%.2f,"files":$files,"sf":"$sfDir"}""")
+    println(f"""{"metric":"relay_events_per_sec","value":${relayed / secs}%.1f,"events":$relayed,"sec":$secs%.2f,"files":$files,"mfpt":$mfpt,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

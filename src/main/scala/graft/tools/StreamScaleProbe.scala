@@ -29,8 +29,11 @@ object StreamScaleProbe {
     val docs = graft.Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"), col("text"))
     val n = docs.count()
-    docs.repartition(math.max(1, math.ceil(n / 1024.0).toInt))
-      .write.parquet(s"$root/docs")
+    // ordered staging, matching StreamBench (see Bench.scala relay note)
+    docs.repartitionByRange(math.max(1, math.ceil(n / 1024.0).toInt),
+        col("doc_id"))
+      .sortWithinPartitions("doc_id").write.parquet(s"$root/docs")
+    graft.Stage.orderStagedFiles(s"$root/docs")
     (s"$root/docs", spark.read.parquet(s"$root/docs").schema, n)
   }
 
@@ -98,8 +101,10 @@ object StreamScaleProbe {
     val ev = graft.Tables.events(spark, sfDir)
       .select("event_id", "ts", "user_id", "event_type", "value")
     val nEv = ev.count()
-    ev.repartition(math.max(1, math.ceil(nEv / 4096.0).toInt))
-      .write.parquet(s"$root/events")
+    ev.repartitionByRange(math.max(1, math.ceil(nEv / 4096.0).toInt),
+        col("ts"))
+      .sortWithinPartitions("ts").write.parquet(s"$root/events")
+    graft.Stage.orderStagedFiles(s"$root/events")
     val evSchema = spark.read.parquet(s"$root/events").schema
     def sessStream() = SessionizeStream.sessions(
       spark.readStream.schema(evSchema)
