@@ -25,8 +25,23 @@ import org.apache.spark.storage.StorageLevel
   * batch the smallest doc_id per hash is canonical; a NULL-text row
   * never equals any stored hash, so it is always novel (left-anti /
   * NOT EXISTS, never NOT IN), and NULL hashes stay out of the store.
+  *
+  * The store self-compacts every `compactEvery` epochs (StreamScaleProbe
+  * measured 32 part files per epoch — unbounded partition growth is the
+  * long-run listing cost at 100 TB): per-epoch partitions merge into a
+  * generation partition `batch_id = -B` covering every hash first seen
+  * before batch B. Crash safety needs no transaction because the store
+  * is a SET under left-anti probing — a generation's inputs are deleted
+  * only by a LATER batch (whose existence proves batch B committed), so
+  * the worst crash leaves duplicate hashes across a generation and its
+  * not-yet-deleted inputs, which cannot change any anti-join result.
   */
 object IncrementalDedupStream {
+
+  /** Compact once this many uncompacted per-epoch partitions accumulate;
+    * steady-state store = 1 generation + < compactEvery epoch partitions.
+    */
+  val DefaultCompactEvery = 16
 
   /** One epoch: dedup `batch` against the store below `batchId`, write
     * survivors to `outDir` and their hashes to `storeDir` (both
@@ -34,7 +49,7 @@ object IncrementalDedupStream {
     * can drive a replay directly.
     */
   def processBatch(batch: DataFrame, batchId: Long, outDir: String,
-      storeDir: String): Unit = {
+      storeDir: String, compactEvery: Int = DefaultCompactEvery): Unit = {
     val spark = batch.sparkSession
     val perHash = Window.partitionBy("content_md5")
     val hashed0 = batch
@@ -79,17 +94,68 @@ object IncrementalDedupStream {
         .partitionBy("batch_id")
         .parquet(storeDir)
     } finally survivors.unpersist(blocking = true)
+    compactStore(spark, storeDir, batchId, compactEvery)
+  }
+
+  /** Replay-safe store compaction, run at the tail of batch `batchId`.
+    *
+    * Partition algebra: base partitions `batch_id = b >= 0` hold batch
+    * b's first-seen hashes; a generation `batch_id = -B` holds the
+    * distinct union of everything first seen before batch B. Three
+    * invariants keep replays exact with zero coordination:
+    *
+    *  1. A generation written at batch B reads only `batch_id < B`
+    *     minus itself — never B's own partition — so a replayed batch B
+    *     still probes a store without its own hashes.
+    *  2. Inputs are deleted only when a generation covering them was
+    *     created by an EARLIER batch: the stream processes batch C only
+    *     after committing C-1, so `-g` with g < C is durable. Until
+    *     then the store holds duplicates, which left-anti ignores.
+    *  3. Re-running batch B's compaction dynamic-overwrites `-B` from
+    *     the same inputs (deletable only at a later batch) — idempotent.
+    */
+  private[graft] def compactStore(spark: SparkSession, storeDir: String,
+      batchId: Long, compactEvery: Int): Unit = {
+    if (compactEvery <= 0) return
+    val path = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def partIds(): Seq[Long] = Option(
+      fs.globStatus(new org.apache.hadoop.fs.Path(path, "batch_id=*")))
+      .map(_.toSeq).getOrElse(Seq.empty)
+      .flatMap(s => scala.util.Try(
+        s.getPath.getName.stripPrefix("batch_id=").toLong).toOption)
+    val parts = partIds()
+    // 1. drop partitions covered by a generation a committed batch wrote
+    val cov = parts.filter(g => g < 0 && -g < batchId).map(-_)
+      .foldLeft(0L)(math.max)
+    parts.filter(p => (p >= 0 && p < cov) || (p < 0 && -p < cov))
+      .foreach { p =>
+        fs.delete(new org.apache.hadoop.fs.Path(path, s"batch_id=$p"), true)
+      }
+    // 2. fold surviving history into a new generation when due
+    val pending = parts.count(p => p >= cov && p < batchId)
+    if (pending >= compactEvery && batchId > 0) {
+      spark.read.parquet(storeDir)
+        .filter(col("batch_id") < batchId && col("batch_id") =!= -batchId)
+        .select(col("h")).distinct()
+        .withColumn("batch_id", lit(-batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(storeDir)
+    }
   }
 
   /** Start the stream: `docs` is a streaming frame with (doc_id LONG,
     * text STRING).
     */
   def start(spark: SparkSession, docs: DataFrame, outDir: String,
-      storeDir: String, chkDir: String): StreamingQuery =
+      storeDir: String, chkDir: String,
+      compactEvery: Int = DefaultCompactEvery): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", chkDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(batch, batchId, outDir, storeDir)
+        processBatch(batch, batchId, outDir, storeDir, compactEvery)
       }
       .start()
 }
