@@ -26,6 +26,25 @@ object VectorQueries {
   private val Dim = 64
   private val Planes = 8
 
+  // Banded sign-LSH (vec_cosine_neardup_banded): BandCount independent
+  // hash tables, each drawing up to BandMaxPlanes hyperplanes from its
+  // own disjoint block of the plane pool. Plane rows 0..Planes-1 are the
+  // single-table index's — band 0 reuses the same pool prefix, so the
+  // fixed-plane oracles are untouched by the pool growing.
+  private val BandCount = 4
+  private val BandMaxPlanes = 16
+  private val BandTargetRows = 64
+
+  /** Similarity cut for the BANDED near-dup report. Production near-dup
+    * uses 0.9 (the fixed-plane operator pins that); the registered
+    * banded query cuts at 0.4 because the synthetic embeddings' max
+    * pairwise cosine is ~0.45-0.51 at the small SFs — at 0.9 the oracle
+    * could only ever certify the empty set (vec_cosine_neardup's gate
+    * row count is 0=0 for exactly that reason), while 0.4 pushes real
+    * candidate pairs through banding, scoring, and thresholding.
+    */
+  private val BandedSimThreshold = 0.4
+
   /** All vector queries read through here: registers the native
     * array_dot expression on the (possibly driver-owned, vanilla)
     * session before any column tree referencing it is analyzed.
@@ -72,7 +91,7 @@ object VectorQueries {
     */
   private[operators] lazy val planeNumerators: Array[Array[Long]] = {
     val mdig = java.security.MessageDigest.getInstance("MD5")
-    Array.tabulate(Planes, Dim) { (j, i) =>
+    Array.tabulate(BandCount * BandMaxPlanes, Dim) { (j, i) =>
       val hex = mdig.digest(s"pl$j:$i".getBytes("UTF-8"))
         .map("%02x".format(_)).mkString.substring(0, 15)
       java.lang.Long.parseLong(hex, 16) % 2001L - 1000L
@@ -301,6 +320,104 @@ object VectorQueries {
        |FROM a JOIN b ON a.bucket = b.bucket AND vec_a < vec_b
        |WHERE $cos >= 0.9
        |ORDER BY vec_a, vec_b""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // Charter dedup family, scale path: BANDED sign-LSH near-dup.
+  //
+  // The fixed-plane vec_cosine_neardup above has two scale limits the
+  // sf0.1→sf1 study measured (SCALING.md §Vector LSH): candidates grow
+  // ~N²/2^planes (quadratic at fixed planes), and a SINGLE hash table
+  // at 8 planes only surfaces ~p^8 ≈ 29% of true 0.9-cosine pairs
+  // (P[sign agree] = 1 − acos(0.9)/π ≈ 0.856 per plane). The published
+  // LSH answer fixes both at once: B independent tables (bands) OR'd
+  // together recover recall (1 − (1 − p^r)^B ≈ 75% here), and
+  // planes-per-band r grows with the corpus so each table's expected
+  // bucket stays ~BandTargetRows — candidates ~B·N·bucket, linear as
+  // long as r can keep growing. r is derived declaratively from
+  // count(*) (broadcast one-row agg — no driver collect) and clamped to
+  // [Planes, BandMaxPlanes]; the upper clamp exists because every plane
+  // is inlined in the DuckDB oracle — production raises BandMaxPlanes
+  // and the pool, nothing else. At the sf0.01 gate n=2000 → r=8, so the
+  // oracle exercises the exact banding path the fixed index uses.
+  //
+  // Shape: only (vec_id, band, bucket) rides the candidate shuffle;
+  // embeddings join back once per side AFTER pair-distinct — the same
+  // slim-staging discipline as the text near-dup family.
+  // -------------------------------------------------------------------
+
+  /** Per-band plane count: smallest r in [Planes, BandMaxPlanes] with
+    * n / 2^r ≲ BandTargetRows. The 1e-9 guard keeps ceil(log2(...))
+    * deterministic across the JVM's and DuckDB's libm when n/target
+    * lands on an exact power of two.
+    */
+  private def bandPlanes(nRows: Column): Column =
+    greatest(lit(Planes.toLong), least(lit(BandMaxPlanes.toLong),
+      ceil(log2(nRows.cast("double") / lit(BandTargetRows.toDouble))
+        - lit(1e-9))))
+
+  /** Band k's full BandMaxPlanes-bit signature; masking to the low r
+    * bits selects the band's first r hyperplanes.
+    */
+  private def bandBucketFull(k: Int): Column =
+    (0 until BandMaxPlanes).map { j =>
+      when(planeDot(k * BandMaxPlanes + j) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  private def bandBucketFullSql(k: Int): String =
+    (0 until BandMaxPlanes).map { j =>
+      s"(CASE WHEN (${planeDotSql(k * BandMaxPlanes + j)}) > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+
+  def cosineNeardupBanded(s: SparkSession, d: String): DataFrame = {
+    val e0 = embeddings(s, d)
+    val nPl = e0.agg(bandPlanes(count(lit(1))).cast("int").as("planes"))
+    val slim = e0.crossJoin(broadcast(nPl))
+      .select(col("vec_id"), posexplode(array(
+        (0 until BandCount).map(k =>
+          pmod(bandBucketFull(k),
+            call_function("shiftleft", lit(1L), col("planes")))): _*)))
+      .toDF("vec_id", "band", "bkt")
+    val cand = slim.as("x").join(slim.as("y"),
+        col("x.band") === col("y.band") && col("x.bkt") === col("y.bkt") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    val e = e0.withColumn("nrm", norm("embedding"))
+    val a = e.select(col("vec_id").as("vec_a"),
+      col("embedding").as("emb_a"), col("nrm").as("norm_a"))
+    val b = e.select(col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"), col("nrm").as("norm_b"))
+    cand.join(a, "vec_a").join(b, "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        cosinePre("emb_a", "emb_b", col("norm_a"), col("norm_b")).as("sim"))
+      .filter(col("sim") >= BandedSimThreshold)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val cosineNeardupBandedSql: String = {
+    val cos = s"round((${dotSql("a.emb_a", "b.emb_b")}) / (a.norm_a * b.norm_b), 6)"
+    val slimArms = (0 until BandCount).map { k =>
+      s"""SELECT vec_id, $k AS band,
+         |  (${bandBucketFullSql(k)}) % CAST(pow(2, p.planes) AS BIGINT) AS bkt
+         |FROM embeddings, p""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""WITH p AS (SELECT greatest($Planes, least($BandMaxPlanes,
+       |    CAST(ceil(log2(count(*) / $BandTargetRows.0) - 1e-9) AS INT))) AS planes
+       |  FROM embeddings),
+       |sl AS (
+       |  $slimArms),
+       |cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+       |  FROM sl x JOIN sl y
+       |    ON x.band = y.band AND x.bkt = y.bkt AND x.vec_id < y.vec_id),
+       |e AS (SELECT vec_id, embedding,
+       |      sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings),
+       |a AS (SELECT vec_id AS vec_a, embedding AS emb_a, nrm AS norm_a FROM e),
+       |b AS (SELECT vec_id AS vec_b, embedding AS emb_b, nrm AS norm_b FROM e)
+       |SELECT c.vec_a, c.vec_b, $cos AS sim
+       |FROM cand c JOIN a ON a.vec_a = c.vec_a JOIN b ON b.vec_b = c.vec_b
+       |WHERE $cos >= $BandedSimThreshold
+       |ORDER BY c.vec_a, c.vec_b""".stripMargin
   }
 
   // -------------------------------------------------------------------
@@ -1078,6 +1195,7 @@ object VectorQueries {
     "vec_ivf_ann" -> (ivfAnn _),
     "vec_ivf_multiprobe" -> (ivfMultiprobe _),
     "vec_cosine_neardup" -> (cosineNeardup _),
+    "vec_cosine_neardup_banded" -> (cosineNeardupBanded _),
     "vec_knn_bruteforce" -> (knnBruteForce _),
     "vec_knn_multi" -> (knnMulti _),
     "vec_hard_negatives" -> (hardNegatives _),
@@ -1100,6 +1218,7 @@ object VectorQueries {
     "vec_ivf_ann" -> ivfAnnSql,
     "vec_ivf_multiprobe" -> ivfMultiprobeSql,
     "vec_cosine_neardup" -> cosineNeardupSql,
+    "vec_cosine_neardup_banded" -> cosineNeardupBandedSql,
     "vec_knn_bruteforce" -> knnBruteForceSql,
     "vec_knn_multi" -> knnMultiSql,
     "vec_hard_negatives" -> hardNegativesSql,

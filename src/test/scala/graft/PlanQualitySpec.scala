@@ -318,6 +318,7 @@ class PlanQualitySpec extends AnyFunSuite {
       "vec_kmeans_step", "vec_kmeans_loop", // k≤16-row centroid matrix
       "vec_pq_ann", "vec_ivf_pq", // 1-row full-precision query vector
       "vec_cosine_neardup", // staged bucket relation vs itself (equi-join; listed for the AQE local fallback)
+      "vec_cosine_neardup_banded", // 1-row planes-from-count aggregate broadcast onto the scan
       "text_tfidf", "text_bigram_lm", "text_lm_score", // 1-row corpus-size aggregate
       "text_heavy_hitters", // 1-row merged count-min sketch
       "text_stopword_strip", // 1-row collected 20-term stoplist
