@@ -47,8 +47,12 @@ object GenScale {
     val copies = if (args.length > 2) args(2).toInt else 10
     // "docs" replicates only the documents table — the dedup family's
     // input — for scale decades where the full corpus would waste disk
-    // (the sf10 blocking validation needs 100× documents, nothing else)
-    val docsOnly = args.lift(3).contains("docs")
+    // (the sf10 blocking validation needs 100× documents, nothing else);
+    // "vecs" likewise replicates only embeddings (the banded-LSH
+    // candidate-growth study's fourth decade)
+    val mode = args.lift(3)
+    val docsOnly = mode.contains("docs")
+    val vecsOnly = mode.contains("vecs")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -77,7 +81,7 @@ object GenScale {
       println(s"[genscale] $name written")
     }
 
-    if (!docsOnly) {
+    if (!docsOnly && !vecsOnly) {
       val (ck, sk, pk, ok) = (
         keySpan(tbl("customer"), "c_custkey"),
         keySpan(tbl("supplier"), "s_suppkey"),
@@ -115,6 +119,7 @@ object GenScale {
         "events")
     }
 
+    if (!vecsOnly) {
     val docs = tbl("documents")
     val dk = keySpan(docs, "doc_id")
     write(replicate(docs, "doc_id" -> dk)
@@ -124,6 +129,7 @@ object GenScale {
             "THEN array(w, concat('zq', CAST(cp AS STRING), 'x', " +
             "CAST(i AS STRING))) ELSE array(w) END)")), " ")))
       .withColumn("n_chars", length(col("text")).cast("long")), "documents")
+    }
 
     if (!docsOnly) {
       val emb = tbl("embeddings")

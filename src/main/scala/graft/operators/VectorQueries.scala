@@ -369,15 +369,24 @@ object VectorQueries {
       s"(CASE WHEN (${planeDotSql(k * BandMaxPlanes + j)}) > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString(" + ")
 
-  def cosineNeardupBanded(s: SparkSession, d: String): DataFrame = {
+  /** The banded query's slim hashing relation (vec_id, band, bkt) —
+    * also the measurement surface BlockingDiag samples for the
+    * candidate-growth study (SCALING.md §Vector LSH).
+    */
+  private[graft] def bandedSlim(s: SparkSession, d: String): DataFrame = {
     val e0 = embeddings(s, d)
     val nPl = e0.agg(bandPlanes(count(lit(1))).cast("int").as("planes"))
-    val slim = e0.crossJoin(broadcast(nPl))
+    e0.crossJoin(broadcast(nPl))
       .select(col("vec_id"), posexplode(array(
         (0 until BandCount).map(k =>
           pmod(bandBucketFull(k),
             call_function("shiftleft", lit(1L), col("planes")))): _*)))
       .toDF("vec_id", "band", "bkt")
+  }
+
+  def cosineNeardupBanded(s: SparkSession, d: String): DataFrame = {
+    val e0 = embeddings(s, d)
+    val slim = bandedSlim(s, d)
     val cand = slim.as("x").join(slim.as("y"),
         col("x.band") === col("y.band") && col("x.bkt") === col("y.bkt") &&
           col("x.vec_id") < col("y.vec_id"))

@@ -80,6 +80,17 @@ object BlockingDiag {
       .select(col("vec_id").as("doc_id"),
         graft.operators.VectorQueries.bucket.cast("string").as("block"))
 
+  /** (doc_id, block) under vec_cosine_neardup_banded's key: one row per
+    * (vector, band), block = band + masked bucket with planes-per-band
+    * derived from count(*). Candidate pairs here are the banded join's
+    * output size (pre pair-distinct) — the number that must stay
+    * ~linear for the scale-path claim to hold.
+    */
+  def vecLshBandedBlocks(s: SparkSession, d: String): DataFrame =
+    graft.operators.VectorQueries.bandedSlim(s, d)
+      .select(col("vec_id").as("doc_id"),
+        concat_ws("_", col("band"), col("bkt")).as("block"))
+
   /** One stats row over a (doc_id, block) relation: candidate pairs
     * under the cap, what the cap drops, and the block-size tail.
     */
@@ -111,18 +122,26 @@ object BlockingDiag {
     spark.sparkContext.setLogLevel("WARN")
     val fields = Seq("n_docs", "n_blocks", "max_block", "cand_pairs",
       "dropped_blocks", "dropped_pairs")
+    // SPARK_GRAFT_FAMILIES=vec_lsh,vec_lsh_banded — restrict to the
+    // families under study (skips re-measuring the text keys when only
+    // a vector decade was added)
+    val familyFilter = sys.env.get("SPARK_GRAFT_FAMILIES")
+      .map(_.split(",").map(_.trim).toSet)
     for (d <- dirs;
-         (family, blocks) <- Seq(
+         (family, blocks) <- (Seq(
            "jaccard" -> jaccardBlocks(spark, d),
            "containment" -> containmentBlocks(spark, d)) ++
            // embeddings replicas exist for sf0.1/sf1 but not the
            // docs-only sf10 corpus
            (if (new java.io.File(s"$d/embeddings.parquet").exists())
-             Seq("vec_lsh" -> vecLshBlocks(spark, d)) else Nil)) {
-      // the text operators cap degenerate blocks; vec_cosine_neardup
-      // scores every bucket pair — report its full candidate count
+             Seq("vec_lsh" -> vecLshBlocks(spark, d),
+               "vec_lsh_banded" -> vecLshBandedBlocks(spark, d)) else Nil))
+           .filter(fb => familyFilter.forall(_.contains(fb._1)))) {
+      // the text operators cap degenerate blocks; the vector families
+      // score every bucket pair — report their full candidate count
       val st = stats(blocks,
-        if (family == "vec_lsh") Long.MaxValue else TextQueries.DegenerateBlockCap.toLong)
+        if (family.startsWith("vec_lsh")) Long.MaxValue
+        else TextQueries.DegenerateBlockCap.toLong)
       val body = fields.map(f => s""""$f":${st(f)}""").mkString(",")
       println(s"""{"dir":"$d","family":"$family",$body}""")
     }
