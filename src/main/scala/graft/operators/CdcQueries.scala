@@ -134,16 +134,13 @@ object CdcQueries {
   /** A2/A3 production shape: resume strictly AFTER a checkpointed
     * high-water mark passed in by the caller (the progress record),
     * reference runner.go:726-736. The filter compares the RAW stored
-    * nanosecond column, so it pushes into the parquet reader and prunes
-    * whole row groups / files via min-max stats — the returned plan
-    * contains exactly one scan of `events` and no driver-side passes.
+    * column (Tables.eventsAfterMicros handles each corpus shape), so it
+    * pushes into the parquet reader and prunes whole row groups / files
+    * via min-max stats — the returned plan contains exactly one scan of
+    * `events` and no driver-side passes.
     */
   def resumeFrom(spark: SparkSession, sfDir: String, hwmMicros: Long): DataFrame =
-    Tables.eventsRawNanos(spark, sfDir)
-      // micros > hwm  ⟺  nanos >= (hwm+1)*1000 — exact even if the
-      // corpus ever carried sub-microsecond components
-      .filter(col("ts") >= lit((hwmMicros + 1L) * 1000L))
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    Tables.eventsAfterMicros(spark, sfDir, hwmMicros)
       .select(col("event_id"), col("ts"), col("event_type"))
       .orderBy("event_id")
 

@@ -652,6 +652,48 @@ object TextQueries {
       |ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // Charter: RAG-style document chunking — split each document into
+  // overlapping token windows (width 32, stride 24 → 8-token overlap),
+  // the retrieval-granularity transform of an embedding/indexing
+  // pipeline. Chunk i covers tokens [i·S+1, i·S+W]; a doc shorter than
+  // one window yields exactly one chunk; the trailing window clamps.
+  // Pure per-row map + explode: row count inflates by ~n/S per doc
+  // (W/S ≈ 1.33× token mass), no shuffle anywhere except the
+  // determinism ORDER BY — the shape that survives 100 TB unchanged.
+  // -------------------------------------------------------------------
+  private val ChunkWidth = 32
+  private val ChunkStride = 24
+
+  def chunkOverlap(s: SparkSession, d: String): DataFrame = {
+    val (w, st) = (ChunkWidth, ChunkStride)
+    val n = size(col("t"))
+    val nChunks = when(n <= w, lit(1)).otherwise(
+      ceil((n - w).cast("double") / st).cast("int") + 1)
+    val chunk = slice(col("t"), col("i") * st + 1, lit(w))
+    documents(s, d)
+      .select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0), nChunks - 1)).as("i"))
+      .select(col("doc_id"), col("i").cast("bigint").as("chunk_id"),
+        (col("i").cast("bigint") * st + 1).as("start_tok"),
+        size(chunk).as("n_chunk_toks"),
+        array_join(chunk, " ").as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  val chunkOverlapSql: String = {
+    val (w, st) = (ChunkWidth, ChunkStride)
+    s"""SELECT doc_id, i AS chunk_id, i * $st + 1 AS start_tok,
+       |  CAST(len(list_slice(t, i * $st + 1, i * $st + $w)) AS INT) AS n_chunk_toks,
+       |  array_to_string(list_slice(t, i * $st + 1, i * $st + $w), ' ') AS chunk_text
+       |FROM (
+       |  SELECT doc_id, t, unnest(range(CASE WHEN len(t) <= $w THEN 1
+       |    ELSE CAST(ceil((len(t) - $w) / $st.0) AS INT) + 1 END)) AS i
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
+       |ORDER BY doc_id, chunk_id""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // Charter: character n-gram Jaccard near-dup — the codepoint-level
   // complement to word-shingle MinHash (robust to tokenization changes).
   // Blocking key = (length bucket, min char-4gram hash): only pairs
@@ -2489,7 +2531,142 @@ object TextQueries {
        |  round(CAST(n_pass AS DOUBLE) / n_docs, 6) AS pass_rate
        |FROM tot, dup""".stripMargin
 
+  // -------------------------------------------------------------------
+  // Charter dedup family: cross-SOURCE contamination audit — for every
+  // ordered source pair, the distinct word-3-shingle overlap (count +
+  // Jaccard + containment of the smaller-id source in the other). This
+  // is the corpus-level complement of dedup_decontaminate: instead of
+  // flagging individual documents against one eval set, it quantifies
+  // how much any two ingest feeds share, the first diagnostic run when
+  // a training mix double-counts a crawl.
+  //
+  // Scale shape: after the per-(source, shingle-hash) distinct, only
+  // 60-bit hashes shuffle — text never leaves the scan stage. The
+  // shingle-hash equi-join across sources is bounded by shared
+  // vocabulary (not documents), and the result is |sources|² rows. The
+  // zero-overlap pairs are produced by a cross join of two
+  // source-count aggregates — |sources| rows a side, broadcast.
+  // -------------------------------------------------------------------
+  def sourceOverlap(s: SparkSession, d: String): DataFrame = {
+    val g = documents(s, d)
+      .select(col("source"),
+        explode(call_function("word_shingles", col("text"), lit(3), lit(true)))
+          .as("sh"))
+      .select(col("source"), h60(col("sh")).as("h"))
+      .filter(col("h").isNotNull) // <3-token docs: no full shingle
+      .distinct()
+    graft.Stage.fanout(g) { grams =>
+      val tot = grams.groupBy("source").agg(count(lit(1)).as("n"))
+      val common = grams.as("a")
+        .join(grams.select(col("source").as("src_b"), col("h")).as("b"), "h")
+        .filter(col("source") < col("src_b"))
+        .groupBy(col("source").as("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("n_common"))
+      val pairs = broadcast(tot.select(col("source").as("src_a"), col("n").as("n_a")))
+        .crossJoin(broadcast(tot.select(col("source").as("src_b"), col("n").as("n_b"))))
+        .filter(col("src_a") < col("src_b"))
+      pairs.join(common, Seq("src_a", "src_b"), "left")
+        .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+          coalesce(col("n_common"), lit(0L)).as("n_common"))
+    }
+      .withColumn("jaccard", round(col("n_common").cast("double") /
+        (col("n_a") + col("n_b") - col("n_common")), 6))
+      .withColumn("containment", round(col("n_common").cast("double") /
+        least(col("n_a"), col("n_b")), 6))
+      .orderBy("src_a", "src_b")
+  }
+
+  val sourceOverlapSql: String =
+    s"""WITH g AS (
+       |  SELECT DISTINCT source, ${h60Sql("sh")} AS h
+       |  FROM (SELECT source, unnest(list_distinct($shinglesSql)) AS sh
+       |        FROM documents)
+       |  WHERE sh IS NOT NULL),
+       |tot AS (SELECT source, count(*) AS n FROM g GROUP BY source),
+       |common AS (
+       |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+       |  FROM g a JOIN g b ON a.h = b.h AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT ta.source AS src_a, tb.source AS src_b,
+       |  ta.n AS n_a, tb.n AS n_b,
+       |  coalesce(c.n_common, 0) AS n_common,
+       |  round(CAST(coalesce(c.n_common, 0) AS DOUBLE)
+       |    / (ta.n + tb.n - coalesce(c.n_common, 0)), 6) AS jaccard,
+       |  round(CAST(coalesce(c.n_common, 0) AS DOUBLE)
+       |    / least(ta.n, tb.n), 6) AS containment
+       |FROM tot ta JOIN tot tb ON ta.source < tb.source
+       |LEFT JOIN common c ON c.src_a = ta.source AND c.src_b = tb.source
+       |ORDER BY src_a, src_b""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Charter: Zipf-law fit over the corpus term distribution — the
+  // sanity check a data pipeline runs on a new crawl (natural text has
+  // slope ≈ −1; templated/spam corpora bend the curve). Least-squares
+  // over (ln rank, ln count) of the top-K terms, computed from EXACT
+  // decimal sums of per-term 6-digit-rounded logs (the established
+  // float-determinism discipline), with the final slope/intercept
+  // evaluated in double from those exact sums.
+  //
+  // Scale shape: one vocabulary aggregation (map-side partials), then
+  // a TakeOrdered top-K cut — NOT a full sort — and a K-row (bounded,
+  // K=256) single-partition window for exact ranks. Nothing beyond
+  // hash-agg partials depends on corpus size.
+  // -------------------------------------------------------------------
+  private val ZipfTopK = 256
+
+  def zipfFit(s: SparkSession, d: String): DataFrame = {
+    val counts = documents(s, d)
+      .select(explode(toks).as("term")).filter(col("term") =!= "")
+      .groupBy("term").agg(count(lit(1)).as("c"))
+    val top = counts.orderBy(col("c").desc, col("term")).limit(ZipfTopK)
+    val xy = top
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("c").desc, col("term"))))
+      .select(round(log(col("rk").cast("double")), 6).as("x"),
+        round(log(col("c").cast("double")), 6).as("y"))
+    val sums = xy.agg(
+      count(lit(1)).as("n_terms"),
+      sum(col("x").cast("decimal(27,6)")).cast("double").as("sx"),
+      sum(col("y").cast("decimal(27,6)")).cast("double").as("sy"),
+      sum(round(col("x") * col("x"), 10).cast("decimal(31,10)"))
+        .cast("double").as("sxx"),
+      sum(round(col("x") * col("y"), 10).cast("decimal(31,10)"))
+        .cast("double").as("sxy"))
+    val nD = col("n_terms").cast("double")
+    val slope = (nD * col("sxy") - col("sx") * col("sy")) /
+      (nD * col("sxx") - col("sx") * col("sx"))
+    sums.select(col("n_terms"), round(slope, 6).as("slope"),
+      round((col("sy") - slope * col("sx")) / nD, 6).as("intercept"))
+  }
+
+  val zipfFitSql: String =
+    s"""WITH c AS (
+       |  SELECT term, count(*) AS c FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+       |  WHERE term <> '' GROUP BY term),
+       |r AS (SELECT * FROM (
+       |    SELECT c, row_number() OVER (ORDER BY c DESC, term) AS rk FROM c)
+       |  WHERE rk <= $ZipfTopK),
+       |xy AS (SELECT round(ln(CAST(rk AS DOUBLE)), 6) AS x,
+       |              round(ln(CAST(c AS DOUBLE)), 6) AS y FROM r),
+       |sums AS (SELECT count(*) AS n_terms,
+       |  CAST(sum(CAST(x AS DECIMAL(27,6))) AS DOUBLE) AS sx,
+       |  CAST(sum(CAST(y AS DECIMAL(27,6))) AS DOUBLE) AS sy,
+       |  CAST(sum(CAST(round(x * x, 10) AS DECIMAL(31,10))) AS DOUBLE) AS sxx,
+       |  CAST(sum(CAST(round(x * y, 10) AS DECIMAL(31,10))) AS DOUBLE) AS sxy
+       |  FROM xy)
+       |SELECT n_terms,
+       |  round((CAST(n_terms AS DOUBLE) * sxy - sx * sy)
+       |    / (CAST(n_terms AS DOUBLE) * sxx - sx * sx), 6) AS slope,
+       |  round((sy - (CAST(n_terms AS DOUBLE) * sxy - sx * sy)
+       |    / (CAST(n_terms AS DOUBLE) * sxx - sx * sx) * sx)
+       |    / CAST(n_terms AS DOUBLE), 6) AS intercept
+       |FROM sums""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_source_overlap" -> (sourceOverlap _),
+    "text_zipf_fit" -> (zipfFit _),
+    "text_chunk_overlap" -> (chunkOverlap _),
     "train_dataset_card" -> (datasetCard _),
     "train_interleave" -> (trainInterleave _),
     "text_source_mix" -> (sourceMix _),
@@ -2534,6 +2711,9 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "dedup_source_overlap" -> sourceOverlapSql,
+    "text_zipf_fit" -> zipfFitSql,
+    "text_chunk_overlap" -> chunkOverlapSql,
     "train_dataset_card" -> datasetCardSql,
     "train_interleave" -> trainInterleaveSql,
     "text_source_mix" -> sourceMixSql,

@@ -430,6 +430,70 @@ object VectorQueries {
   }
 
   // -------------------------------------------------------------------
+  // Charter dedup family: SEMANTIC dedup (SemDeDup, Abbas et al. 2023,
+  // arXiv:2303.09540) — cluster embeddings with a coarse quantizer,
+  // then prune any vector whose cosine to an EARLIER (lower vec_id)
+  // member of its own cluster exceeds the threshold. Unlike the LSH
+  // near-dup queries (which target ~0.9+ copies), semantic dedup
+  // removes *meaning-level* redundancy at a lower threshold, and the
+  // keep-earliest rule needs no connected components: a vector is kept
+  // iff no kept-or-dropped earlier cluster-mate is within the
+  // threshold, which is exactly "max cosine to ANY earlier mate ≤ θ"
+  // (SemDeDup keeps one representative per ε-ball; earliest-id is the
+  // deterministic choice).
+  //
+  // Scale shape: cluster assignment is the SAME broadcast-×-centroids
+  // + ranking pass as IVF (ivfAssigned — AQE reuses the exchange), and
+  // the pairwise stage is confined within clusters. In production k
+  // grows ∝ corpus (SemDeDup uses k ≈ N/̄b for a target ball size b̄),
+  // so per-cluster membership — and therefore candidates per vector —
+  // stays constant as N grows; here k = IvfSeeds stands in, as for the
+  // IVF index. Only (vec_id, list_id, nrm, embedding) rows enter the
+  // self-join; no payload wider than the vector itself shuffles.
+  // -------------------------------------------------------------------
+  private val SemanticDupThreshold = BandedSimThreshold // see note at defn
+
+  def semanticDedup(s: SparkSession, d: String): DataFrame = {
+    val a = ivfAssigned(s, d)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("list_id"))
+    val x = a.select(col("list_id"), col("vec_id"),
+      col("embedding"), col("nrm"))
+    val y = a.select(col("list_id").as("list_y"), col("vec_id").as("vec_y"),
+      col("embedding").as("emb_y"), col("nrm").as("nrm_y"))
+    val prior = x.join(y,
+        col("list_id") === col("list_y") && col("vec_y") < col("vec_id"))
+      .select(col("vec_id"),
+        cosinePre("embedding", "emb_y", col("nrm"), col("nrm_y")).as("sim"))
+      .groupBy("vec_id").agg(max(col("sim")).as("max_prior_sim"))
+    a.select(col("vec_id"), col("list_id"))
+      .join(prior, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("list_id"),
+        coalesce(col("max_prior_sim"), lit(-1.0)).as("max_prior_sim"),
+        (coalesce(col("max_prior_sim"), lit(-1.0)) <= SemanticDupThreshold)
+          .as("keep"))
+      .orderBy("vec_id")
+  }
+
+  // lazy: references ivfAssignedSql, declared further down the file —
+  // an eager val here would capture null during object initialization
+  lazy val semanticDedupSql: String = {
+    val cos = s"round((${dotSql("x.embedding", "y.emb_y")}) / (x.nrm * y.nrm_y), 6)"
+    s"""WITH assigned AS ($ivfAssignedSql),
+       |x AS (SELECT list_id, vec_id, embedding, nrm FROM assigned),
+       |y AS (SELECT list_id AS list_y, vec_id AS vec_y,
+       |      embedding AS emb_y, nrm AS nrm_y FROM assigned),
+       |prior AS (
+       |  SELECT x.vec_id, max($cos) AS max_prior_sim
+       |  FROM x JOIN y ON x.list_id = y.list_y AND y.vec_y < x.vec_id
+       |  GROUP BY x.vec_id)
+       |SELECT a.vec_id, a.list_id,
+       |  coalesce(p.max_prior_sim, -1.0) AS max_prior_sim,
+       |  coalesce(p.max_prior_sim, -1.0) <= $SemanticDupThreshold AS keep
+       |FROM assigned a LEFT JOIN prior p ON a.vec_id = p.vec_id
+       |ORDER BY a.vec_id""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // B29e: IVF (inverted-file) ANN — the other scale path besides LSH.
   // Coarse quantizer: the 16 seed vectors (vec_id < 16) stand in for
   // k-means centroids (training is out of scope; the plumbing is the
@@ -1205,6 +1269,7 @@ object VectorQueries {
     "vec_ivf_multiprobe" -> (ivfMultiprobe _),
     "vec_cosine_neardup" -> (cosineNeardup _),
     "vec_cosine_neardup_banded" -> (cosineNeardupBanded _),
+    "vec_semantic_dedup" -> (semanticDedup _),
     "vec_knn_bruteforce" -> (knnBruteForce _),
     "vec_knn_multi" -> (knnMulti _),
     "vec_hard_negatives" -> (hardNegatives _),
@@ -1228,6 +1293,7 @@ object VectorQueries {
     "vec_ivf_multiprobe" -> ivfMultiprobeSql,
     "vec_cosine_neardup" -> cosineNeardupSql,
     "vec_cosine_neardup_banded" -> cosineNeardupBandedSql,
+    "vec_semantic_dedup" -> semanticDedupSql,
     "vec_knn_bruteforce" -> knnBruteForceSql,
     "vec_knn_multi" -> knnMultiSql,
     "vec_hard_negatives" -> hardNegativesSql,

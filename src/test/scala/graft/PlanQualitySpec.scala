@@ -312,6 +312,7 @@ class PlanQualitySpec extends AnyFunSuite {
       "vec_knn_bruteforce", "vec_knn_multi", "vec_hard_negatives", // 1-10 query vectors
       "vec_knn_eval", // 20-row probe set
       "vec_ivf_lists", "vec_ivf_ann", "vec_ivf_multiprobe", // 16-row centroid set
+      "vec_semantic_dedup", // same 16-row centroid assignment as the IVF queries
       "vec_ann_recall", // 1-row exact-vs-ann count pair
       "vec_recall_curve", // ≤10-row ranked legs x 3-row k grid
       "vec_kmeans_step", "vec_kmeans_loop", // k≤16-row centroid matrix
