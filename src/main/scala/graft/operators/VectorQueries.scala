@@ -45,6 +45,14 @@ object VectorQueries {
     */
   private val BandedSimThreshold = 0.4
 
+  /** IVF coarse-quantizer seed count — declared HERE (not at its use
+    * site further down) because the eager SQL-string vals in between
+    * interpolate it: a val referenced before its declaration line
+    * during object init reads as 0 and silently bakes `greatest(0, …)`
+    * into an oracle.
+    */
+  private val IvfSeeds = 16
+
   /** All vector queries read through here: registers the native
     * array_dot expression on the (possibly driver-owned, vanilla)
     * session before any column tree referencing it is analyzed.
@@ -442,20 +450,62 @@ object VectorQueries {
   // (SemDeDup keeps one representative per ε-ball; earliest-id is the
   // deterministic choice).
   //
-  // Scale shape: cluster assignment is the SAME broadcast-×-centroids
-  // + ranking pass as IVF (ivfAssigned — AQE reuses the exchange), and
-  // the pairwise stage is confined within clusters. In production k
-  // grows ∝ corpus (SemDeDup uses k ≈ N/̄b for a target ball size b̄),
-  // so per-cluster membership — and therefore candidates per vector —
-  // stays constant as N grows; here k = IvfSeeds stands in, as for the
-  // IVF index. Only (vec_id, list_id, nrm, embedding) rows enter the
-  // self-join; no payload wider than the vector itself shuffles.
+  // Scale shape: cluster assignment is the same broadcast-×-centroids
+  // + ranking pass as IVF, but — unlike the fixed-16-list IVF index —
+  // the cluster count k here is DERIVED FROM count(*) declaratively
+  // (k = clamp(16..4096, ⌈N / 64⌉), the planes-from-count discipline of
+  // vec_cosine_neardup_banded): SemDeDup picks k ≈ N/b̄ for a target
+  // ball size b̄ precisely because at fixed k the within-cluster
+  // self-join is N²/k — quadratic. With k ∝ N, expected membership
+  // stays ~SemanticBallSize and candidates ≈ b̄·N/2 — linear (measured
+  // across decades in SCALING.md via BlockingDiag's `vec_semantic`
+  // family). The first-k vectors stand in for trained centroids (the
+  // production path trains them with KMeans.run and raises the 4096
+  // broadcast cap ∝ corpus); the k-row centroid set is ≤4096×64
+  // doubles ≈ 2 MB broadcast. Only (vec_id, list_id, nrm, embedding)
+  // rows enter the self-join; no payload wider than the vector itself
+  // shuffles.
   // -------------------------------------------------------------------
   private val SemanticDupThreshold = BandedSimThreshold // see note at defn
+  private val SemanticBallSize = 64
+  private val SemanticMaxSeeds = 4096
+
+  /** (vec_id, embedding, nrm, list_id) under the scale-adaptive coarse
+    * quantizer: seeds = first k vectors, k from count(*). At the
+    * sf0.01 gate (500 vectors) the lower clamp gives k = 16 — the IVF
+    * assignment exactly.
+    */
+  private[graft] def semanticAssigned(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d).withColumn("nrm", norm("embedding"))
+    val kDf = e.agg(least(lit(SemanticMaxSeeds), greatest(lit(IvfSeeds),
+      ceil(count(lit(1)).cast("double") / SemanticBallSize).cast("int")))
+      .as("k"))
+    val cents = e.select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
+      .crossJoin(broadcast(kDf)).filter(col("cid") < col("k")).drop("k")
+    val scored = e.crossJoin(broadcast(cents))
+      .withColumn("d", round(dot("embedding", "c_emb"), 6))
+    val w = Window.partitionBy("vec_id").orderBy(col("d").desc, col("cid"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("cid").as("list_id"))
+  }
+
+  private val semanticAssignedSql: String =
+    s"""SELECT vec_id, embedding, nrm, list_id FROM (
+       |  SELECT e.vec_id, e.embedding,
+       |    sqrt(${dotSql("e.embedding", "e.embedding")}) AS nrm,
+       |    c.cid AS list_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY round(${dotSql("e.embedding", "c.c_emb")}, 6) DESC, c.cid) AS rn
+       |  FROM embeddings e,
+       |    (SELECT vec_id AS cid, embedding AS c_emb FROM embeddings,
+       |       (SELECT least($SemanticMaxSeeds, greatest($IvfSeeds,
+       |          CAST(ceil(count(*) / $SemanticBallSize.0) AS INT))) AS k
+       |        FROM embeddings) kk
+       |     WHERE vec_id < kk.k) c) WHERE rn = 1""".stripMargin
 
   def semanticDedup(s: SparkSession, d: String): DataFrame = {
-    val a = ivfAssigned(s, d)
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("list_id"))
+    val a = semanticAssigned(s, d)
     val x = a.select(col("list_id"), col("vec_id"),
       col("embedding"), col("nrm"))
     val y = a.select(col("list_id").as("list_y"), col("vec_id").as("vec_y"),
@@ -474,11 +524,9 @@ object VectorQueries {
       .orderBy("vec_id")
   }
 
-  // lazy: references ivfAssignedSql, declared further down the file —
-  // an eager val here would capture null during object initialization
-  lazy val semanticDedupSql: String = {
+  val semanticDedupSql: String = {
     val cos = s"round((${dotSql("x.embedding", "y.emb_y")}) / (x.nrm * y.nrm_y), 6)"
-    s"""WITH assigned AS ($ivfAssignedSql),
+    s"""WITH assigned AS ($semanticAssignedSql),
        |x AS (SELECT list_id, vec_id, embedding, nrm FROM assigned),
        |y AS (SELECT list_id AS list_y, vec_id AS vec_y,
        |      embedding AS emb_y, nrm AS nrm_y FROM assigned),
@@ -501,9 +549,9 @@ object VectorQueries {
   // (rounded dot DESC, cid ASC) ranking. In production the trained
   // centroids are broadcast (16 rows here, broadcast too) so the
   // assignment pass is map-side except the ranking shuffle; search then
-  // touches ~N/16 rows — the query's list only.
+  // touches ~N/16 rows — the query's list only. (IvfSeeds is declared
+  // at the top of the object — see the init-order note there.)
   // -------------------------------------------------------------------
-  private val IvfSeeds = 16
 
   /** (vec_id, label, embedding, nrm, list_id) via seed-centroid argmax. */
   private def ivfAssigned(s: SparkSession, d: String) = {

@@ -91,6 +91,16 @@ object BlockingDiag {
       .select(col("vec_id").as("doc_id"),
         concat_ws("_", col("band"), col("bkt")).as("block"))
 
+  /** (doc_id, block) under vec_semantic_dedup's key: the scale-adaptive
+    * coarse-quantizer cluster (k = clamp(16..4096, ⌈N/64⌉) from
+    * count(*)). Candidate pairs = the within-cluster self-join size;
+    * with k ∝ N expected membership is ~64, so pairs must stay ~linear
+    * — the claim this family measures.
+    */
+  def vecSemanticBlocks(s: SparkSession, d: String): DataFrame =
+    graft.operators.VectorQueries.semanticAssigned(s, d)
+      .select(col("vec_id").as("doc_id"), col("list_id").cast("string").as("block"))
+
   /** One stats row over a (doc_id, block) relation: candidate pairs
     * under the cap, what the cap drops, and the block-size tail.
     */
@@ -135,12 +145,13 @@ object BlockingDiag {
            // docs-only sf10 corpus
            (if (new java.io.File(s"$d/embeddings.parquet").exists())
              Seq("vec_lsh" -> vecLshBlocks(spark, d),
-               "vec_lsh_banded" -> vecLshBandedBlocks(spark, d)) else Nil))
+               "vec_lsh_banded" -> vecLshBandedBlocks(spark, d),
+               "vec_semantic" -> vecSemanticBlocks(spark, d)) else Nil))
            .filter(fb => familyFilter.forall(_.contains(fb._1)))) {
       // the text operators cap degenerate blocks; the vector families
       // score every bucket pair — report their full candidate count
       val st = stats(blocks,
-        if (family.startsWith("vec_lsh")) Long.MaxValue
+        if (family.startsWith("vec")) Long.MaxValue
         else TextQueries.DegenerateBlockCap.toLong)
       val body = fields.map(f => s""""$f":${st(f)}""").mkString(",")
       println(s"""{"dir":"$d","family":"$family",$body}""")

@@ -1,0 +1,161 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Edge semantics of the round-10 additions, pinned at the result level
+  * on purpose-built corpora (the sf0.01 DuckDB gate certifies the bulk
+  * values; these are the boundary cases a bulk corpus may never hit):
+  *
+  *   - text_chunk_overlap: window/stride arithmetic at the boundaries —
+  *     short doc, exact-fit doc, trailing clamp, overlap width;
+  *   - text_zipf_fit: a synthetic corpus with EXACT Zipf counts fits
+  *     slope ≈ −1;
+  *   - dedup_source_overlap: pair completeness incl. zero-overlap
+  *     pairs, containment vs jaccard bounds, sub-shingle-length docs;
+  *   - vec_semantic_dedup: keep-earliest rule, threshold edge, and the
+  *     scale-adaptive cluster count actually growing past the IVF 16
+  *     when the corpus demands it.
+  */
+class NewOpsSemanticsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  private def tmp(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix).toString
+    sys.addShutdownHook(Stage.deleteRecursively(new java.io.File(dir)))
+    dir
+  }
+
+  private def writeDocs(rows: Seq[(Long, String, String)]): String = {
+    val dir = tmp("newops")
+    import spark.implicits._
+    rows.toDF("doc_id", "source", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  // ---- text_chunk_overlap -------------------------------------------
+
+  private def chunks(dir: String, docId: Long): Seq[(Long, Long, Int, String)] =
+    SparkEntry.queries("text_chunk_overlap")(spark, dir)
+      .filter(col("doc_id") === docId)
+      .select("chunk_id", "start_tok", "n_chunk_toks", "chunk_text")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getString(3))).toSeq
+
+  test("chunking: doc shorter than one window yields exactly one full-doc chunk") {
+    val dir = writeDocs(Seq((1L, "s", (1 to 5).map(i => s"t$i").mkString(" "))))
+    assert(chunks(dir, 1L) === Seq((0L, 1L, 5, "t1 t2 t3 t4 t5")))
+  }
+
+  test("chunking: exact one-window doc (32 tokens) yields one chunk, not two") {
+    val dir = writeDocs(Seq((1L, "s", (1 to 32).map(i => s"t$i").mkString(" "))))
+    val c = chunks(dir, 1L)
+    assert(c.map(x => (x._1, x._2, x._3)) === Seq((0L, 1L, 32)))
+  }
+
+  test("chunking: 33 tokens spills into a clamped second chunk with 8-token overlap") {
+    val toks = (1 to 33).map(i => s"t$i")
+    val dir = writeDocs(Seq((1L, "s", toks.mkString(" "))))
+    val c = chunks(dir, 1L)
+    // ceil((33-32)/24)+1 = 2 chunks; second starts at token 25, carries
+    // the remaining 9 tokens (t25..t33) — 8 of them shared with chunk 0
+    assert(c.map(x => (x._1, x._2, x._3)) === Seq((0L, 1L, 32), (1L, 25L, 9)))
+    assert(c(1)._4 === (25 to 33).map(i => s"t$i").mkString(" "))
+    val overlap = c(0)._4.split(" ").toSet intersect c(1)._4.split(" ").toSet
+    assert(overlap.size === 8)
+  }
+
+  test("chunking: every token position is covered and strides are uniform") {
+    val n = 100
+    val dir = writeDocs(Seq((1L, "s", (1 to n).map(i => s"t$i").mkString(" "))))
+    val c = chunks(dir, 1L)
+    assert(c.size === 4) // ceil((100-32)/24)+1
+    assert(c.map(_._2) === Seq(1L, 25L, 49L, 73L))
+    val covered = c.flatMap(x => x._2 until (x._2 + x._3)).toSet
+    assert(covered === (1L to n.toLong).toSet)
+  }
+
+  // ---- text_zipf_fit ------------------------------------------------
+
+  test("zipf fit recovers slope -1 on an exactly Zipfian corpus") {
+    // term k appears floor(1200/k) times => ln(count) = ln(1200) - ln(rank)
+    val words = (1 to 300).flatMap(k => Seq.fill(1200 / k)(s"w%03d".format(k)))
+    val dir = writeDocs(words.grouped(40).zipWithIndex.map {
+      case (g, i) => (i.toLong, "s", g.mkString(" "))
+    }.toSeq)
+    val r = SparkEntry.queries("text_zipf_fit")(spark, dir).head()
+    val (n, slope) = (r.getAs[Long]("n_terms"), r.getAs[Double]("slope"))
+    assert(n === 256) // top-K cut of the 300-term vocabulary
+    // floor() quantization keeps this within a few percent of -1
+    assert(math.abs(slope - (-1.0)) < 0.05, s"slope=$slope")
+  }
+
+  // ---- dedup_source_overlap -----------------------------------------
+
+  test("source overlap: complete pair grid, zero-overlap rows, bounds") {
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val dir = writeDocs(Seq(
+      (1L, "a", shared),
+      (2L, "b", shared + " eta theta"),
+      (3L, "c", "one two three four five six"), // disjoint from a, b
+      (4L, "d", "xy")))                         // < 3 tokens: no shingle
+    val rows = SparkEntry.queries("dedup_source_overlap")(spark, dir)
+      .collect().map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b"),
+        r.getAs[Long]("n_a"), r.getAs[Long]("n_b"), r.getAs[Long]("n_common"),
+        r.getAs[Double]("jaccard"), r.getAs[Double]("containment")))
+    // source d contributes no shingles, so the grid is over {a,b,c}
+    assert(rows.map(t => (t._1, t._2)).toSeq ===
+      Seq(("a", "b"), ("a", "c"), ("b", "c")))
+    val ab = rows.find(t => (t._1, t._2) == ("a", "b")).get
+    // a's 4 shingles are all contained in b's 6
+    assert((ab._3, ab._4, ab._5) === (4L, 6L, 4L))
+    assert(ab._7 === 1.0) // containment of the smaller source
+    assert(ab._6 === math.rint(4.0 / 6.0 * 1e6) / 1e6)
+    val ac = rows.find(t => (t._1, t._2) == ("a", "c")).get
+    assert(ac._5 === 0L && ac._6 === 0.0 && ac._7 === 0.0)
+  }
+
+  // ---- vec_semantic_dedup -------------------------------------------
+
+  private val Dim = 64
+
+  /** Unit basis-ish vectors: axis a with a tiny deterministic nudge so
+    * cosine(same-axis pair) ≈ 1 and cosine(cross-axis) ≈ 0.
+    */
+  private def writeVecs(n: Int, axes: Int => Int): String = {
+    val dir = tmp("semvec")
+    import spark.implicits._
+    (0 until n).map { i =>
+      val a = axes(i) % Dim
+      (i.toLong, Array.tabulate(Dim)(j => if (j == a) 1.0f else 0.0f), a)
+    }.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("semantic dedup: keep-earliest within a cluster, keep across clusters") {
+    // 20 vectors on 5 axes, 4 per axis: identical same-axis vectors are
+    // cosine-1 duplicates; the earliest id per axis must be the only
+    // keeper of its group
+    val dir = writeVecs(20, i => i % 5)
+    val rows = SparkEntry.queries("vec_semantic_dedup")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Boolean]("keep"),
+        r.getAs[Double]("max_prior_sim"))).toSeq
+    assert(rows.size === 20)
+    rows.foreach { case (id, keep, prior) =>
+      if (id < 5) assert(keep && prior <= 0.4, s"first-of-axis $id")
+      else assert(!keep && prior === 1.0, s"later duplicate $id")
+    }
+  }
+
+  test("semantic dedup: cluster count scales past the fixed IVF 16") {
+    // 1200 vectors => k = ceil(1200/64) = 19 > 16; spreading them over
+    // 19+ axes keeps assignments non-degenerate
+    val dir = writeVecs(1200, i => i % 24)
+    val lists = SparkEntry.queries("vec_semantic_dedup")(spark, dir)
+      .select(countDistinct("list_id")).head().getLong(0)
+    assert(lists > 16L, s"expected adaptive k>16 clusters, got $lists")
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards against the Scala object-initialization-order bug class that
+  * bit vec_semantic_dedup twice in one day: an eager SQL-string val
+  * that interpolates a val declared LATER in the same object silently
+  * bakes in `null` (String) or `0` (numeric) — the oracle then either
+  * fails to parse or, worse, parses into different semantics
+  * (`greatest(0, …)` quietly changed the cluster count). The DuckDB
+  * gate catches the value drift one round later; this spec catches the
+  * interpolation artifact at build time.
+  */
+class OracleHygieneSpec extends AnyFunSuite {
+
+  test("no oracle SQL carries a null-String interpolation") {
+    // legitimate lowercase nulls are always quoted JSON literals
+    // ('null'); a bare token can only come from interpolating an
+    // uninitialized String val
+    val bare = "(?<!')\\bnull\\b".r
+    val bad = SparkEntry.oracleSql.collect {
+      case (name, sql) if bare.findFirstIn(sql).isDefined =>
+        val m = bare.findFirstMatchIn(sql).get
+        s"$name: …${sql.slice(math.max(0, m.start - 40), m.end + 10).replace('\n', ' ')}…"
+    }
+    assert(bad.isEmpty, bad.mkString("; "))
+  }
+
+  test("no oracle SQL carries an uninitialized-zero clamp") {
+    // greatest(0, …) / least(0, …) in this codebase only ever appear
+    // when a numeric constant interpolated as its pre-init default; a
+    // future legitimate zero clamp should write the intent differently
+    // (e.g. a named CASE) or amend this list
+    val zero = "(?i)(greatest|least)\\(0[,)]".r
+    val bad = SparkEntry.oracleSql.collect {
+      case (name, sql) if zero.findFirstIn(sql).isDefined => name
+    }
+    assert(bad.isEmpty, bad.mkString("; "))
+  }
+
+  test("every registered query has either an oracle or a documented gap") {
+    // queries without oracleSql get a weaker rows-only driver check;
+    // keep that set explicit so an accidentally-dropped oracle is loud
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(noOracle.isEmpty,
+      s"queries missing an oracle entry: ${noOracle.toSeq.sorted.mkString(", ")}")
+  }
+}
