@@ -101,6 +101,36 @@ object BlockingDiag {
     graft.operators.VectorQueries.semanticAssigned(s, d)
       .select(col("vec_id").as("doc_id"), col("list_id").cast("string").as("block"))
 
+  /** Semantic-dedup recall at a decade: of all TRUE ≥θ-cosine pairs
+    * (exact N² brute force — diagnostic only, run at decades where
+    * N² dots are tractable locally), the fraction whose two vectors
+    * land in the same coarse cluster. This is the quality cost of
+    * confining the ε-ball search within clusters; SemDeDup accepts it
+    * by construction, we MEASURE it per decade so the trade is a
+    * number, not a hope. Enabled via SPARK_GRAFT_SEMANTIC_RECALL=1.
+    */
+  def semanticRecall(s: SparkSession, d: String, theta: Double): Map[String, Long] = {
+    import graft.operators.VectorQueries.{embeddings, semanticAssigned}
+    val a = semanticAssigned(s, d)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("list_id"))
+    val x = a.select(col("vec_id"), col("embedding"), col("nrm"), col("list_id"))
+    val y = a.select(col("vec_id").as("vec_y"), col("embedding").as("emb_y"),
+      col("nrm").as("nrm_y"), col("list_id").as("list_y"))
+    // deliberate cartesian (repartitioned for parallelism): ground truth
+    val pairs = x.repartition(32).crossJoin(y)
+      .filter(col("vec_y") < col("vec_id"))
+      .withColumn("sim",
+        call_function("array_dot", col("embedding"), col("emb_y"))
+          / (col("nrm") * col("nrm_y")))
+      .filter(col("sim") >= theta)
+    val r = pairs.agg(
+      count(lit(1)).as("true_pairs"),
+      sum(when(col("list_id") === col("list_y"), 1L).otherwise(0L))
+        .as("same_cluster_pairs")).head()
+    Map("true_pairs" -> r.getAs[Number](0).longValue(),
+      "same_cluster_pairs" -> Option(r.get(1)).map(_.asInstanceOf[Number].longValue()).getOrElse(0L))
+  }
+
   /** One stats row over a (doc_id, block) relation: candidate pairs
     * under the cap, what the cap drops, and the block-size tail.
     */
@@ -137,17 +167,20 @@ object BlockingDiag {
     // a vector decade was added)
     val familyFilter = sys.env.get("SPARK_GRAFT_FAMILIES")
       .map(_.split(",").map(_.trim).toSet)
+    // thunks, not DataFrames: reading a table at construction would
+    // fail on partial corpora (docs-only sf10, vecs-only decades)
     for (d <- dirs;
-         (family, blocks) <- (Seq(
-           "jaccard" -> jaccardBlocks(spark, d),
-           "containment" -> containmentBlocks(spark, d)) ++
-           // embeddings replicas exist for sf0.1/sf1 but not the
-           // docs-only sf10 corpus
+         (family, mk) <- (
+           // text families need documents; vec families need embeddings
+           (if (new java.io.File(s"$d/documents.parquet").exists())
+             Seq("jaccard" -> (() => jaccardBlocks(spark, d)),
+               "containment" -> (() => containmentBlocks(spark, d))) else Nil) ++
            (if (new java.io.File(s"$d/embeddings.parquet").exists())
-             Seq("vec_lsh" -> vecLshBlocks(spark, d),
-               "vec_lsh_banded" -> vecLshBandedBlocks(spark, d),
-               "vec_semantic" -> vecSemanticBlocks(spark, d)) else Nil))
+             Seq("vec_lsh" -> (() => vecLshBlocks(spark, d)),
+               "vec_lsh_banded" -> (() => vecLshBandedBlocks(spark, d)),
+               "vec_semantic" -> (() => vecSemanticBlocks(spark, d))) else Nil))
            .filter(fb => familyFilter.forall(_.contains(fb._1)))) {
+      val blocks = mk()
       // the text operators cap degenerate blocks; the vector families
       // score every bucket pair — report their full candidate count
       val st = stats(blocks,
@@ -156,6 +189,24 @@ object BlockingDiag {
       val body = fields.map(f => s""""$f":${st(f)}""").mkString(",")
       println(s"""{"dir":"$d","family":"$family",$body}""")
     }
+    if (sys.env.get("SPARK_GRAFT_SEMANTIC_RECALL").contains("1"))
+      for (d <- dirs if new java.io.File(s"$d/embeddings.parquet").exists()) {
+        val n = spark.read.parquet(s"$d/embeddings.parquet").count()
+        if (n > 30000)
+          // ground truth is an N² brute force — a diagnostic, not an
+          // operator; past ~30k vectors it stops being a quick local
+          // check, and recall is a per-decade property already
+          // measured at the smaller decades
+          println(s"""{"dir":"$d","family":"vec_semantic_recall","skipped":"n=$n > 30000"}""")
+        else
+          // 0.4 = the operator's gate threshold (BandedSimThreshold
+          // note); 0.9 = the production near-identical pruning regime
+          for (theta <- Seq(0.4, 0.9)) {
+            val r = semanticRecall(spark, d, theta)
+            println(s"""{"dir":"$d","family":"vec_semantic_recall","theta":$theta,""" +
+              s""""true_pairs":${r("true_pairs")},"same_cluster_pairs":${r("same_cluster_pairs")}}""")
+          }
+      }
     spark.stop()
   }
 }
