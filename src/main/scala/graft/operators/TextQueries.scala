@@ -2663,7 +2663,220 @@ object TextQueries {
        |    / CAST(n_terms AS DOUBLE), 6) AS intercept
        |FROM sums""".stripMargin
 
+  // -------------------------------------------------------------------
+  // Charter: cross-document SUBSTRING dedup (the token-window analog of
+  // "exact substring" training-data dedup) — hash every 20-token window
+  // at stride 10 and report, per document, how many of its windows also
+  // occur verbatim in some OTHER document. This catches copied passages
+  // that sit inside otherwise-distinct documents, which whole-doc
+  // hashing (dedup_exact_text) and shingle-Jaccard scoring both dilute.
+  //
+  // Scale shape: the corpus explodes to ~n_tokens/stride slim
+  // (doc_id, 128-bit hash) rows; the shared-window flag is ONE window
+  // aggregation over the hash (min!=max doc_id over the hash partition
+  // — no self-join, no distinct-count shuffle), then one doc_id
+  // aggregation. Two slim hash-keyed exchanges total, payloads never
+  // carry text. Docs shorter than one window surface with n_windows=0
+  // via the left join rather than vanishing.
+  // -------------------------------------------------------------------
+  private val SubstrWindow = 20
+  private val SubstrStride = 10
+
+  def substringDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val wins = docs.select(col("doc_id"), toks.as("t"))
+      .filter(size(col("t")) >= SubstrWindow)
+      .select(col("doc_id"), explode(sequence(lit(0),
+        size(col("t")) - SubstrWindow, lit(SubstrStride))).as("p"),
+        col("t"))
+      .select(col("doc_id"),
+        md5(array_join(slice(col("t"), col("p") + 1, lit(SubstrWindow)), " "))
+          .as("wh"))
+    val wWh = Window.partitionBy("wh")
+    val flagged = wins.withColumn("isdup",
+      (min(col("doc_id")).over(wWh) =!= max(col("doc_id")).over(wWh))
+        .cast("long"))
+    val per = flagged.groupBy("doc_id").agg(
+      count(lit(1)).as("nw"), sum(col("isdup")).as("dw"))
+    docs.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("nw"), lit(0L)).as("n_windows"),
+        coalesce(col("dw"), lit(0L)).as("dup_windows"),
+        round(coalesce(col("dw"), lit(0L)).cast("double") /
+          greatest(coalesce(col("nw"), lit(0L)), lit(1L)), 6).as("dup_ratio"))
+      .orderBy("doc_id")
+  }
+
+  val substringDedupSql: String = {
+    val (w, st) = (SubstrWindow, SubstrStride)
+    s"""WITH toksr AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |wins AS (
+       |  SELECT doc_id, md5(array_to_string(t[p+1:p+$w], ' ')) AS wh
+       |  FROM toksr, unnest(range(0, greatest(len(t)-$w+1, 0), $st)) AS u(p)),
+       |flagged AS (
+       |  SELECT doc_id, CASE WHEN min(doc_id) OVER (PARTITION BY wh)
+       |    <> max(doc_id) OVER (PARTITION BY wh) THEN 1 ELSE 0 END AS isdup
+       |  FROM wins),
+       |per AS (SELECT doc_id, count(*) AS nw, sum(isdup) AS dw
+       |  FROM flagged GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(p.nw, 0) AS BIGINT) AS n_windows,
+       |  CAST(coalesce(p.dw, 0) AS BIGINT) AS dup_windows,
+       |  round(CAST(coalesce(p.dw, 0) AS DOUBLE)
+       |    / greatest(coalesce(p.nw, 0), 1), 6) AS dup_ratio
+       |FROM documents d LEFT JOIN per p USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // Charter: temperature-scaled source sampling (the multilingual-
+  // training mixing rule: w_i ∝ p_i^α) — per source, the natural token
+  // share p and the sampling weights at α=0.5 and α=0.25, plus the
+  // per-10k-sample draw count at α=0.5. α is restricted to {0.5, 0.25}
+  // so the power is sqrt / sqrt∘sqrt — IEEE-exact and bit-identical
+  // across engines, where a general pow() differs in the last ulp
+  // between Java and C. The α-powered shares are then fixed to integer
+  // 1e-9 units so their normalizing sums are exact BIGINTs — order-
+  // independent at any parallelism.
+  //
+  // Scale shape: one corpus scan → per-source partial counts (map-side
+  // combine, |sources| rows out), then arithmetic over the tiny source
+  // relation with two broadcast single-row totals. Nothing else moves.
+  // -------------------------------------------------------------------
+  def samplingTemperature(s: SparkSession, d: String): DataFrame = {
+    val src = documents(s, d).groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(toks)).cast("bigint").as("n_tokens"))
+    val tot = src.agg(sum(col("n_tokens")).as("tt"))
+    val base = src.crossJoin(broadcast(tot))
+      .withColumn("p", col("n_tokens").cast("double") / col("tt"))
+      .withColumn("f50", round(sqrt(col("p")) * lit(1e9), 0).cast("bigint"))
+      .withColumn("f25",
+        round(sqrt(sqrt(col("p"))) * lit(1e9), 0).cast("bigint"))
+    val sums = base.agg(sum(col("f50")).as("s50"), sum(col("f25")).as("s25"))
+    base.crossJoin(broadcast(sums))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("p"), 6).as("p_natural"),
+        round(col("f50").cast("double") / col("s50"), 6).as("w_alpha50"),
+        round(col("f25").cast("double") / col("s25"), 6).as("w_alpha25"),
+        round(col("f50").cast("double") / col("s50") * lit(1e4), 0)
+          .cast("bigint").as("docs_per_10k_a50"))
+      .orderBy("source")
+  }
+
+  val samplingTemperatureSql: String =
+    """WITH src AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source),
+      |tot AS (SELECT sum(n_tokens) AS tt FROM src),
+      |base AS (
+      |  SELECT source, n_docs, n_tokens,
+      |    CAST(n_tokens AS DOUBLE) / tt AS p,
+      |    CAST(round(sqrt(CAST(n_tokens AS DOUBLE) / tt) * 1e9, 0)
+      |      AS BIGINT) AS f50,
+      |    CAST(round(sqrt(sqrt(CAST(n_tokens AS DOUBLE) / tt)) * 1e9, 0)
+      |      AS BIGINT) AS f25
+      |  FROM src, tot),
+      |sums AS (SELECT sum(f50) AS s50, sum(f25) AS s25 FROM base)
+      |SELECT source, n_docs, n_tokens, round(p, 6) AS p_natural,
+      |  round(CAST(f50 AS DOUBLE) / s50, 6) AS w_alpha50,
+      |  round(CAST(f25 AS DOUBLE) / s25, 6) AS w_alpha25,
+      |  CAST(round(CAST(f50 AS DOUBLE) / s50 * 1e4, 0) AS BIGINT)
+      |    AS docs_per_10k_a50
+      |FROM base, sums ORDER BY source""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Charter: BPE tokenizer-training pair-count step — the inner loop of
+  // byte-pair encoding: collapse the corpus to a word-frequency table,
+  // count adjacent character pairs weighted by word frequency, and rank
+  // the top 20 merge candidates (rank 1 IS the next BPE merge). The
+  // word-form table is what makes BPE training tractable at 100 TB: the
+  // corpus collapses to |vocab| rows in one map-side-combined pass, and
+  // all pair counting runs over word FORMS (vocabulary-bounded), never
+  // over the corpus again. The pair relation is ≤ alphabet² rows; the
+  // top-20 is a TakeOrdered heap cut, with the rank window running over
+  // the 20 surviving rows only.
+  // -------------------------------------------------------------------
+  def bpePairs(s: SparkSession, d: String): DataFrame = {
+    val words = documents(s, d).select(explode(toks).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val pairs = words.select(col("freq"),
+        explode(transform(sequence(lit(1), length(col("word")) - 1),
+          i => col("word").substr(i, lit(2)))).as("p"))
+      .groupBy("p").agg(
+        sum(col("freq")).cast("bigint").as("pair_count"),
+        count(lit(1)).cast("bigint").as("n_positions"))
+    pairs.orderBy(col("pair_count").desc, col("p")).limit(20)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("pair_count").desc, col("p"))).cast("bigint"))
+      .select(col("rank"), col("p").as("pair"), col("pair_count"),
+        col("n_positions"))
+      .orderBy("rank")
+  }
+
+  val bpePairsSql: String =
+    """WITH words AS (
+      |  SELECT word, count(*) AS freq FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |  WHERE length(word) >= 2 GROUP BY word),
+      |pairs AS (
+      |  SELECT p, CAST(sum(freq) AS BIGINT) AS pair_count,
+      |         CAST(count(*) AS BIGINT) AS n_positions
+      |  FROM words, unnest(list_transform(range(1, length(word)),
+      |    i -> substring(word, i, 2))) AS u(p)
+      |  GROUP BY p)
+      |SELECT * FROM (
+      |  SELECT CAST(row_number() OVER (ORDER BY pair_count DESC, p)
+      |           AS BIGINT) AS rank,
+      |         p AS pair, pair_count, n_positions
+      |  FROM pairs) WHERE rank <= 20 ORDER BY rank""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Charter: data-loader length bucketing — assign each document to the
+  // smallest power-of-two token-length bucket and report per-bucket doc
+  // count, token mass, and the padding waste a pad-to-bucket batcher
+  // would pay (the sequence-bucketing knob that decides batch shapes).
+  // The bucket is computed with INTEGER bit math — length(bin(n-1)) —
+  // not ceil(log2(n)): a last-ulp difference between Java and C log
+  // would flip exact-power-of-two docs across buckets. One map-side-
+  // combined pass; output is ≤ log2(max_len) rows.
+  // -------------------------------------------------------------------
+  def lengthBuckets(s: SparkSession, d: String): DataFrame = {
+    val n = size(toks).cast("bigint")
+    val bucket = when(n <= 1, lit(1L)).otherwise(
+      pow(lit(2.0), length(bin(n - 1)).cast("double")).cast("bigint"))
+    documents(s, d)
+      .select(bucket.as("bucket"), n.as("nt"))
+      .groupBy("bucket").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("sum_tokens"),
+        sum(col("bucket") - col("nt")).as("pad_waste"),
+        round(sum(col("bucket") - col("nt")).cast("double") /
+          sum(col("bucket")), 6).as("waste_ratio"))
+      .orderBy("bucket")
+  }
+
+  val lengthBucketsSql: String =
+    """WITH d AS (
+      |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+      |  FROM documents),
+      |b AS (SELECT nt, CASE WHEN nt <= 1 THEN 1
+      |    ELSE CAST(power(2, length(bin(nt - 1))) AS BIGINT) END AS bucket
+      |  FROM d)
+      |SELECT bucket, count(*) AS n_docs,
+      |  CAST(sum(nt) AS BIGINT) AS sum_tokens,
+      |  CAST(sum(bucket - nt) AS BIGINT) AS pad_waste,
+      |  round(CAST(sum(bucket - nt) AS DOUBLE) / sum(bucket), 6)
+      |    AS waste_ratio
+      |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bpe_pairs" -> (bpePairs _),
+    "train_length_buckets" -> (lengthBuckets _),
+    "dedup_substring" -> (substringDedup _),
+    "train_sampling_temperature" -> (samplingTemperature _),
     "dedup_source_overlap" -> (sourceOverlap _),
     "text_zipf_fit" -> (zipfFit _),
     "text_chunk_overlap" -> (chunkOverlap _),
@@ -2711,6 +2924,10 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_bpe_pairs" -> bpePairsSql,
+    "train_length_buckets" -> lengthBucketsSql,
+    "dedup_substring" -> substringDedupSql,
+    "train_sampling_temperature" -> samplingTemperatureSql,
     "dedup_source_overlap" -> sourceOverlapSql,
     "text_zipf_fit" -> zipfFitSql,
     "text_chunk_overlap" -> chunkOverlapSql,

@@ -1301,7 +1301,83 @@ object VectorQueries {
        |ORDER BY g.index_name, g.k""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // Charter: truncated-dimension recall curve (the Matryoshka-embedding
+  // question): if search keys only the first {8,16,32} of 64 dims — the
+  // memory/bandwidth knob of a vector index — what recall@10 survives
+  // against full-dim exact search? One corpus scan computes all four
+  // prefix cosines per row (array_dot over prefix slices, one codegen
+  // loop each); the slim (vec_id, sim×4) relation is staged once, and
+  // each leg's top-10 is a TakeOrderedAndProject heap cut — per-
+  // partition heaps, NO rank shuffle, unlike a window over a 4-partition
+  // dim key which would funnel the corpus through 4 reducers at scale.
+  // -------------------------------------------------------------------
+  private val TruncDims = Seq(8, 16, 32)
+
+  def truncRecall(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, d)
+    val dims = TruncDims :+ Dim
+    val q = e.filter(col("vec_id") === 0).select(
+      dims.map(dd => slice(col("embedding"), 1, dd).as(s"q$dd")): _*)
+    def adot(a: Column, b: Column): Column =
+      call_function("array_dot", a, b)
+    val scored = e.filter(col("vec_id") > 0).crossJoin(broadcast(q))
+      .select(col("vec_id") +: dims.map { dd =>
+        val ae = slice(col("embedding"), 1, dd)
+        val qe = col(s"q$dd")
+        round(adot(ae, qe) / (sqrt(adot(ae, ae)) * sqrt(adot(qe, qe))), 6)
+          .as(s"sim$dd")
+      }: _*)
+    graft.Stage.fanout(scored) { sc =>
+      val legs = dims.map { dd =>
+        sc.select(col("vec_id"), lit(dd).as("dim"),
+            col(s"sim$dd").as("sim"))
+          .orderBy(col("sim").desc, col("vec_id")).limit(10)
+      }.reduce(_.unionByName(_))
+      val exact = legs.filter(col("dim") === Dim).select(col("vec_id"))
+      val hits = legs.filter(col("dim") < Dim)
+        .join(exact, "vec_id")
+        .groupBy("dim").agg(count(lit(1)).as("hits"))
+      TruncDims.toDF("dim").join(hits, Seq("dim"), "left")
+        .select(col("dim"),
+          coalesce(col("hits"), lit(0L)).as("n_hit"),
+          round(coalesce(col("hits"), lit(0L)).cast("double") / 10, 6)
+            .as("recall_at_10"))
+    }.orderBy("dim")
+  }
+
+  val truncRecallSql: String = {
+    def dotD(a: String, b: String, dd: Int) =
+      (1 to dd).map(i => s"CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE)")
+        .mkString(" + ")
+    val legs = (TruncDims :+ Dim).map { dd =>
+      s"""SELECT $dd AS dim, vec_id, rk FROM (
+         |    SELECT a.vec_id, row_number() OVER (ORDER BY
+         |      round((${dotD("a.embedding", "q.embedding", dd)}) /
+         |        (sqrt(${dotD("a.embedding", "a.embedding", dd)})
+         |         * sqrt(${dotD("q.embedding", "q.embedding", dd)})), 6)
+         |      DESC, a.vec_id) AS rk
+         |    FROM embeddings a,
+         |      (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+         |    WHERE a.vec_id > 0)
+         |  WHERE rk <= 10""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH legs AS (
+       |  $legs),
+       |exact AS (SELECT vec_id FROM legs WHERE dim = $Dim),
+       |hits AS (
+       |  SELECT l.dim, count(*) AS n FROM legs l JOIN exact e USING (vec_id)
+       |  WHERE l.dim < $Dim GROUP BY l.dim),
+       |grid AS (SELECT unnest([${TruncDims.mkString(", ")}]) AS dim)
+       |SELECT g.dim AS dim, CAST(coalesce(h.n, 0) AS BIGINT) AS n_hit,
+       |  round(CAST(coalesce(h.n, 0) AS DOUBLE) / 10, 6) AS recall_at_10
+       |FROM grid g LEFT JOIN hits h ON h.dim = g.dim
+       |ORDER BY g.dim""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vec_trunc_recall" -> (truncRecall _),
     "vec_recall_curve" -> (recallCurve _),
     "vec_knn_eval" -> (knnEval _),
     "vec_pq" -> (productQuantize _),
@@ -1326,6 +1402,7 @@ object VectorQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "vec_trunc_recall" -> truncRecallSql,
     "vec_recall_curve" -> recallCurveSql,
     "vec_knn_eval" -> knnEvalSql,
     "vec_pq" -> productQuantizeSql,

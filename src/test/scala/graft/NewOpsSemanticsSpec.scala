@@ -158,4 +158,140 @@ class NewOpsSemanticsSpec extends AnyFunSuite {
       .select(countDistinct("list_id")).head().getLong(0)
     assert(lists > 16L, s"expected adaptive k>16 clusters, got $lists")
   }
+
+  // ---- dedup_substring ----------------------------------------------
+
+  private def substr(dir: String): Map[Long, (Long, Long, Double)] =
+    SparkEntry.queries("dedup_substring")(spark, dir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_windows"), r.getAs[Long]("dup_windows"),
+          r.getAs[Double]("dup_ratio")))).toMap
+
+  private def words(from: Int, n: Int): String =
+    (from until from + n).map(i => s"w$i").mkString(" ")
+
+  test("substring dedup: doc shorter than one window surfaces with 0 windows") {
+    val dir = writeDocs(Seq((1L, "s", words(0, 19)), (2L, "s", words(100, 25))))
+    val m = substr(dir)
+    assert(m(1L) === ((0L, 0L, 0.0)))
+    assert(m(2L)._1 === 1L) // 25 tokens, stride 10: only p=0 fits fully...
+  }
+
+  test("substring dedup: exactly-20-token doc yields one window") {
+    val dir = writeDocs(Seq((1L, "s", words(0, 20))))
+    assert(substr(dir)(1L) === ((1L, 0L, 0.0)))
+  }
+
+  test("substring dedup: an aligned copied passage is flagged in BOTH docs") {
+    // doc 1 = tokens a0..a39; doc 2 = its first 20 tokens verbatim then
+    // 20 unrelated ones; doc 3 fully unrelated. Window p=0 of docs 1+2
+    // hash equal => one dup window each; every other window unique.
+    val shared = words(0, 20)
+    val dir = writeDocs(Seq(
+      (1L, "s", shared + " " + words(1000, 20)),
+      (2L, "s", shared + " " + words(2000, 20)),
+      (3L, "s", words(3000, 40))))
+    val m = substr(dir)
+    assert(m(1L) === ((3L, 1L, round6(1.0 / 3))))
+    assert(m(2L) === ((3L, 1L, round6(1.0 / 3))))
+    assert(m(3L) === ((3L, 0L, 0.0)))
+  }
+
+  test("substring dedup: a window repeated only WITHIN one doc is not a dup") {
+    // 40 tokens = the same 10-token phrase ×4: windows at p=0,10,20 all
+    // hash identical, but min(doc_id)==max(doc_id) per hash
+    val phrase = words(0, 10)
+    val dir = writeDocs(Seq((1L, "s", Seq.fill(4)(phrase).mkString(" "))))
+    assert(substr(dir)(1L) === ((3L, 0L, 0.0)))
+  }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  // ---- train_sampling_temperature -----------------------------------
+
+  test("sampling temperature: 1:4 token split gives exact 1/3-2/3 at α=0.5") {
+    // sqrt(0.8) = 2·sqrt(0.2), so weights are exactly 1/3 and 2/3;
+    // α=0.25 flattens further: ratio 4^0.25 = sqrt(2) => 1/(1+sqrt 2)
+    val dir = writeDocs(Seq(
+      (1L, "a", words(0, 100)), (2L, "b", words(0, 400))))
+    val rows = SparkEntry.queries("train_sampling_temperature")(spark, dir)
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Double]("p_natural"), r.getAs[Double]("w_alpha50"),
+          r.getAs[Double]("w_alpha25"), r.getAs[Long]("docs_per_10k_a50"))))
+      .toMap
+    val (pa, wa50, wa25, da) = rows("a")
+    val (pb, wb50, wb25, db) = rows("b")
+    assert((pa, pb) === ((0.2, 0.8)))
+    assert((wa50, wb50) === ((0.333333, 0.666667)))
+    assert((wa25, wb25) === ((round6(1 / (1 + math.sqrt(2))),
+      round6(math.sqrt(2) / (1 + math.sqrt(2))))))
+    assert((da, db) === ((3333L, 6667L)))
+    // temperature flattens monotonically: p < w(α=.5) < w(α=.25) < 0.5
+    // for the minority source, reversed for the majority
+    assert(pa < wa50 && wa50 < wa25 && wa25 < 0.5)
+    assert(pb > wb50 && wb50 > wb25 && wb25 > 0.5)
+  }
+
+  // ---- text_bpe_pairs -----------------------------------------------
+
+  test("bpe pairs: frequency-weighted adjacent-pair counts rank the true merge") {
+    // words: banana ×2, band ×1. Pair 'an' occurs at 2 positions in
+    // banana (freq 2 → weight 4) + 1 in band → count 5, 3 positions;
+    // 'na' 4/2; 'ba' 3/2; 'nd' 1/1.
+    val dir = writeDocs(Seq((1L, "s", "banana banana band")))
+    val rows = SparkEntry.queries("text_bpe_pairs")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("rank"), r.getAs[String]("pair"),
+        r.getAs[Long]("pair_count"), r.getAs[Long]("n_positions"))).toSeq
+    assert(rows === Seq(
+      (1L, "an", 5L, 3L), (2L, "na", 4L, 2L),
+      (3L, "ba", 3L, 2L), (4L, "nd", 1L, 1L)))
+  }
+
+  test("bpe pairs: single-char words carry no pairs") {
+    val dir = writeDocs(Seq((1L, "s", "a b c ab")))
+    val rows = SparkEntry.queries("text_bpe_pairs")(spark, dir).collect()
+    assert(rows.map(r => (r.getAs[String]("pair"),
+      r.getAs[Long]("pair_count"))).toSeq === Seq(("ab", 1L)))
+  }
+
+  // ---- train_length_buckets -----------------------------------------
+
+  test("length buckets: integer bit-math bucketing is exact at powers of two") {
+    // token counts 1,2,3,4,5,64,65 → buckets 1,2,4,4,8,64,128: an
+    // exact-power doc must land in ITS OWN size, not the next decade
+    val dir = writeDocs(Seq(
+      (1L, "s", words(0, 1)), (2L, "s", words(0, 2)), (3L, "s", words(0, 3)),
+      (4L, "s", words(0, 4)), (5L, "s", words(0, 5)),
+      (6L, "s", words(0, 64)), (7L, "s", words(0, 65))))
+    val rows = SparkEntry.queries("train_length_buckets")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("sum_tokens"), r.getAs[Long]("pad_waste"))).toSeq
+    assert(rows === Seq(
+      (1L, 1L, 1L, 0L), (2L, 1L, 2L, 0L), (4L, 2L, 7L, 1L),
+      (8L, 1L, 5L, 3L), (64L, 1L, 64L, 0L), (128L, 1L, 65L, 63L)))
+  }
+
+  // ---- vec_trunc_recall ---------------------------------------------
+
+  test("trunc recall: prefix-only impostors depress recall@10 at dim 8 only") {
+    // q (vec 0) = all-ones. ids 1..5: first 8 dims = q, rest = -1 —
+    // prefix-8 cosine 1 (ties won by low vec_id), prefix-16 cosine 0,
+    // full cosine -0.75. ids 6..15: identical to q everywhere. Exact
+    // top-10 = {6..15}; dim-8 top-10 = {1..10} => 5 hits; dims 16/32
+    // already rank the true neighbors first.
+    val dir = tmp("trunc")
+    import spark.implicits._
+    ((0L, Array.fill(Dim)(1.0f), 0) +:
+      (1 to 5).map(i =>
+        (i.toLong, Array.tabulate(Dim)(j => if (j < 8) 1.0f else -1.0f), 1)) ++:
+      (6 to 15).map(i => (i.toLong, Array.fill(Dim)(1.0f), 2)))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = SparkEntry.queries("vec_trunc_recall")(spark, dir)
+      .collect().map(r => (r.getAs[Int]("dim"), r.getAs[Long]("n_hit"),
+        r.getAs[Double]("recall_at_10"))).toSeq
+    assert(rows === Seq((8, 5L, 0.5), (16, 10L, 1.0), (32, 10L, 1.0)))
+  }
 }
