@@ -1449,7 +1449,66 @@ object RelationalQueries {
       |  c_mktsegment
       |FROM customer ORDER BY c_custkey""".stripMargin
 
+  // -------------------------------------------------------------------
+  // Charter: time-series gap filling — materialize the COMPLETE
+  // 10-minute bucket grid across the event span, zero-fill buckets with
+  // no events, flag them, and carry an exact running total across the
+  // gaps (the "downstream chart reads a dense series" contract that a
+  // plain GROUP BY breaks silently). The grid derives from a 1-row
+  // min/max aggregate exploded through sequence() — its size is
+  // span/width, a function of TIME not of event count, so a 100 TB
+  // year at 10-minute grain is still only ~53k grid rows; the events
+  // relation itself contributes one slim hash exchange. The running
+  // total's single-partition window runs over the GRID, not the data;
+  // at multi-year spans you'd range-partition the grid by coarse time
+  // and prefix-sum the partition boundaries (train_packing's trick).
+  // -------------------------------------------------------------------
+  private val GapBucketMicros = 600000000L // 10 minutes
+
+  def gapFill(s: SparkSession, d: String): DataFrame = {
+    val w = GapBucketMicros
+    val bu = (floor(unix_micros(col("ts")).cast("double") / w)
+      .cast("bigint") * w).as("bu")
+    val agg = events(s, d)
+      .select(bu, round(col("value") * 100).cast("bigint").as("cents"))
+      .groupBy("bu").agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"))
+    val grid = agg.agg(min(col("bu")).as("lo"), max(col("bu")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), lit(w))).as("bu"))
+    val filled = grid.join(agg.withColumn("hit", lit(true)), Seq("bu"), "left")
+    filled
+      .select(col("bu"), coalesce(col("n"), lit(0L)).as("n_events"),
+        coalesce(col("sc"), lit(0L)).as("sum_cents"),
+        col("hit").isNull.as("is_gap"))
+      .withColumn("cum_cents", sum(col("sum_cents")).over(
+        Window.orderBy("bu").rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .select(timestamp_micros(col("bu")).as("bucket"), col("n_events"),
+        col("sum_cents"), col("is_gap"), col("cum_cents"))
+      .orderBy("bucket")
+  }
+
+  val gapFillSql: String = {
+    val w = GapBucketMicros
+    s"""WITH b AS (
+       |  SELECT CAST(floor(epoch_us(ts) / $w) AS BIGINT) * $w AS bu,
+       |         CAST(round(value * 100) AS BIGINT) AS cents
+       |  FROM events),
+       |agg AS (SELECT bu, count(*) AS n, sum(cents) AS sc FROM b GROUP BY bu),
+       |span AS (SELECT min(bu) AS lo, max(bu) AS hi FROM agg),
+       |grid AS (SELECT unnest(range(lo, hi + 1, $w)) AS bu FROM span),
+       |filled AS (
+       |  SELECT g.bu, coalesce(a.n, 0) AS n, coalesce(a.sc, 0) AS sc,
+       |         (a.bu IS NULL) AS is_gap
+       |  FROM grid g LEFT JOIN agg a USING (bu))
+       |SELECT make_timestamp(bu) AS bucket, CAST(n AS BIGINT) AS n_events,
+       |  CAST(sc AS BIGINT) AS sum_cents, is_gap,
+       |  CAST(sum(sc) OVER (ORDER BY bu ROWS BETWEEN UNBOUNDED PRECEDING
+       |    AND CURRENT ROW) AS BIGINT) AS cum_cents
+       |FROM filled ORDER BY bucket""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_gap_fill" -> (gapFill _),
     "rel_pseudonymize" -> (pseudonymize _),
     "rel_key_skew" -> (keySkew _),
     "rel_retention" -> (retention _),
@@ -1503,6 +1562,7 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "rel_gap_fill" -> gapFillSql,
     "rel_pseudonymize" -> pseudonymizeSql,
     "rel_key_skew" -> keySkewSql,
     "rel_retention" -> retentionSql,

@@ -2834,6 +2834,73 @@ object TextQueries {
       |  FROM pairs) WHERE rank <= 20 ORDER BY rank""".stripMargin
 
   // -------------------------------------------------------------------
+  // Charter: two unrolled BPE iterations — find the top merge pair,
+  // APPLY it across the vocabulary (greedy left-to-right replace with a
+  // single-char marker, exactly a BPE implementation's merge), and
+  // recount adjacent pairs over the merged symbol sequences. Round-2
+  // pairs that touch the new symbol surface decoded (marker expanded
+  // back) with a contains_merge flag — the audit that shows the merge
+  // actually changed the pair distribution. Same scale shape as
+  // text_bpe_pairs: everything after the one corpus collapse runs over
+  // word FORMS; the 1-row top pair rides a broadcast.
+  // -------------------------------------------------------------------
+  def bpeMerge2(s: SparkSession, d: String): DataFrame = {
+    def pairsOf(wordCol: Column): Column = explode(transform(
+      sequence(lit(1), length(wordCol) - 1), i => wordCol.substr(i, lit(2))))
+    val words = documents(s, d).select(explode(toks).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    graft.Stage.fanout(words) { w =>
+      val top1 = w.select(col("freq"), pairsOf(col("word")).as("p"))
+        .groupBy("p").agg(sum(col("freq")).as("c"))
+        .orderBy(col("c").desc, col("p")).limit(1)
+        .select(col("p").as("mp"))
+      val merged = w.crossJoin(broadcast(top1))
+        .select(col("freq"), col("mp"),
+          expr("replace(word, mp, '§')").as("mword"))
+      val r2 = merged.filter(length(col("mword")) >= 2)
+        .select(col("freq"), col("mp"), pairsOf(col("mword")).as("p"))
+        .groupBy("p", "mp")
+        .agg(sum(col("freq")).cast("bigint").as("pair_count"))
+      r2.orderBy(col("pair_count").desc, col("p")).limit(10)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("pair_count").desc, col("p"))).cast("bigint"))
+        .select(col("rank"),
+          expr("replace(p, '§', mp)").as("pair"),
+          col("pair_count"),
+          col("p").contains("§").as("contains_merge"))
+    }.orderBy("rank")
+  }
+
+  val bpeMerge2Sql: String =
+    """WITH words AS (
+      |  SELECT word, count(*) AS freq FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |  WHERE length(word) >= 2 GROUP BY word),
+      |r1 AS (
+      |  SELECT p, sum(freq) AS c
+      |  FROM words, unnest(list_transform(range(1, length(word)),
+      |    i -> substring(word, i, 2))) AS u(p)
+      |  GROUP BY p),
+      |top1 AS (SELECT p AS mp FROM r1 ORDER BY c DESC, p LIMIT 1),
+      |merged AS (
+      |  SELECT freq, mp, replace(word, mp, chr(167)) AS mword
+      |  FROM words, top1),
+      |r2 AS (
+      |  SELECT p, mp, CAST(sum(freq) AS BIGINT) AS pair_count
+      |  FROM (
+      |    SELECT freq, mp, unnest(list_transform(range(1, length(mword)),
+      |      i -> substring(mword, i, 2))) AS p
+      |    FROM merged WHERE length(mword) >= 2)
+      |  GROUP BY p, mp)
+      |SELECT * FROM (
+      |  SELECT CAST(row_number() OVER (ORDER BY pair_count DESC, p)
+      |           AS BIGINT) AS rank,
+      |         replace(p, chr(167), mp) AS pair, pair_count,
+      |         (p LIKE '%' || chr(167) || '%') AS contains_merge
+      |  FROM r2) WHERE rank <= 10 ORDER BY rank""".stripMargin
+
+  // -------------------------------------------------------------------
   // Charter: data-loader length bucketing — assign each document to the
   // smallest power-of-two token-length bucket and report per-bucket doc
   // count, token mass, and the padding waste a pad-to-bucket batcher
@@ -2874,6 +2941,7 @@ object TextQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bpe_pairs" -> (bpePairs _),
+    "text_bpe_merge2" -> (bpeMerge2 _),
     "train_length_buckets" -> (lengthBuckets _),
     "dedup_substring" -> (substringDedup _),
     "train_sampling_temperature" -> (samplingTemperature _),
@@ -2925,6 +2993,7 @@ object TextQueries {
 
   val oracles: Map[String, String] = Map(
     "text_bpe_pairs" -> bpePairsSql,
+    "text_bpe_merge2" -> bpeMerge2Sql,
     "train_length_buckets" -> lengthBucketsSql,
     "dedup_substring" -> substringDedupSql,
     "train_sampling_temperature" -> samplingTemperatureSql,

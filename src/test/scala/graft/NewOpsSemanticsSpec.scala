@@ -256,6 +256,52 @@ class NewOpsSemanticsSpec extends AnyFunSuite {
       r.getAs[Long]("pair_count"))).toSeq === Seq(("ab", 1L)))
   }
 
+  // ---- text_bpe_merge2 ----------------------------------------------
+
+  test("bpe merge2: applying the top merge reshapes round-2 pair counts") {
+    // r1 top merge = 'an' (count 5). banana → b§§a, band → b§d.
+    // r2 pairs (freq-weighted): b§=3, §a=2, §§=2, §d=1; ties break on
+    // the ENCODED pair bytes ('a' < '§' in UTF-8), and pairs decode
+    // with the marker expanded back to the merged symbol.
+    val dir = writeDocs(Seq((1L, "s", "banana banana band")))
+    val rows = SparkEntry.queries("text_bpe_merge2")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("rank"), r.getAs[String]("pair"),
+        r.getAs[Long]("pair_count"), r.getAs[Boolean]("contains_merge"))).toSeq
+    assert(rows === Seq(
+      (1L, "ban", 3L, true), (2L, "ana", 2L, true),
+      (3L, "anan", 2L, true), (4L, "and", 1L, true)))
+  }
+
+  test("bpe merge2: a word equal to the merge pair vanishes from round 2") {
+    // top pair 'ab' (freq 3); the standalone word 'ab' merges to the
+    // 1-char marker and carries no round-2 pairs; 'abc' → §c survives
+    val dir = writeDocs(Seq((1L, "s", "ab ab ab abc xy")))
+    val rows = SparkEntry.queries("text_bpe_merge2")(spark, dir)
+      .collect().map(r => (r.getAs[String]("pair"),
+        r.getAs[Long]("pair_count"), r.getAs[Boolean]("contains_merge"))).toSeq
+    assert(rows === Seq(("xy", 1L, false), ("abc", 1L, true)))
+  }
+
+  // ---- rel_gap_fill -------------------------------------------------
+
+  test("gap fill: empty buckets surface zero-filled with the total carried") {
+    // events in 10-min buckets 0 and 2 only; bucket 1 must appear as a
+    // zero row with is_gap=true and the running total carried across
+    val dir = tmp("gapfill")
+    import spark.implicits._
+    Seq((1L, 0L, 1.00), (2L, 100L * 1000000000L, 2.50),
+      (3L, 1250L * 1000000000L, 0.75))
+      .toDF("event_id", "ts", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = SparkEntry.queries("rel_gap_fill")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("n_events"),
+        r.getAs[Long]("sum_cents"), r.getAs[Boolean]("is_gap"),
+        r.getAs[Long]("cum_cents"))).toSeq
+    assert(rows === Seq(
+      (2L, 350L, false, 350L), (0L, 0L, true, 350L),
+      (1L, 75L, false, 425L)))
+  }
+
   // ---- train_length_buckets -----------------------------------------
 
   test("length buckets: integer bit-math bucketing is exact at powers of two") {
