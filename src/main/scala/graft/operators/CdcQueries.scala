@@ -733,7 +733,60 @@ object CdcQueries {
        |ORDER BY event_id, hkey""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // Charter: event-time reorder audit — per arrival order (event_id is
+  // the reference's monotone cluster ordinal, runner.go:147-151), how
+  // far does event time regress behind the running per-key maximum?
+  // The answer IS the dedup/reorder window a relay needs (reference
+  // analog: the duplicate-suppression window, runner.go:180): a clean
+  // corpus reports one all-zero row; a disordered feed reports an exact
+  // log2-bucketed lateness histogram. Exact-integer output only — the
+  // log2 bucket is length(bin(x)) bit math, never float log. The
+  // running max is a per-user window (one keyed exchange, no global
+  // sort); the histogram is ≤64 rows.
+  // -------------------------------------------------------------------
+  def reorderAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val lateUs = {
+      val prior = max(unix_micros(col("ts"))).over(w)
+      when(prior.isNull || prior <= unix_micros(col("ts")), lit(0L))
+        .otherwise(prior - unix_micros(col("ts")))
+    }
+    Tables.events(spark, sfDir)
+      .select(lateUs.as("late_us"))
+      .select(when(col("late_us") === 0, lit(0L))
+        .otherwise(length(bin(col("late_us"))).cast("bigint"))
+        .as("late_log2_bucket"),
+        col("late_us"))
+      .groupBy("late_log2_bucket")
+      .agg(count(lit(1)).as("n_events"),
+        max(col("late_us")).as("max_late_us"),
+        sum(col("late_us")).as("sum_late_us"))
+      .orderBy("late_log2_bucket")
+  }
+
+  val reorderAuditSql: String =
+    """WITH arr AS (
+      |  SELECT epoch_us(ts) AS tsu,
+      |    max(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_max
+      |  FROM events),
+      |late AS (
+      |  SELECT CASE WHEN prior_max IS NULL OR prior_max <= tsu THEN 0
+      |              ELSE prior_max - tsu END AS late_us
+      |  FROM arr),
+      |b AS (SELECT CASE WHEN late_us = 0 THEN 0
+      |        ELSE length(bin(late_us)) END AS late_log2_bucket, late_us
+      |      FROM late)
+      |SELECT late_log2_bucket, count(*) AS n_events,
+      |  CAST(max(late_us) AS BIGINT) AS max_late_us,
+      |  CAST(sum(late_us) AS BIGINT) AS sum_late_us
+      |FROM b GROUP BY late_log2_bucket ORDER BY late_log2_bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_reorder_audit" -> (reorderAudit _),
     "cdc_headers" -> (headers _),
     "cdc_full_event_json" -> (fullEventJson _),
     "cdc_asof_native" -> (asofNative _),
@@ -755,6 +808,7 @@ object CdcQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "cdc_reorder_audit" -> reorderAuditSql,
     "cdc_headers" -> headersSql,
     "cdc_full_event_json" -> fullEventJsonSql,
     "cdc_asof_native" -> RelationalQueries.asofJoinSql,

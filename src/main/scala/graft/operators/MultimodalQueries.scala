@@ -262,7 +262,45 @@ object MultimodalQueries {
       |  GROUP BY media_id)
       |ORDER BY media_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // M7: resolution bucketing — the vision-batcher analog of
+  // train_length_buckets: group assets by exact (width, height), report
+  // count, pixel mass, the padding cost of batching every asset at the
+  // global max resolution, and each shape's share of the corpus. The
+  // shape grid is metadata-only (binary payloads never read — the scan
+  // prunes to width/height), the aggregate is map-side combined into
+  // ≤ |shapes| rows, and the global max rides a broadcast 1-row
+  // aggregate. Exact-integer pixel math throughout.
+  // -------------------------------------------------------------------
+  def shapeBuckets(s: SparkSession, d: String): DataFrame = {
+    val agg = mediaTable(s, d).groupBy("width", "height").agg(
+      count(lit(1)).as("n_assets"),
+      sum((col("width").cast("bigint") * col("height"))).as("sum_px"))
+    val tot = agg.agg(max(col("width")).as("mw"), max(col("height")).as("mh"),
+      sum(col("n_assets")).as("na"))
+    agg.crossJoin(broadcast(tot))
+      .select(col("width"), col("height"), col("n_assets"), col("sum_px"),
+        (col("mw").cast("bigint") * col("mh") * col("n_assets") -
+          col("sum_px")).as("pad_px_to_max"),
+        round(col("n_assets").cast("double") / col("na"), 6).as("share"))
+      .orderBy("width", "height")
+  }
+
+  val shapeBucketsSql: String =
+    s"""WITH media AS ($mediaSql),
+       |agg AS (SELECT width, height, count(*) AS n_assets,
+       |  CAST(sum(CAST(width AS BIGINT) * height) AS BIGINT) AS sum_px
+       |  FROM media GROUP BY width, height),
+       |tot AS (SELECT max(width) AS mw, max(height) AS mh,
+       |        sum(n_assets) AS na FROM agg)
+       |SELECT width, height, n_assets, sum_px,
+       |  CAST(CAST(mw AS BIGINT) * mh * n_assets - sum_px AS BIGINT)
+       |    AS pad_px_to_max,
+       |  round(CAST(n_assets AS DOUBLE) / na, 6) AS share
+       |FROM agg, tot ORDER BY width, height""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "media_shape_buckets" -> (shapeBuckets _),
     "media_frame_dedup" -> (frameDedup _),
     "media_dedup" -> (mediaDedup _),
     "media_resize" -> (mediaResize _),
@@ -272,6 +310,7 @@ object MultimodalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "media_shape_buckets" -> shapeBucketsSql,
     "media_frame_dedup" -> frameDedupSql,
     "media_dedup" -> mediaDedupSql,
     "media_resize" -> mediaResizeSql,

@@ -302,6 +302,46 @@ class NewOpsSemanticsSpec extends AnyFunSuite {
       (1L, 75L, false, 425L)))
   }
 
+  // ---- cdc_reorder_audit --------------------------------------------
+
+  test("reorder audit: lateness histogram detects disorder, clean keys stay zero") {
+    // user 1 arrives disordered: ts 100s, 50s, 99s → lateness 0, 50s
+    // (bucket 26: 2^25 < 5e7 ≤ 2^26), 1s (bucket 20); user 2 in order
+    val dir = tmp("reorder")
+    import spark.implicits._
+    val S = 1000000000L // ns per second
+    Seq((1L, 1L, 100L * S), (2L, 1L, 50L * S), (3L, 1L, 99L * S),
+      (4L, 2L, 10L * S), (5L, 2L, 20L * S))
+      .toDF("event_id", "user_id", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = SparkEntry.queries("cdc_reorder_audit")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("late_log2_bucket"),
+        r.getAs[Long]("n_events"), r.getAs[Long]("max_late_us"),
+        r.getAs[Long]("sum_late_us"))).toSeq
+    assert(rows === Seq(
+      (0L, 3L, 0L, 0L),
+      (20L, 1L, 1000000L, 1000000L),
+      (26L, 1L, 50000000L, 50000000L)))
+  }
+
+  // ---- media_shape_buckets ------------------------------------------
+
+  test("shape buckets: exact pixel math and shares over the derived shape grid") {
+    // doc_ids 0..9 produce 10 distinct (width, height) shapes; the
+    // global max resolution is 176x112 COMPOSED from different assets
+    // (widest is 176x80, tallest 128x112), so even the widest asset
+    // pays padding — the exact semantic a per-axis max must expose
+    val dir = writeDocs((0L to 9L).map(i => (i, "s", s"media doc $i")))
+    val rows = SparkEntry.queries("media_shape_buckets")(spark, dir)
+      .collect().map(r => ((r.getAs[Int]("width"), r.getAs[Int]("height")),
+        (r.getAs[Long]("n_assets"), r.getAs[Long]("pad_px_to_max"),
+          r.getAs[Double]("share")))).toMap
+    assert(rows.size === 10)
+    assert(rows((64, 48)) === ((1L, 16640L, 0.1)))   // 176*112 - 64*48
+    assert(rows((176, 80)) === ((1L, 5632L, 0.1)))   // 176*112 - 176*80
+    assert(math.abs(rows.values.map(_._3).sum - 1.0) < 1e-9)
+  }
+
   // ---- train_length_buckets -----------------------------------------
 
   test("length buckets: integer bit-math bucketing is exact at powers of two") {
