@@ -2834,6 +2834,51 @@ object TextQueries {
       |  FROM pairs) WHERE rank <= 20 ORDER BY rank""".stripMargin
 
   // -------------------------------------------------------------------
+  // Charter: deterministic train/val/test split assignment + the
+  // stratification audit that goes with it — split by a salted content-
+  // independent hash of doc_id (buckets 0-4 test, 5-9 val, rest train:
+  // a 5/5/90 split that is STABLE under corpus growth, the property a
+  // random() split loses), then report per-(source, split) doc and
+  // token counts with the within-source token share. A skewed share
+  // column is how a broken stratification surfaces before training
+  // does. One corpus scan → |sources|×3 rows; the share is a window
+  // over the aggregate, not the data.
+  // -------------------------------------------------------------------
+  def splitAssign(s: SparkSession, d: String): DataFrame = {
+    val bucket = pmod(h60(concat(lit("split-v1:"),
+      col("doc_id").cast("string"))), lit(100L))
+    val split = when(bucket < 5, lit("test"))
+      .when(bucket < 10, lit("val")).otherwise(lit("train"))
+    val agg = documents(s, d)
+      .select(col("source"), split.as("split"),
+        size(toks).cast("bigint").as("nt"))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+    agg.withColumn("tok_share", round(col("n_tokens").cast("double") /
+        sum(col("n_tokens")).over(Window.partitionBy("source")), 6))
+      .orderBy("source", "split")
+  }
+
+  val splitAssignSql: String = {
+    val bucket =
+      s"((${h60Sql("'split-v1:' || CAST(doc_id AS VARCHAR)")} % 100) + 100) % 100"
+    s"""WITH assigned AS (
+       |  SELECT source,
+       |    CASE WHEN $bucket < 5 THEN 'test'
+       |         WHEN $bucket < 10 THEN 'val' ELSE 'train' END AS split,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+       |  FROM documents),
+       |agg AS (
+       |  SELECT source, split, count(*) AS n_docs,
+       |    CAST(sum(nt) AS BIGINT) AS n_tokens
+       |  FROM assigned GROUP BY source, split)
+       |SELECT source, split, n_docs, n_tokens,
+       |  round(CAST(n_tokens AS DOUBLE) /
+       |    sum(n_tokens) OVER (PARTITION BY source), 6) AS tok_share
+       |FROM agg ORDER BY source, split""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // Charter: two unrolled BPE iterations — find the top merge pair,
   // APPLY it across the vocabulary (greedy left-to-right replace with a
   // single-char marker, exactly a BPE implementation's merge), and
@@ -2942,6 +2987,7 @@ object TextQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bpe_pairs" -> (bpePairs _),
     "text_bpe_merge2" -> (bpeMerge2 _),
+    "train_split_assign" -> (splitAssign _),
     "train_length_buckets" -> (lengthBuckets _),
     "dedup_substring" -> (substringDedup _),
     "train_sampling_temperature" -> (samplingTemperature _),
@@ -2994,6 +3040,7 @@ object TextQueries {
   val oracles: Map[String, String] = Map(
     "text_bpe_pairs" -> bpePairsSql,
     "text_bpe_merge2" -> bpeMerge2Sql,
+    "train_split_assign" -> splitAssignSql,
     "train_length_buckets" -> lengthBucketsSql,
     "dedup_substring" -> substringDedupSql,
     "train_sampling_temperature" -> samplingTemperatureSql,

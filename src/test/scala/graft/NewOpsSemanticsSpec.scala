@@ -302,6 +302,33 @@ class NewOpsSemanticsSpec extends AnyFunSuite {
       (1L, 75L, false, 425L)))
   }
 
+  // ---- train_split_assign -------------------------------------------
+
+  test("split assign: partitions every doc, shares sum to 1, and is growth-stable") {
+    val base = (0L until 200L).map(i => (i, s"s${i % 2}", words(i.toInt, 30)))
+    // corpus B adds 200 NEW docs under DISJOINT sources: the rows for
+    // the original sources must be byte-identical — the salted doc_id
+    // hash keeps assignments stable under growth, the property a
+    // random()/row_number split loses
+    val dirA = writeDocs(base)
+    val dirB = writeDocs(base ++ (200L until 400L).map(i =>
+      (i, s"s${2 + i % 2}", words(i.toInt, 30))))
+    def splits(dir: String): Seq[(String, String, Long, Long, Double)] =
+      SparkEntry.queries("train_split_assign")(spark, dir)
+        .collect().map(r => (r.getAs[String]("source"), r.getAs[String]("split"),
+          r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+          r.getAs[Double]("tok_share"))).toSeq
+    val a = splits(dirA)
+    assert(a.map(_._3).sum === 200L) // every doc lands in exactly one split
+    assert(a.map(_._2).distinct.sorted === Seq("test", "train", "val"))
+    a.groupBy(_._1).foreach { case (src, rows) =>
+      assert(math.abs(rows.map(_._5).sum - 1.0) < 1e-5, s"shares of $src")
+    }
+    val b = splits(dirB)
+    assert(b.filter(r => r._1 == "s0" || r._1 == "s1") === a)
+    assert(b.map(_._3).sum === 400L)
+  }
+
   // ---- cdc_reorder_audit --------------------------------------------
 
   test("reorder audit: lateness histogram detects disorder, clean keys stay zero") {
