@@ -2834,6 +2834,46 @@ object TextQueries {
       |  FROM pairs) WHERE rank <= 20 ORDER BY rank""".stripMargin
 
   // -------------------------------------------------------------------
+  // Charter: epoch/repeat-exposure plan — given a fixed training token
+  // budget split uniformly across sources, how many EPOCHS of each
+  // source does the budget imply? epochs > 1 is the memorization-risk
+  // flag data-governance reviews ask for first: it says this source
+  // will be seen more than once end-to-end. Integer budget division
+  // and one corpus scan into a |sources|-row relation; the per-source
+  // epochs ratio is exact-integer ÷ exact-integer in IEEE doubles.
+  // -------------------------------------------------------------------
+  private val EpochPlanBudget = 1000000L
+
+  def epochPlan(s: SparkSession, d: String): DataFrame = {
+    val src = documents(s, d).groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(toks)).cast("bigint").as("n_tokens"))
+    val k = src.agg(count(lit(1)).as("k"))
+    src.crossJoin(broadcast(k))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        expr(s"$EpochPlanBudget div k").as("budget_tokens"),
+        round(expr(s"$EpochPlanBudget div k").cast("double") /
+          col("n_tokens"), 6).as("epochs"),
+        (expr(s"$EpochPlanBudget div k").cast("double") /
+          col("n_tokens") > 1.0).as("oversampled"))
+      .orderBy("source")
+  }
+
+  val epochPlanSql: String =
+    s"""WITH src AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY source),
+       |ns AS (SELECT count(*) AS k FROM src)
+       |SELECT source, n_docs, n_tokens,
+       |  CAST($EpochPlanBudget // k AS BIGINT) AS budget_tokens,
+       |  round(CAST($EpochPlanBudget // k AS DOUBLE) / n_tokens, 6)
+       |    AS epochs,
+       |  (CAST($EpochPlanBudget // k AS DOUBLE) / n_tokens > 1.0)
+       |    AS oversampled
+       |FROM src, ns ORDER BY source""".stripMargin
+
+  // -------------------------------------------------------------------
   // Charter: deterministic train/val/test split assignment + the
   // stratification audit that goes with it — split by a salted content-
   // independent hash of doc_id (buckets 0-4 test, 5-9 val, rest train:
@@ -2988,6 +3028,7 @@ object TextQueries {
     "text_bpe_pairs" -> (bpePairs _),
     "text_bpe_merge2" -> (bpeMerge2 _),
     "train_split_assign" -> (splitAssign _),
+    "train_epoch_plan" -> (epochPlan _),
     "train_length_buckets" -> (lengthBuckets _),
     "dedup_substring" -> (substringDedup _),
     "train_sampling_temperature" -> (samplingTemperature _),
@@ -3041,6 +3082,7 @@ object TextQueries {
     "text_bpe_pairs" -> bpePairsSql,
     "text_bpe_merge2" -> bpeMerge2Sql,
     "train_split_assign" -> splitAssignSql,
+    "train_epoch_plan" -> epochPlanSql,
     "train_length_buckets" -> lengthBucketsSql,
     "dedup_substring" -> substringDedupSql,
     "train_sampling_temperature" -> samplingTemperatureSql,

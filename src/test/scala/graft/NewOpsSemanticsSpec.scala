@@ -329,6 +329,20 @@ class NewOpsSemanticsSpec extends AnyFunSuite {
     assert(b.map(_._3).sum === 400L)
   }
 
+  // ---- train_epoch_plan ---------------------------------------------
+
+  test("epoch plan: uniform budget split yields exact per-source epoch counts") {
+    // 2 sources, 100 vs 400 tokens; 1M budget → 500k each → epochs
+    // 5000.0 / 1250.0, both oversampled (the memorization-risk flag)
+    val dir = writeDocs(Seq((1L, "a", words(0, 100)), (2L, "b", words(0, 400))))
+    val rows = SparkEntry.queries("train_epoch_plan")(spark, dir)
+      .collect().map(r => (r.getAs[String]("source"),
+        r.getAs[Long]("budget_tokens"), r.getAs[Double]("epochs"),
+        r.getAs[Boolean]("oversampled"))).toSeq
+    assert(rows === Seq(
+      ("a", 500000L, 5000.0, true), ("b", 500000L, 1250.0, true)))
+  }
+
   // ---- cdc_reorder_audit --------------------------------------------
 
   test("reorder audit: lateness histogram detects disorder, clean keys stay zero") {

@@ -326,6 +326,7 @@ class PlanQualitySpec extends AnyFunSuite {
       "train_dataset_card", // 1-row totals x 1-row dup count
       "train_sampling_temperature", // 1-row token total x 1-row weight sums
       "media_shape_buckets", // 1-row global-max-resolution aggregate
+      "train_epoch_plan", // 1-row source-count aggregate
       "rel_funnel", "rel_profile", // 1-row stage-count aggregates
       "rel_key_skew") // 1-row totals x top-10 x hot-key count
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
