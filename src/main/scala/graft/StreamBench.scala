@@ -5,11 +5,14 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import graft.streaming._
 
-/** Stateful-stream throughput for the bench artifact: drives the five
-  * stateful streams (compaction, sessionize, incremental dedup, sketch,
-  * curation) over the sf tables staged as micro-batch files — several
-  * triggers each, the same file-per-source-batch shape the relay bench
-  * uses — and reports rows/sec plus end-of-run state rows.
+/** Stateful-stream throughput for the bench artifact: drives ALL eight
+  * non-relay streams (compaction, sessionize, incremental dedup,
+  * sketch, curation, decontaminate, media features, ANN serving) over
+  * the sf tables staged as micro-batch files — several triggers each,
+  * the same file-per-source-batch shape the relay bench uses — and
+  * reports rows/sec plus end-of-run state rows. For ann_serve the rate
+  * is QUERIES served per second against the full corpus index, not
+  * ingest throughput.
   *
   * State rows come from the state store's own progress metrics for the
   * flatMapGroupsWithState / watermark-dedup streams (what a cluster
@@ -124,6 +127,47 @@ object StreamBench {
         .option("checkpointLocation", s"$root/cur_chk")
         .outputMode("append").start()
     }(storeStateRows)
+
+    measure("decontaminate", nDocs) { () =>
+      DecontaminateStream.start(spark,
+        spark.readStream.schema(docSchema)
+          .option("maxFilesPerTrigger", 2).parquet(s"$root/docs")
+          .select("doc_id", "text"),
+        sfDir, s"$root/decon_out", s"$root/decon_chk")
+    }(_ => spark.read.parquet(s"$root/decon_out").count())
+
+    measure("media_features", nDocs) { () =>
+      MediaFeatureStream.start(
+        spark.readStream.schema(docSchema)
+          .option("maxFilesPerTrigger", 2).parquet(s"$root/docs")
+          .select(
+            col("doc_id").as("media_id"),
+            element_at(array(lit("png"), lit("jpeg"), lit("wav")),
+              (col("doc_id") % 3 + 1).cast("int")).as("format"),
+            col("text").cast("binary").as("content"),
+            (lit(64) + (col("doc_id") % 8) * 16).cast("int").as("width"),
+            (lit(48) + (col("doc_id") % 5) * 16).cast("int").as("height"),
+            (lit(1) + col("doc_id") % 30).cast("int").as("n_frames"))
+          .as[graft.operators.MultimodalQueries.MediaIn],
+        s"$root/media_out", s"$root/media_chk")
+    }(_ => spark.read.parquet(s"$root/media_out").count())
+
+    // ANN serving: a small query stream against the full corpus index —
+    // rows/sec here is QUERIES served per second, not ingest throughput
+    val qs = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 64)
+      .select(col("vec_id").as("q_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+          .as("q_embedding"))
+    val nQ = qs.count()
+    qs.repartition(8).write.parquet(s"$root/queries")
+    val qSchema = spark.read.parquet(s"$root/queries").schema
+
+    measure("ann_serve", nQ) { () =>
+      AnnStream.start(spark,
+        spark.readStream.schema(qSchema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$root/queries"),
+        sfDir, s"$root/ann_out", s"$root/ann_chk")
+    }(_ => spark.read.parquet(s"$root/ann_out").count())
 
     Stage.deleteRecursively(new java.io.File(root))
     out.toMap
