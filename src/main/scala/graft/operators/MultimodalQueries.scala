@@ -299,7 +299,87 @@ object MultimodalQueries {
        |  round(CAST(n_assets AS DOUBLE) / na, 6) AS share
        |FROM agg, tot ORDER BY width, height""".stripMargin
 
+  // -------------------------------------------------------------------
+  // M8: perceptual-hash NEAR-dup — the missing half of M5's exact asset
+  // dedup: re-encoded/resized copies of an image hash to a *nearby*
+  // 60-bit fingerprint, not an equal one, so duplicate detection is a
+  // Hamming-ball query, done at scale the Manku-et-al way (WWW'07,
+  // simhash dedup at Google): split the fingerprint into bands such
+  // that any pair within the Hamming radius must agree exactly on at
+  // least one band (pigeonhole: radius 2 needs ≥3 bands), bucket-join
+  // on (band, band-bits), and verify candidates with a popcount. Only
+  // (media_id, phash) pairs ever shuffle — payloads are pruned at the
+  // scan. Degenerate bands (all-black frames at production scale) want
+  // the same cappedBlocks guard the text dedup family logs; the
+  // synthetic corpus has none, so none is wired here.
+  //
+  // >>> STUB DECODE <<< : the "perceptual" hash is md5_top60 of the
+  // payload, and the re-encode noise is a deterministic single-bit flip
+  // on the two non-canonical members of each 3-asset group (ids 3k,
+  // 3k+1, 3k+2 share source bytes; 3k is the canonical encode). A real
+  // build swaps in a DCT pHash over decoded pixels; banding, verify,
+  // and output shape are unchanged.
+  // -------------------------------------------------------------------
+  private val PhashBands = 3      // min bands for guaranteed radius-2 recall
+  private val PhashBandBits = 20  // 60-bit fingerprint / 3 bands
+  private val PhashRadius = 2
+
+  def phashNearDup(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftExtensions.register(s) // md5_top60
+    val docs = documents(s, d)
+    val anchors = docs.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id").as("src_id"), col("text").as("src_text"))
+    val members = docs.select(col("doc_id").as("media_id"),
+      (col("doc_id") - col("doc_id") % 3).as("src"))
+    val assets = members.join(anchors, col("src") === col("src_id"))
+      .select(col("media_id"),
+        expr("""md5_top60(src_text) ^ (CASE WHEN media_id % 3 = 0
+               |  THEN CAST(0 AS BIGINT)
+               |  ELSE shiftleft(CAST(1 AS BIGINT),
+               |                 CAST((media_id * 7) % 60 AS INT)) END)"""
+          .stripMargin).as("phash"))
+    val bands = assets.select(col("media_id"), col("phash"),
+        explode(expr(s"sequence(0, ${PhashBands - 1})")).as("band"))
+      .withColumn("bv",
+        expr(s"shiftright(phash, $PhashBandBits * band) & ${(1 << PhashBandBits) - 1}"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("a_id"), col("b.media_id").as("b_id"),
+        col("a.phash").as("pa"), col("b.phash").as("pb"))
+      .distinct()
+    cand
+      .select(col("a_id"), col("b_id"),
+        expr("CAST(bit_count(pa ^ pb) AS INT)").as("hamming"))
+      .filter(col("hamming") <= PhashRadius)
+      .orderBy("a_id", "b_id")
+  }
+
+  val phashNearDupSql: String =
+    s"""WITH assets AS (
+       |  SELECT d.doc_id AS media_id,
+       |    xor(CAST(('0x' || substr(md5(s.text), 1, 15)) AS BIGINT),
+       |        CASE WHEN d.doc_id % 3 = 0 THEN CAST(0 AS BIGINT)
+       |             ELSE (CAST(1 AS BIGINT) << CAST((d.doc_id * 7) % 60 AS INT))
+       |        END) AS phash
+       |  FROM documents d
+       |  JOIN documents s ON s.doc_id = d.doc_id - d.doc_id % 3),
+       |bands AS (
+       |  SELECT media_id, phash, band,
+       |    (phash >> ($PhashBandBits * band)) & ${(1 << PhashBandBits) - 1} AS bv
+       |  FROM assets, unnest(range(0, $PhashBands)) AS t(band)),
+       |cand AS (
+       |  SELECT DISTINCT a.media_id AS a_id, b.media_id AS b_id,
+       |    a.phash AS pa, b.phash AS pb
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bv = b.bv AND a.media_id < b.media_id)
+       |SELECT a_id, b_id, CAST(bit_count(xor(pa, pb)) AS INT) AS hamming
+       |FROM cand
+       |WHERE bit_count(xor(pa, pb)) <= $PhashRadius
+       |ORDER BY a_id, b_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "media_phash_neardup" -> (phashNearDup _),
     "media_shape_buckets" -> (shapeBuckets _),
     "media_frame_dedup" -> (frameDedup _),
     "media_dedup" -> (mediaDedup _),
@@ -310,6 +390,7 @@ object MultimodalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "media_phash_neardup" -> phashNearDupSql,
     "media_shape_buckets" -> shapeBucketsSql,
     "media_frame_dedup" -> frameDedupSql,
     "media_dedup" -> mediaDedupSql,

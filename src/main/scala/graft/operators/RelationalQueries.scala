@@ -1507,7 +1507,63 @@ object RelationalQueries {
        |FROM filled ORDER BY bucket""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // Charter: z-score anomaly audit — per event type, how many events sit
+  // beyond 3σ / 5σ of that type's value distribution (the metric-stream
+  // outlier gate a relay consumer alarms on; reference analog: the
+  // per-type event accounting in runner.go's poll loop). All flags are
+  // decided in EXACT integer math — micro-unit values, decimal(38,0)
+  // co-moments, and the z² comparison cross-multiplied so no division,
+  // sqrt, or float compare can flip a row between engines:
+  //     z² > t²  ⇔  (n·v − S₁)² > t²·(n·S₂ − S₁²).
+  // Two passes over a 2-column slice of events: one |types|-row exact
+  // aggregate (map-side combined), then a broadcast join of those ≤5
+  // rows back onto the stream — no per-row shuffle, order-independent,
+  // and the same shape a 1000-executor run wants (stats rows are tiny;
+  // the event scan is embarrassingly parallel).
+  // -------------------------------------------------------------------
+  def anomalyZscore(s: SparkSession, d: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val ev = events(s, d).select(col("event_type"),
+      round(col("value") * 1000000).cast("long").as("v"))
+    val stats = ev.groupBy(col("event_type").as("st_type")).agg(
+      count(lit(1)).as("n"),
+      sum(col("v").cast(dec)).as("s1"),
+      // v ≤ ~5e8 micro-units so v² ≤ ~2.5e17 fits a long; the SUM runs
+      // in decimal(38,0) so the accumulator cannot overflow at any SF
+      sum((col("v") * col("v")).cast(dec)).as("s2"))
+    val dev = col("n").cast(dec) * col("v") - col("s1")
+    val varN2 = col("n").cast(dec) * col("s2") - col("s1") * col("s1")
+    ev.join(broadcast(stats), col("event_type") === col("st_type"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(dev * dev > varN2 * 9, 1L).otherwise(0L)).as("n_out3"),
+        sum(when(dev * dev > varN2 * 25, 1L).otherwise(0L)).as("n_out5"),
+        sum(when(dev * dev > varN2 * 9, col("v")).otherwise(0L))
+          .as("sum_out_v_micro"))
+      .orderBy("event_type")
+  }
+
+  val anomalyZscoreSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, CAST(round(value * 1000000) AS BIGINT) AS v
+      |  FROM events),
+      |st AS (
+      |  SELECT event_type, count(*) AS n, sum(v) AS s1, sum(v * v) AS s2
+      |  FROM ev GROUP BY event_type)
+      |SELECT ev.event_type,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(CASE WHEN (n * v - s1) * (n * v - s1) > 9 * (n * s2 - s1 * s1)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_out3,
+      |  CAST(sum(CASE WHEN (n * v - s1) * (n * v - s1) > 25 * (n * s2 - s1 * s1)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_out5,
+      |  CAST(sum(CASE WHEN (n * v - s1) * (n * v - s1) > 9 * (n * s2 - s1 * s1)
+      |    THEN v ELSE 0 END) AS BIGINT) AS sum_out_v_micro
+      |FROM ev JOIN st USING (event_type)
+      |GROUP BY ev.event_type ORDER BY ev.event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_anomaly_zscore" -> (anomalyZscore _),
     "rel_gap_fill" -> (gapFill _),
     "rel_pseudonymize" -> (pseudonymize _),
     "rel_key_skew" -> (keySkew _),
@@ -1562,6 +1618,7 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "rel_anomaly_zscore" -> anomalyZscoreSql,
     "rel_gap_fill" -> gapFillSql,
     "rel_pseudonymize" -> pseudonymizeSql,
     "rel_key_skew" -> keySkewSql,

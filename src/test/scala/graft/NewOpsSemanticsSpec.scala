@@ -421,4 +421,46 @@ class NewOpsSemanticsSpec extends AnyFunSuite {
         r.getAs[Double]("recall_at_10"))).toSeq
     assert(rows === Seq((8, 5L, 0.5), (16, 10L, 1.0), (32, 10L, 1.0)))
   }
+
+  // ---- rel_anomaly_zscore -------------------------------------------
+
+  test("anomaly zscore: one planted spike flags at both 3σ and 5σ; " +
+    "a zero-variance type flags nothing (division-free z² form)") {
+    val dir = tmp("anomaly")
+    import spark.implicits._
+    // type a: 100 quiet rows + one 1000.0 spike (z ≈ 9.9); type b:
+    // constant — σ = 0 makes a naive z = dev/σ divide by zero, while the
+    // cross-multiplied form 0 > 0 is simply false for every row
+    val rows = ((1 to 100).map(i => (i.toLong, i.toLong * 1000000000L, "a", 10.0)) ++
+      Seq((101L, 101L * 1000000000L, "a", 1000.0)) ++
+      (1 to 8).map(i => (200L + i, (200L + i) * 1000000000L, "b", 42.5)))
+      .toDF("event_id", "ts", "event_type", "value")
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("rel_anomaly_zscore")(spark, dir)
+      .collect().map(r => (r.getAs[String]("event_type"),
+        r.getAs[Long]("n_events"), r.getAs[Long]("n_out3"),
+        r.getAs[Long]("n_out5"), r.getAs[Long]("sum_out_v_micro"))).toSeq
+    assert(got === Seq(("a", 101L, 1L, 1L, 1000000000L),
+      ("b", 8L, 0L, 0L, 0L)))
+  }
+
+  // ---- media_phash_neardup ------------------------------------------
+
+  test("phash neardup: within-group pairs surface with exact Hamming " +
+    "distances, no cross-group pairs, 2-bit pairs survive banding") {
+    // groups {0,1,2} and {3,4,5}: anchor unperturbed, members flip bit
+    // (id*7 % 60) — anchor pairs at Hamming 1, member-member at 2 (the
+    // radius), which the 3×20-bit banding must still catch (pigeonhole)
+    val dir = writeDocs(Seq(
+      (0L, "s", "the quick brown fox jumps over the lazy dog"),
+      (1L, "s", "ignored - reads the anchor's bytes"),
+      (2L, "s", "ignored - reads the anchor's bytes"),
+      (3L, "s", "a completely different source payload for group two"),
+      (4L, "s", "ignored"), (5L, "s", "ignored")))
+    val got = SparkEntry.queries("media_phash_neardup")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Int]("hamming"))).toSeq
+    assert(got === Seq((0L, 1L, 1), (0L, 2L, 1), (1L, 2L, 2),
+      (3L, 4L, 1), (3L, 5L, 1), (4L, 5L, 2)))
+  }
 }
