@@ -3024,7 +3024,195 @@ object TextQueries {
       |    AS waste_ratio
       |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  // -------------------------------------------------------------------
+  // B28: inverted index — term -> (document frequency, total term
+  // frequency, capped postings list), the core retrieval/search-index
+  // primitive over a training corpus. The scale problem is hot terms:
+  // in this corpus EVERY term appears in ~all documents, so a naive
+  // collect_list-then-truncate per term holds an unbounded |postings|
+  // buffer in one aggregation group. Instead a two-level tournament
+  // bounds state everywhere: level 1 groups by (term, doc_id mod 16)
+  // and keeps only the 10 smallest doc_ids per salt group; level 2
+  // merges the <= 16 bounded partial lists per term. Per-group state is
+  // <= 160 ids regardless of term hotness, and both levels are ordinary
+  // hash aggregations (map-side partials, AQE-splittable shuffles).
+  // -------------------------------------------------------------------
+  def invertedIndex(s: SparkSession, d: String): DataFrame = {
+    val td = documents(s, d)
+      .select(col("doc_id"), explode(toks).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    val part = td
+      .groupBy(col("term"), pmod(col("doc_id"), lit(16)).as("salt"))
+      .agg(
+        slice(array_sort(collect_list(col("doc_id"))), 1, 10).as("post_part"),
+        count(lit(1)).as("df_part"),
+        sum("tf").as("tf_part"))
+    part.groupBy("term")
+      .agg(
+        slice(array_sort(flatten(collect_list(col("post_part")))), 1, 10)
+          .as("postings"),
+        sum("df_part").as("df"),
+        sum("tf_part").as("total_tf"))
+      .orderBy(col("df").desc, col("term")).limit(50)
+  }
+
+  val invertedIndexSql: String =
+    """WITH td AS (
+      |  SELECT term, doc_id, count(*) AS tf FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |    FROM documents)
+      |  WHERE term <> '' GROUP BY term, doc_id)
+      |SELECT term, (list_sort(list(doc_id)))[1:10] AS postings,
+      |  count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf
+      |FROM td GROUP BY term ORDER BY df DESC, term LIMIT 50""".stripMargin
+
+  // -------------------------------------------------------------------
+  // B28/B29: BM25 ranked retrieval for a fixed query set — the standard
+  // lexical scorer used to mine hard negatives and build retrieval eval
+  // sets from a training corpus (Robertson's Okapi BM25, k1=1.2,
+  // b=0.75, idf = ln(1 + (N - df + 0.5)/(df + 0.5))).
+  //
+  // Scale shape: the corpus explode is pruned by a broadcast join
+  // against the tiny query-term relation BEFORE any aggregation, so
+  // only rows whose term appears in some query survive past the scan;
+  // df and the corpus stats are broadcast back; the final top-10 is a
+  // rank over (query, rounded score, doc) — deterministic across
+  // engines because the window orders on the already-rounded score.
+  // -------------------------------------------------------------------
+  private val Bm25Queries: Seq[(Int, Seq[String])] = Seq(
+    1 -> Seq("hash", "join", "merge"),
+    2 -> Seq("window", "sort", "order"),
+    3 -> Seq("spark", "stream", "batch"))
+
+  def bm25(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d)
+    val qt = Bm25Queries
+      .flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .toDF("query_id", "term")
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      avg(size(toks)).as("avgdl"))
+    val tf = docs
+      .select(col("doc_id"), size(toks).as("dl"), explode(toks).as("term"))
+      .filter(col("term") =!= "")
+      .join(broadcast(qt), "term")
+      .groupBy("query_id", "term", "doc_id", "dl")
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.select("term", "doc_id").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    // identical literal structure to the DuckDB oracle so the float ops
+    // agree to well under the round(6): idf * tf*(k1+1) / (tf + k1*(1-b
+    // + b*dl/avgdl))
+    val idf = log(lit(1.0d) +
+      (col("n_docs") - col("df") + lit(0.5d)) / (col("df") + lit(0.5d)))
+    val score = idf * (col("tf") * lit(2.2d)) /
+      (col("tf") + lit(1.2d) *
+        (lit(0.25d) + lit(0.75d) * col("dl") / col("avgdl")))
+    val perDoc = tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("s", score)
+      .groupBy("query_id", "doc_id").agg(round(sum("s"), 6).as("score"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id"))
+    perDoc.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select("query_id", "rank", "doc_id", "score")
+      .orderBy("query_id", "rank")
+  }
+
+  val bm25Sql: String = {
+    val vals = Bm25Queries
+      .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }
+      .mkString(", ")
+    s"""WITH q(query_id, term) AS (VALUES $vals),
+       |stats AS (SELECT count(*) AS n_docs,
+       |  avg(len(string_split(text, ' '))) AS avgdl FROM documents),
+       |tf AS (
+       |  SELECT query_id, term, doc_id, dl, count(*) AS tf FROM (
+       |    SELECT doc_id, len(string_split(text, ' ')) AS dl,
+       |      unnest(string_split(text, ' ')) AS term FROM documents) t
+       |  JOIN q USING (term) WHERE term <> ''
+       |  GROUP BY query_id, term, doc_id, dl),
+       |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf
+       |       GROUP BY term),
+       |sc AS (
+       |  SELECT query_id, doc_id,
+       |    round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+       |      * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6)
+       |      AS score
+       |  FROM tf JOIN df USING (term), stats GROUP BY query_id, doc_id)
+       |SELECT query_id, rank, doc_id, score FROM (
+       |  SELECT query_id, doc_id, score,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, doc_id) AS INT) AS rank FROM sc)
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // B28: PMI collocations — adjacent word pairs that co-occur far more
+  // than their unigram frequencies predict (pointwise mutual
+  // information), the classic phrase/term-of-art detector for corpus
+  // analysis. PMI is computed in LOG domain — ln(c_xy) + 2 ln(n_uni) −
+  // ln(c_x) − ln(c_y) − ln(n_big) — because the ratio's numerator
+  // (c_xy · n_uni²) overflows int64 once the corpus passes ~10^6
+  // tokens; log-domain is exact-enough (rounded to 6) and scale-free.
+  // The bigram totals reuse the bigram aggregation's exchange (the
+  // tfidf discipline: reference the aggregated column so the two
+  // subplans stay canonical-equal) instead of re-exploding the corpus.
+  // -------------------------------------------------------------------
+  def collocations(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val big = docs.select(explode(
+        call_function("word_shingles", col("text"), lit(2), lit(false)))
+        .as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c_xy"))
+    val uni = docs.select(explode(toks).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val nBig = big.where(col("c_xy") > 0).agg(sum("c_xy").as("n_big"))
+    val nUni = uni.where(col("c") > 0).agg(sum("c").as("n_uni"))
+    val pmi = round(log(col("c_xy")) + lit(2.0d) * log(col("n_uni")) -
+      log(col("c_x")) - log(col("c_y")) - log(col("n_big")), 6)
+    big
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+      .join(uni.select(col("w").as("w1"), col("c").as("c_x")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c_y")), "w2")
+      .crossJoin(broadcast(nBig))
+      .crossJoin(broadcast(nUni))
+      .filter(col("c_xy") >= 5)
+      .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"),
+        pmi.as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2")).limit(20)
+  }
+
+  val collocationsSql: String =
+    """WITH t AS (SELECT string_split(text, ' ') AS t FROM documents),
+      |big AS (
+      |  SELECT bg, count(*) AS c_xy FROM (
+      |    SELECT unnest(list_transform(range(1, len(t)),
+      |      i -> t[i] || ' ' || t[i + 1])) AS bg FROM t
+      |    WHERE len(t) >= 2)
+      |  GROUP BY bg),
+      |uni AS (SELECT w, count(*) AS c FROM (
+      |    SELECT unnest(t) AS w FROM t) WHERE w <> '' GROUP BY w),
+      |tot AS (SELECT (SELECT CAST(sum(c_xy) AS BIGINT) FROM big) AS n_big,
+      |               (SELECT CAST(sum(c) AS BIGINT) FROM uni) AS n_uni)
+      |SELECT string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2,
+      |  c_xy, u1.c AS c_x, u2.c AS c_y,
+      |  round(ln(c_xy) + 2.0 * ln(n_uni) - ln(u1.c) - ln(u2.c)
+      |    - ln(n_big), 6) AS pmi
+      |FROM big
+      |JOIN uni u1 ON string_split(bg, ' ')[1] = u1.w
+      |JOIN uni u2 ON string_split(bg, ' ')[2] = u2.w, tot
+      |WHERE c_xy >= 5
+      |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_inverted_index" -> (invertedIndex _),
+    "text_bm25" -> (bm25 _),
+    "text_collocations" -> (collocations _),
     "text_bpe_pairs" -> (bpePairs _),
     "text_bpe_merge2" -> (bpeMerge2 _),
     "train_split_assign" -> (splitAssign _),
@@ -3079,6 +3267,9 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_inverted_index" -> invertedIndexSql,
+    "text_bm25" -> bm25Sql,
+    "text_collocations" -> collocationsSql,
     "text_bpe_pairs" -> bpePairsSql,
     "text_bpe_merge2" -> bpeMerge2Sql,
     "train_split_assign" -> splitAssignSql,

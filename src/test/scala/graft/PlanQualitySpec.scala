@@ -328,7 +328,9 @@ class PlanQualitySpec extends AnyFunSuite {
       "media_shape_buckets", // 1-row global-max-resolution aggregate
       "train_epoch_plan", // 1-row source-count aggregate
       "rel_funnel", "rel_profile", // 1-row stage-count aggregates
-      "rel_key_skew") // 1-row totals x top-10 x hot-key count
+      "rel_key_skew", // 1-row totals x top-10 x hot-key count
+      "text_bm25", // 1-row (n_docs, avgdl) corpus stats
+      "text_collocations") // 1-row bigram/unigram totals
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = physical(fn(spark, sf))
