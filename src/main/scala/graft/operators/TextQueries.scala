@@ -3209,7 +3209,237 @@ object TextQueries {
       |WHERE c_xy >= 5
       |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin
 
+  // -------------------------------------------------------------------
+  // B28: skip-gram pairs — (center, context) co-occurrence counts
+  // within a ±2 token window, the word2vec/SGNS training-pair
+  // generation step. Each position emits its ≤4 context pairs via an
+  // index-aware array transform (LINEAR in corpus size — no per-doc
+  // positional self-join, which would be quadratic in document length),
+  // then one hash aggregation and a TakeOrdered top-30 cut.
+  // -------------------------------------------------------------------
+  def skipgrams(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(toks.as("t"))
+      .select(explode(expr(
+        """flatten(transform(t, (x, i) ->
+          |  transform(
+          |    filter(sequence(greatest(0, i - 2), least(size(t) - 1, i + 2)),
+          |           j -> j != i),
+          |    j -> struct(x AS w1, element_at(t, j + 1) AS w2))))""".stripMargin))
+        .as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .filter(col("w1") =!= "" && col("w2") =!= "")
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w1"), col("w2")).limit(30)
+
+  val skipgramsSql: String =
+    """WITH t AS (SELECT string_split(text, ' ') AS t FROM documents),
+      |p AS (
+      |  SELECT unnest(flatten(list_transform(range(1, len(t) + 1), i ->
+      |    list_transform(
+      |      list_filter(range(greatest(1, i - 2), least(len(t), i + 2) + 1),
+      |                  j -> j <> i),
+      |      j -> {'w1': t[i], 'w2': t[j]})))) AS p
+      |  FROM t)
+      |SELECT p['w1'] AS w1, p['w2'] AS w2, count(*) AS n FROM p
+      |WHERE p['w1'] <> '' AND p['w2'] <> ''
+      |GROUP BY w1, w2 ORDER BY n DESC, w1, w2 LIMIT 30""".stripMargin
+
+  // -------------------------------------------------------------------
+  // B28: per-document character entropy — the classic gibberish /
+  // binary-junk detector for corpus curation (low entropy = repeated
+  // filler, high entropy = random bytes). H = ln(n) − Σ c·ln(c)/n over
+  // exact integer character counts, so the only float work is the final
+  // ln/divide (rounded to 6). One explode + two hash aggregations, no
+  // joins; the native char_ngrams(…, 1) expression keeps the per-char
+  // explode inside codegen.
+  // -------------------------------------------------------------------
+  def charEntropy(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"),
+        explode(call_function("char_ngrams", col("text"), lit(1),
+          lit(false))).as("ch"))
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_chars_counted"),
+        count(lit(1)).as("n_distinct_chars"),
+        round(log(sum("c")) -
+          sum(col("c").cast("double") * log(col("c"))) / sum("c"), 6)
+          .as("entropy"))
+      .orderBy("doc_id")
+
+  val charEntropySql: String =
+    """WITH cc AS (
+      |  SELECT doc_id, ch, count(*) AS c FROM (
+      |    SELECT doc_id, unnest(string_split_regex(text, '')) AS ch
+      |    FROM documents)
+      |  GROUP BY doc_id, ch)
+      |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars_counted,
+      |  count(*) AS n_distinct_chars,
+      |  round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy
+      |FROM cc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Training pipeline: per-source median quality gate — "keep each
+  // source's better half", the relative quality filter used when
+  // sources have incomparable score distributions (an absolute
+  // threshold keeps 99% of one source and 4% of another). The median
+  // comes from a FIXED-GRID histogram (scores rounded to 3 decimals →
+  // ≤ ~1001 buckets per source), so the cumulative-sum window runs over
+  // the tiny histogram, never over per-document rows — the shape that
+  // survives a source with 10^10 documents. Grid precision (0.001) is
+  // the documented approximation; the gate itself compares the SAME
+  // rounded score, so keep decisions are exact wrt the gridded median.
+  // -------------------------------------------------------------------
+  def qualityGate(s: SparkSession, d: String): DataFrame = {
+    val len = length(col("text")).cast("double")
+    val nAlpha =
+      length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double")
+    val nDigit =
+      length(regexp_replace(col("text"), "[^0-9]", "")).cast("double")
+    val nSpace =
+      length(regexp_replace(col("text"), "[^ ]", "")).cast("double")
+    val nPunct = len - nAlpha - nDigit - nSpace
+    val wordLen = (len - nSpace) / (nSpace + lit(1.0))
+    val score = (nAlpha / len) * lit(0.6) +
+      (lit(1.0) - nPunct / len) * lit(0.3) +
+      when(wordLen >= 3 && wordLen <= 10, lit(0.1)).otherwise(lit(0.0))
+    val scored = documents(s, d).select(col("source"),
+      size(toks).cast("long").as("n_toks"), round(score, 3).as("q"))
+    val hist = scored.groupBy("source", "q").agg(count(lit(1)).as("c"))
+    val cumW = Window.partitionBy("source").orderBy("q")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totW = Window.partitionBy("source")
+    // lower median: smallest grid value whose cumulative count reaches
+    // half the source's documents
+    val med = hist
+      .withColumn("cum", sum("c").over(cumW))
+      .withColumn("tot", sum("c").over(totW))
+      .filter(col("cum") * 2 >= col("tot"))
+      .groupBy("source").agg(min("q").as("median_q"))
+    scored.join(broadcast(med), "source")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("q") >= col("median_q"), 1L).otherwise(0L))
+          .as("n_kept"),
+        sum(when(col("q") >= col("median_q"), col("n_toks"))
+          .otherwise(0L)).as("kept_tokens"),
+        max("median_q").as("median_q"))
+      .withColumn("kept_ratio",
+        round(col("n_kept").cast("double") / col("n_docs"), 6))
+      .select("source", "n_docs", "n_kept", "kept_ratio", "kept_tokens",
+        "median_q")
+      .orderBy("source")
+  }
+
+  val qualityGateSql: String =
+    """WITH scored AS (
+      |  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+      |    round((nalpha / len) * 0.6
+      |      + (1.0 - (len - nalpha - ndigit - nspace) / len) * 0.3
+      |      + (CASE WHEN (len - nspace) / (nspace + 1.0) >= 3
+      |               AND (len - nspace) / (nspace + 1.0) <= 10
+      |              THEN 0.1 ELSE 0.0 END), 3) AS q
+      |  FROM (
+      |    SELECT source, text,
+      |      CAST(length(text) AS DOUBLE) AS len,
+      |      CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS nalpha,
+      |      CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS ndigit,
+      |      CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE) AS nspace
+      |    FROM documents)),
+      |hist AS (SELECT source, q, count(*) AS c FROM scored GROUP BY source, q),
+      |med AS (
+      |  SELECT source, min(q) AS median_q FROM (
+      |    SELECT source, q,
+      |      sum(c) OVER (PARTITION BY source ORDER BY q
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |      sum(c) OVER (PARTITION BY source) AS tot
+      |    FROM hist)
+      |  WHERE cum * 2 >= tot GROUP BY source)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN q >= median_q THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_kept,
+      |  round(CAST(sum(CASE WHEN q >= median_q THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / count(*), 6) AS kept_ratio,
+      |  CAST(sum(CASE WHEN q >= median_q THEN n_toks ELSE 0 END) AS BIGINT)
+      |    AS kept_tokens,
+      |  max(median_q) AS median_q
+      |FROM scored JOIN med USING (source)
+      |GROUP BY source ORDER BY source""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Dedup: edit-distance-verified near-dup pairs — MinHash-LSH
+  // candidates (the same 4-band signature join as dedup_neardup_pairs)
+  // re-verified with NORMALIZED LEVENSHTEIN distance instead of shingle
+  // Jaccard. Edit distance catches character-level rewrites (typo
+  // injection, token-internal edits) that token-shingle Jaccard treats
+  // as wholly different shingles. Levenshtein is O(len²) per pair, so
+  // verification runs on a fixed 200-char prefix — bounded 40k char-ops
+  // per candidate regardless of document length — and only over LSH
+  // candidates, never all pairs. norm_dist = dist / max(prefix lens).
+  // -------------------------------------------------------------------
+  def editVerify(s: SparkSession, d: String): DataFrame = {
+    val sigs = minhashSignatures(s, d)
+    val bandKeys = array((0 until 4).map { b =>
+      concat_ws("_", col(s"sig_${2 * b}"), col(s"sig_${2 * b + 1}"))
+    }: _*)
+    val bands = sigs.select(col("doc_id"),
+      posexplode(bandKeys).as(Seq("band", "bkey")))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val prefix = documents(s, d).select(col("doc_id"),
+      substring(col("text"), 1, 200).as("p"),
+      length(col("text")).as("len"))
+    cand
+      .join(prefix.select(col("doc_id").as("doc_a"), col("p").as("pa"),
+        col("len").as("len_a")), "doc_a")
+      .join(prefix.select(col("doc_id").as("doc_b"), col("p").as("pb"),
+        col("len").as("len_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("len_a"), col("len_b"),
+        levenshtein(col("pa"), col("pb")).as("edit_dist"))
+      .withColumn("norm_dist", round(col("edit_dist").cast("double") /
+        greatest(least(col("len_a"), lit(200)),
+          least(col("len_b"), lit(200)), lit(1)), 6))
+      .withColumn("is_dup", col("norm_dist") <= 0.2)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val editVerifySql: String = {
+    val sigsSql = minhashSignaturesSql.replace("ORDER BY doc_id", "")
+    s"""WITH sigs AS ($sigsSql),
+       |bands AS (
+       |  SELECT doc_id, 0 AS band, CAST(sig_0 AS VARCHAR) || '_' || CAST(sig_1 AS VARCHAR) AS bkey FROM sigs
+       |  UNION ALL SELECT doc_id, 1, CAST(sig_2 AS VARCHAR) || '_' || CAST(sig_3 AS VARCHAR) FROM sigs
+       |  UNION ALL SELECT doc_id, 2, CAST(sig_4 AS VARCHAR) || '_' || CAST(sig_5 AS VARCHAR) FROM sigs
+       |  UNION ALL SELECT doc_id, 3, CAST(sig_6 AS VARCHAR) || '_' || CAST(sig_7 AS VARCHAR) FROM sigs),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+       |pfx AS (SELECT doc_id, substr(text, 1, 200) AS p,
+       |        CAST(length(text) AS INT) AS len FROM documents)
+       |SELECT doc_a, doc_b, a.len AS len_a, b.len AS len_b,
+       |  CAST(levenshtein(a.p, b.p) AS INT) AS edit_dist,
+       |  round(CAST(levenshtein(a.p, b.p) AS DOUBLE) /
+       |    greatest(least(a.len, 200), least(b.len, 200), 1), 6)
+       |    AS norm_dist,
+       |  round(CAST(levenshtein(a.p, b.p) AS DOUBLE) /
+       |    greatest(least(a.len, 200), least(b.len, 200), 1), 6) <= 0.2
+       |    AS is_dup
+       |FROM cand
+       |JOIN pfx a ON doc_a = a.doc_id
+       |JOIN pfx b ON doc_b = b.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_edit_verify" -> (editVerify _),
+    "text_skipgrams" -> (skipgrams _),
+    "text_char_entropy" -> (charEntropy _),
+    "train_quality_gate" -> (qualityGate _),
     "text_inverted_index" -> (invertedIndex _),
     "text_bm25" -> (bm25 _),
     "text_collocations" -> (collocations _),
@@ -3267,6 +3497,10 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "dedup_edit_verify" -> editVerifySql,
+    "text_skipgrams" -> skipgramsSql,
+    "text_char_entropy" -> charEntropySql,
+    "train_quality_gate" -> qualityGateSql,
     "text_inverted_index" -> invertedIndexSql,
     "text_bm25" -> bm25Sql,
     "text_collocations" -> collocationsSql,

@@ -1376,7 +1376,52 @@ object VectorQueries {
        |ORDER BY g.dim""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // B29: embedding norm audit — the data-quality gate run before any
+  // similarity work: L2-norm distribution (quarter-unit histogram
+  // buckets), per-bucket norm range, and counts of the two poison rows
+  // (zero vectors, which NaN under cosine normalization, and NaN
+  // components, which silently propagate through every dot product).
+  // One shuffle on the tiny bucket key; norms computed once per row in
+  // the fused array_dot loop.
+  // -------------------------------------------------------------------
+  def normAudit(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(norm("embedding").as("nrm"),
+        expr("exists(embedding, x -> isnan(x))").as("has_nan"))
+      // NaN-norm rows land in a NULL bucket: ANSI mode (rightly)
+      // refuses to cast floor(NaN) to a long
+      .select(when(isnan(col("nrm")), lit(null))
+        .otherwise(floor(col("nrm") * lit(4.0)).cast("long")).as("bucket"),
+        round(col("nrm"), 6).as("nrm6"),
+        col("has_nan"),
+        (col("nrm") === lit(0.0)).as("is_zero"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        min("nrm6").as("min_norm"), max("nrm6").as("max_norm"),
+        sum(when(col("is_zero"), 1L).otherwise(0L)).as("n_zero"),
+        sum(when(col("has_nan"), 1L).otherwise(0L)).as("n_nan"))
+      .orderBy("bucket")
+
+  val normAuditSql: String = {
+    val d2 = dotSql("embedding", "embedding")
+    s"""WITH n AS (
+       |  SELECT sqrt($d2) AS nrm,
+       |    len(list_filter(embedding, x -> isnan(x))) > 0 AS has_nan
+       |  FROM embeddings)
+       |SELECT CASE WHEN isnan(nrm) THEN NULL
+       |            ELSE CAST(floor(nrm * 4.0) AS BIGINT) END AS bucket,
+       |  count(*) AS n,
+       |  min(round(nrm, 6)) AS min_norm, max(round(nrm, 6)) AS max_norm,
+       |  CAST(sum(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_zero,
+       |  CAST(sum(CASE WHEN has_nan THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_nan
+       |FROM n GROUP BY bucket ORDER BY bucket""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vec_norm_audit" -> (normAudit _),
     "vec_trunc_recall" -> (truncRecall _),
     "vec_recall_curve" -> (recallCurve _),
     "vec_knn_eval" -> (knnEval _),
@@ -1402,6 +1447,7 @@ object VectorQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "vec_norm_audit" -> normAuditSql,
     "vec_trunc_recall" -> truncRecallSql,
     "vec_recall_curve" -> recallCurveSql,
     "vec_knn_eval" -> knnEvalSql,
