@@ -378,7 +378,80 @@ object MultimodalQueries {
        |WHERE bit_count(xor(pa, pb)) <= $PhashRadius
        |ORDER BY a_id, b_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // M9: audio energy / voice-activity profile — the audio-modality
+  // curation gate: window the waveform, compute per-window amplitude,
+  // flag silence, and report per-asset speech ratio, peak, mean
+  // amplitude/energy, and the first voiced window (the leading-silence
+  // trim point every ASR pipeline applies before transcription). One
+  // explode fan-out (bounded: n_frames ≤ 30 windows/asset), per-asset
+  // re-aggregation on media_id — payloads never shuffle, and at 100 TB
+  // the window relation is (media_id, int) rows only.
+  //
+  // >>> STUB DECODE <<< : the per-window amplitude is an md5-derived
+  // integer k ∈ [0, 2^32) from (content checksum, window index); a real
+  // build computes RMS over decoded PCM samples. All downstream sums
+  // stay exact-integer (Σk as BIGINT, Σk² as DECIMAL(38,0) /
+  // HUGEINT) so the floating-point conversion happens once, on the
+  // final aggregate — deterministic across partitionings and engines.
+  // -------------------------------------------------------------------
+  private val SilenceK = 644245094L // floor(0.15 * 2^32): amp < 0.15
+
+  def audioEnergy(s: SparkSession, d: String): DataFrame = {
+    val assets = mediaTable(s, d)
+      .filter(col("format") === "wav")
+      .select(col("media_id"), md5(col("content")).as("cmd5"),
+        col("n_frames"))
+    val wins = assets
+      .select(col("media_id"),
+        explode(sequence(lit(0), col("n_frames") - 1)).as("w"),
+        col("cmd5"))
+      .select(col("media_id"), col("w"),
+        conv(substring(md5(concat(col("cmd5"), lit(":"),
+          col("w").cast("string"))), 1, 8), 16, 10).cast("long").as("k"))
+    wins
+      .groupBy("media_id")
+      .agg(
+        count(lit(1)).as("n_windows"),
+        sum(when(col("k") < SilenceK, 1L).otherwise(0L)).as("n_silent"),
+        min(when(col("k") >= SilenceK, col("w"))).as("first_voice_w"),
+        max(col("k")).as("peak_k"),
+        sum(col("k")).as("sum_k"),
+        sum(col("k").cast("decimal(19,0)") * col("k").cast("decimal(19,0)"))
+          .as("sum_k2"))
+      .select(col("media_id"), col("n_windows"), col("n_silent"),
+        round(lit(1.0) - col("n_silent").cast("double") / col("n_windows"), 6)
+          .as("speech_ratio"),
+        col("first_voice_w").cast("int").as("first_voice_w"),
+        round(col("peak_k").cast("double") / 4294967296.0, 6).as("peak_amp"),
+        round(col("sum_k").cast("double") / col("n_windows") / 4294967296.0, 6)
+          .as("mean_amp"),
+        round(col("sum_k2").cast("double") / col("n_windows")
+          / 1.8446744073709552e19, 6).as("mean_energy"))
+      .orderBy("media_id")
+  }
+
+  val audioEnergySql: String =
+    s"""WITH media AS ($mediaSql),
+       |assets AS (
+       |  SELECT media_id, md5(content_text) AS cmd5, n_frames
+       |  FROM media WHERE format = 'wav'),
+       |wins AS (
+       |  SELECT media_id, CAST(w AS INT) AS w,
+       |    CAST(('0x' || substr(md5(cmd5 || ':' || CAST(CAST(w AS INT) AS VARCHAR)), 1, 8)) AS BIGINT) AS k
+       |  FROM assets, unnest(range(0, CAST(n_frames AS BIGINT))) AS t(w))
+       |SELECT media_id, count(*) AS n_windows,
+       |  CAST(sum(CASE WHEN k < $SilenceK THEN 1 ELSE 0 END) AS BIGINT) AS n_silent,
+       |  round(1.0 - CAST(sum(CASE WHEN k < $SilenceK THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS speech_ratio,
+       |  CAST(min(CASE WHEN k >= $SilenceK THEN w END) AS INT) AS first_voice_w,
+       |  round(CAST(max(k) AS DOUBLE) / 4294967296.0, 6) AS peak_amp,
+       |  round(CAST(sum(k) AS DOUBLE) / count(*) / 4294967296.0, 6) AS mean_amp,
+       |  round(CAST(sum(CAST(k AS HUGEINT) * k) AS DOUBLE) / count(*)
+       |    / 1.8446744073709552e19, 6) AS mean_energy
+       |FROM wins GROUP BY media_id ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "media_audio_energy" -> (audioEnergy _),
     "media_phash_neardup" -> (phashNearDup _),
     "media_shape_buckets" -> (shapeBuckets _),
     "media_frame_dedup" -> (frameDedup _),
@@ -390,6 +463,7 @@ object MultimodalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "media_audio_energy" -> audioEnergySql,
     "media_phash_neardup" -> phashNearDupSql,
     "media_shape_buckets" -> shapeBucketsSql,
     "media_frame_dedup" -> frameDedupSql,

@@ -837,6 +837,49 @@ object RelationalQueries {
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // -------------------------------------------------------------------
+  // Charter: first-order Markov transition matrix over per-user event
+  // sequences — the behavioral-model fit (and anomaly baseline: a
+  // transition with near-zero probability is a bot/fraud signal) every
+  // event pipeline derives. Sequence order is (event time, event_id);
+  // the lag window shuffles once on user_id, then the transition counts
+  // aggregate onto the tiny (prev, next) domain with map-side partials,
+  // and the row-normalized probabilities ride a window over that same
+  // ≤|types|² relation — no second pass over events. Probabilities are
+  // exact-integer ratios rounded at the end.
+  // -------------------------------------------------------------------
+  def markovTransitions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("tus"), col("event_id"))
+    val trans = events(s, d)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tus"), col("event_type"))
+      .select(col("event_type").as("next_type"),
+        lag(col("event_type"), 1).over(w).as("prev_type"))
+      .filter(col("prev_type").isNotNull)
+      .groupBy("prev_type", "next_type")
+      .agg(count(lit(1)).as("n"))
+    trans
+      .select(col("prev_type"), col("next_type"), col("n"),
+        round(col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy("prev_type")).cast("double"), 6)
+          .as("prob"))
+      .orderBy("prev_type", "next_type")
+  }
+
+  val markovTransitionsSql: String =
+    """WITH seq AS (
+      |  SELECT event_type AS next_type,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS prev_type
+      |  FROM events),
+      |tr AS (
+      |  SELECT prev_type, next_type, count(*) AS n
+      |  FROM seq WHERE prev_type IS NOT NULL GROUP BY prev_type, next_type)
+      |SELECT prev_type, next_type, n,
+      |  round(CAST(n AS DOUBLE) /
+      |    CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE), 6) AS prob
+      |FROM tr ORDER BY prev_type, next_type""".stripMargin
+
+  // -------------------------------------------------------------------
   // B7+B18 composed: the TPC-H Q5 shape — a 6-table snowflake join.
   // region/nation/supplier are dimensions (broadcast); lineitem⋈orders
   // is the one big shuffle; customer-nation = supplier-nation enforces
@@ -1565,6 +1608,7 @@ object RelationalQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rel_anomaly_zscore" -> (anomalyZscore _),
     "rel_gap_fill" -> (gapFill _),
+    "rel_markov" -> (markovTransitions _),
     "rel_pseudonymize" -> (pseudonymize _),
     "rel_key_skew" -> (keySkew _),
     "rel_retention" -> (retention _),
@@ -1620,6 +1664,7 @@ object RelationalQueries {
   val oracles: Map[String, String] = Map(
     "rel_anomaly_zscore" -> anomalyZscoreSql,
     "rel_gap_fill" -> gapFillSql,
+    "rel_markov" -> markovTransitionsSql,
     "rel_pseudonymize" -> pseudonymizeSql,
     "rel_key_skew" -> keySkewSql,
     "rel_retention" -> retentionSql,

@@ -2919,6 +2919,149 @@ object TextQueries {
   }
 
   // -------------------------------------------------------------------
+  // Charter: deterministic shard assignment + balance audit — the
+  // write-path twin of train_split_assign: route every document to one
+  // of 16 output shards by a salted content-independent hash (stable
+  // under corpus growth and re-runs, unlike round-robin which reorders
+  // whenever upstream partitioning changes), then audit the balance the
+  // way a shard-writer must before committing a layout: per-shard doc
+  // and byte load factors vs the ideal 1/16 share, plus source spread.
+  // A load factor far from 1.0 means stragglers at training time. One
+  // corpus scan → 16 rows; totals ride a broadcast 1-row aggregate.
+  // -------------------------------------------------------------------
+  private val Shards = 16
+
+  def shardBalance(s: SparkSession, d: String): DataFrame = {
+    val sh = pmod(h60(concat(lit("shard-v1:"), col("doc_id").cast("string"))),
+      lit(Shards.toLong))
+    val agg = documents(s, d)
+      .select(sh.as("shard"), col("source"), col("n_chars"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        countDistinct(col("source")).as("n_sources"))
+    val tot = agg.agg(sum(col("n_docs")).as("td"),
+      sum(col("sum_chars")).as("tc"))
+    agg.crossJoin(broadcast(tot))
+      .select(col("shard"), col("n_docs"), col("sum_chars"), col("n_sources"),
+        round(col("n_docs").cast("double") * Shards / col("td").cast("double"),
+          6).as("doc_load_factor"),
+        round(col("sum_chars").cast("double") * Shards /
+          col("tc").cast("double"), 6).as("char_load_factor"))
+      .orderBy("shard")
+  }
+
+  val shardBalanceSql: String = {
+    val sh =
+      s"((${h60Sql("'shard-v1:' || CAST(doc_id AS VARCHAR)")} % $Shards) + $Shards) % $Shards"
+    s"""WITH agg AS (
+       |  SELECT $sh AS shard, count(*) AS n_docs,
+       |    CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       |    count(DISTINCT source) AS n_sources
+       |  FROM documents GROUP BY shard),
+       |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS td,
+       |        CAST(sum(sum_chars) AS BIGINT) AS tc FROM agg)
+       |SELECT shard, n_docs, sum_chars, n_sources,
+       |  round(CAST(n_docs AS DOUBLE) * $Shards / CAST(td AS DOUBLE), 6)
+       |    AS doc_load_factor,
+       |  round(CAST(sum_chars AS DOUBLE) * $Shards / CAST(tc AS DOUBLE), 6)
+       |    AS char_load_factor
+       |FROM agg, tot ORDER BY shard""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // Charter: vocabulary-growth (Heaps' law) curve — the corpus-level
+  // complement of text_zipf_fit: bucket the corpus into 10 equal
+  // doc_id ranges (the ingestion order), count tokens and FIRST-SEEN
+  // vocabulary per bucket, and fit the local Heaps exponent β between
+  // consecutive cumulative points (V ∝ N^β, β ≈ 0.4-0.6 for natural
+  // text; β near 1 means the "vocabulary" never saturates — an id/hash
+  // contamination signal, β near 0 means template spam). New-term
+  // attribution uses min(bucket) per term — one |vocab|-keyed shuffle —
+  // and the bucket boundary comes from a broadcast 1-row max, not a
+  // global sort. The final cumulative window runs over 10 rows.
+  // -------------------------------------------------------------------
+  private val VocabBuckets = 10
+
+  def vocabGrowth(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val mx = docs.agg(max(col("doc_id")).as("mx"))
+    val tokens = docs.crossJoin(broadcast(mx))
+      .select(expr(s"(doc_id * $VocabBuckets) div (mx + 1)").as("bucket"),
+        explode(toks).as("term"))
+      .filter(col("term") =!= "")
+    val perBucket = tokens.groupBy("bucket")
+      .agg(count(lit(1)).as("n_tokens"))
+    val newTerms = tokens.groupBy("term").agg(min(col("bucket")).as("fb"))
+      .groupBy(col("fb").as("bucket"))
+      .agg(count(lit(1)).as("new_terms"))
+    import s.implicits._
+    val buckets = (0L until VocabBuckets.toLong).toDF("bucket")
+    val wc = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wl = Window.orderBy("bucket")
+    val joined = buckets
+      .join(perBucket, Seq("bucket"), "left")
+      .join(newTerms, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("new_terms"), lit(0L)).as("new_terms"))
+      .select(col("bucket"), col("n_tokens"), col("new_terms"),
+        sum(col("n_tokens")).over(wc).as("cum_tokens"),
+        sum(col("new_terms")).over(wc).as("cum_vocab"))
+    joined
+      .select(col("bucket"), col("n_tokens"), col("new_terms"),
+        col("cum_tokens"), col("cum_vocab"),
+        lag(col("cum_tokens"), 1).over(wl).as("pn"),
+        lag(col("cum_vocab"), 1).over(wl).as("pv"))
+      .select(col("bucket"), col("n_tokens"), col("new_terms"),
+        col("cum_tokens"), col("cum_vocab"),
+        when(col("pn").isNotNull && col("cum_tokens") > col("pn") &&
+          col("pv") > 0,
+          round(log(col("cum_vocab").cast("double") / col("pv").cast("double")) /
+            log(col("cum_tokens").cast("double") / col("pn").cast("double")), 6))
+          .as("heaps_beta"))
+      .orderBy("bucket")
+  }
+
+  val vocabGrowthSql: String =
+    s"""WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+       |tok AS (
+       |  SELECT (doc_id * $VocabBuckets) // (mx + 1) AS bucket,
+       |    unnest(string_split(text, ' ')) AS term
+       |  FROM documents, mx),
+       |tokf AS (SELECT bucket, term FROM tok WHERE term <> ''),
+       |pb AS (SELECT bucket, count(*) AS n_tokens FROM tokf GROUP BY bucket),
+       |nt AS (
+       |  SELECT bucket, count(*) AS new_terms FROM (
+       |    SELECT term, min(bucket) AS bucket FROM tokf GROUP BY term)
+       |  GROUP BY bucket),
+       |grid AS (SELECT unnest(range(0, $VocabBuckets)) AS bucket),
+       |cum AS (
+       |  SELECT g.bucket AS bucket,
+       |    coalesce(pb.n_tokens, 0) AS n_tokens,
+       |    coalesce(nt.new_terms, 0) AS new_terms,
+       |    CAST(sum(coalesce(pb.n_tokens, 0)) OVER (ORDER BY g.bucket
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum_tokens,
+       |    CAST(sum(coalesce(nt.new_terms, 0)) OVER (ORDER BY g.bucket
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum_vocab
+       |  FROM grid g LEFT JOIN pb ON pb.bucket = g.bucket
+       |    LEFT JOIN nt ON nt.bucket = g.bucket),
+       |lagd AS (
+       |  SELECT *, lag(cum_tokens) OVER (ORDER BY bucket) AS pn,
+       |    lag(cum_vocab) OVER (ORDER BY bucket) AS pv
+       |  FROM cum)
+       |SELECT bucket, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(new_terms AS BIGINT) AS new_terms, cum_tokens, cum_vocab,
+       |  CASE WHEN pn IS NOT NULL AND cum_tokens > pn AND pv > 0 THEN
+       |    round(ln(CAST(cum_vocab AS DOUBLE) / CAST(pv AS DOUBLE)) /
+       |      ln(CAST(cum_tokens AS DOUBLE) / CAST(pn AS DOUBLE)), 6)
+       |  END AS heaps_beta
+       |FROM lagd ORDER BY bucket""".stripMargin
+
+  // -------------------------------------------------------------------
   // Charter: two unrolled BPE iterations — find the top merge pair,
   // APPLY it across the vocabulary (greedy left-to-right replace with a
   // single-char marker, exactly a BPE implementation's merge), and
@@ -3446,6 +3589,8 @@ object TextQueries {
     "text_bpe_pairs" -> (bpePairs _),
     "text_bpe_merge2" -> (bpeMerge2 _),
     "train_split_assign" -> (splitAssign _),
+    "train_shard_balance" -> (shardBalance _),
+    "text_vocab_growth" -> (vocabGrowth _),
     "train_epoch_plan" -> (epochPlan _),
     "train_length_buckets" -> (lengthBuckets _),
     "dedup_substring" -> (substringDedup _),
@@ -3507,6 +3652,8 @@ object TextQueries {
     "text_bpe_pairs" -> bpePairsSql,
     "text_bpe_merge2" -> bpeMerge2Sql,
     "train_split_assign" -> splitAssignSql,
+    "train_shard_balance" -> shardBalanceSql,
+    "text_vocab_growth" -> vocabGrowthSql,
     "train_epoch_plan" -> epochPlanSql,
     "train_length_buckets" -> lengthBucketsSql,
     "dedup_substring" -> substringDedupSql,

@@ -1420,7 +1420,163 @@ object VectorQueries {
        |FROM n GROUP BY bucket ORDER BY bucket""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // B29: Johnson-Lindenstrauss random projection — the standard
+  // dimensionality-reduction preconditioner for 100 TB-scale similarity
+  // work (project 64 → 8 dims with a ±1 sign matrix, then run the cheap
+  // ANN passes in the reduced space). This operator both APPLIES the
+  // projection and AUDITS it: for each adjacent-id pair it compares the
+  // projected distance (scaled by 1/√k, the JL normalizer for ±1
+  // entries) against the true distance and histograms the distortion
+  // ratio in 0.05 buckets — the report that tells you whether k was
+  // large enough before you commit the reduced vectors to the index.
+  //
+  // Scale shape: the sign matrix is k×64 literals baked into the plan
+  // (no broadcast, no driver state); the pairing is one equi-join on
+  // pair_id (at production scale: a self-join on a precomputed pair
+  // relation); the histogram aggregate is ≤ ~40 buckets. All arithmetic
+  // is double with a fixed left-associated order shared with the
+  // oracle, so the 6-decimal-rounded ratios are bit-identical.
+  // -------------------------------------------------------------------
+  private val RpDims = 8
+
+  /** Deterministic ±1 sign matrix, md5-derived like [[planeNumerators]]
+    * (parity of the 60-bit digest prefix of "rp j:i"). */
+  private[operators] lazy val rpSigns: Array[Array[Double]] = {
+    val mdig = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(RpDims, Dim) { (j, i) =>
+      val hex = mdig.digest(s"rp$j:$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1.0 else -1.0
+    }
+  }
+
+  def randomProjection(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val a = e.filter(col("vec_id") % 2 === 0)
+      .select((col("vec_id") / 2).cast("long").as("pair_id"),
+        col("emb").as("ea"))
+    val b = e.filter(col("vec_id") % 2 === 1)
+      .select((col("vec_id") / 2).cast("long").as("pair_id"),
+        col("emb").as("eb"))
+    val diff = expr("zip_with(ea, eb, (x, y) -> x - y)")
+    val paired = a.join(b, "pair_id")
+      .select(col("pair_id"), diff.as("dv"))
+    val projTerms = (0 until RpDims).map { j =>
+      val sj = array(rpSigns(j).map(lit): _*)
+      val pj = call_function("array_dot", col("dv"), sj)
+      pj * pj
+    }.reduce(_ + _)
+    paired
+      .select(col("pair_id"),
+        call_function("array_dot", col("dv"), col("dv")).as("d2"),
+        projTerms.as("p2"))
+      // identical pair (d2 = 0) would 0/0-NaN the ratio; park it in the
+      // NULL bucket (none in the synthetic corpus, but the guard is the
+      // production behavior)
+      .select(col("pair_id"),
+        when(col("d2") > 0,
+          round(sqrt(col("p2")) / (sqrt(lit(RpDims.toDouble)) * sqrt(col("d2"))), 6))
+          .as("ratio"))
+      .select(when(col("ratio").isNotNull,
+          floor(col("ratio") * 20).cast("long")).otherwise(lit(-1L))
+          .as("bucket"),
+        col("ratio"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("ratio")).as("min_ratio"),
+        max(col("ratio")).as("max_ratio"))
+      .orderBy("bucket")
+  }
+
+  val randomProjectionSql: String = {
+    // (a[i]-b[i]) per component, double math, same order as zip_with
+    def dterm(i: Int) =
+      s"(CAST(ea.embedding[$i] AS DOUBLE) - CAST(eb.embedding[$i] AS DOUBLE))"
+    val d2 = (1 to Dim).map(i => s"${dterm(i)} * ${dterm(i)}")
+      .mkString(" + ")
+    val proj = (0 until RpDims).map { j =>
+      val pj = (1 to Dim).map { i =>
+        // ±1 weights render as `+ term` / + `- term`; x * 1.0 == x and
+        // x * -1.0 == -x exactly, so this matches array_dot's products
+        if (rpSigns(j)(i - 1) > 0) s"${dterm(i)} * 1.0"
+        else s"${dterm(i)} * -1.0"
+      }.mkString(" + ")
+      s"($pj) * ($pj)"
+    }.mkString(" + ")
+    s"""WITH p AS (
+       |  SELECT ea.vec_id AS va, ($d2) AS d2, ($proj) AS p2
+       |  FROM embeddings ea JOIN embeddings eb
+       |    ON eb.vec_id = ea.vec_id + 1
+       |  WHERE ea.vec_id % 2 = 0),
+       |r AS (
+       |  SELECT CASE WHEN d2 > 0 THEN
+       |    round(sqrt(p2) / (sqrt(${RpDims.toDouble}) * sqrt(d2)), 6) END
+       |    AS ratio
+       |  FROM p)
+       |SELECT CASE WHEN ratio IS NOT NULL
+       |         THEN CAST(floor(ratio * 20) AS BIGINT)
+       |         ELSE CAST(-1 AS BIGINT) END AS bucket,
+       |  count(*) AS n_pairs, min(ratio) AS min_ratio, max(ratio) AS max_ratio
+       |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // B29: maximum-inner-product search (MIPS) via the norm-augmentation
+  // reduction (Bachrach et al., RecSys'14; used by every two-tower
+  // retrieval serving stack): append one component √(M² − ‖x‖²) to each
+  // data vector (M = max data norm) so that Euclidean NN over the
+  // augmented vectors ranks exactly by inner product. The output is the
+  // top-10 by raw inner product with the augmented component and the
+  // augmented squared distance alongside — dist² = M² + ‖q‖² − 2⟨x,q⟩,
+  // monotone-decreasing in ip, which the spec asserts.
+  //
+  // Scale shape: one broadcast of the query row and of the 1-row max-
+  // norm aggregate; single scan; TakeOrderedAndProject for the cut.
+  // -------------------------------------------------------------------
+  def mips(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"))
+    val data = e.filter(col("vec_id") > 0)
+    val m2 = data
+      .select(call_function("array_dot", col("embedding"), col("embedding"))
+        .as("n2"))
+      .agg(max(col("n2")).as("m2"))
+    data.crossJoin(broadcast(q)).crossJoin(broadcast(m2))
+      .select(col("vec_id"),
+        round(call_function("array_dot", col("embedding"), col("qe")), 6)
+          .as("ip"),
+        round(sqrt(col("m2") -
+          call_function("array_dot", col("embedding"), col("embedding"))), 6)
+          .as("aug_comp"),
+        round(col("m2") +
+          call_function("array_dot", col("qe"), col("qe")) -
+          lit(2.0) * call_function("array_dot", col("embedding"), col("qe")), 6)
+          .as("aug_dist2"))
+      .orderBy(col("ip").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  val mipsSql: String = {
+    val dAq = dotSql("a.embedding", "q.embedding")
+    val dAa = dotSql("a.embedding", "a.embedding")
+    val dQq = dotSql("q.embedding", "q.embedding")
+    s"""WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+       |m AS (SELECT max(${dotSql("a.embedding", "a.embedding")}) AS m2
+       |      FROM embeddings a WHERE a.vec_id > 0)
+       |SELECT a.vec_id AS vec_id, round($dAq, 6) AS ip,
+       |  round(sqrt(m.m2 - ($dAa)), 6) AS aug_comp,
+       |  round(m.m2 + ($dQq) - 2.0 * ($dAq), 6) AS aug_dist2
+       |FROM embeddings a, q, m
+       |WHERE a.vec_id > 0
+       |ORDER BY ip DESC, vec_id LIMIT 10""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vec_random_projection" -> (randomProjection _),
+    "vec_mips" -> (mips _),
     "vec_norm_audit" -> (normAudit _),
     "vec_trunc_recall" -> (truncRecall _),
     "vec_recall_curve" -> (recallCurve _),
@@ -1447,6 +1603,8 @@ object VectorQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "vec_random_projection" -> randomProjectionSql,
+    "vec_mips" -> mipsSql,
     "vec_norm_audit" -> normAuditSql,
     "vec_trunc_recall" -> truncRecallSql,
     "vec_recall_curve" -> recallCurveSql,

@@ -317,6 +317,9 @@ class PlanQualitySpec extends AnyFunSuite {
       "vec_recall_curve", // ≤10-row ranked legs x 3-row k grid
       "vec_kmeans_step", "vec_kmeans_loop", // k≤16-row centroid matrix
       "vec_pq_ann", "vec_ivf_pq", // 1-row full-precision query vector
+      "vec_mips", // 1-row query vector x 1-row max-norm aggregate
+      "train_shard_balance", // 1-row doc/char totals aggregate
+      "text_vocab_growth", // 1-row max-doc-id bucket boundary
       "vec_cosine_neardup", // staged bucket relation vs itself (equi-join; listed for the AQE local fallback)
       "vec_cosine_neardup_banded", // 1-row planes-from-count aggregate broadcast onto the scan
       "text_tfidf", "text_bigram_lm", "text_lm_score", // 1-row corpus-size aggregate
