@@ -975,6 +975,74 @@ object VectorQueries {
   }
 
   // -------------------------------------------------------------------
+  // B29k': two-stage retrieve-then-rerank — the standard production
+  // serving shape on top of ADC: the compressed index produces a cheap
+  // 50-candidate shortlist (codes + scales only — at 100 TB the only
+  // thing scanned), then ONLY those 50 rows are re-scored at full
+  // precision for the final top-10. The output carries both ranks and
+  // a `promoted` flag (exact-top-10 row that the ADC stage ranked
+  // below 10) — the measurement that sizes the shortlist: promotions
+  // near the bottom of the shortlist mean 50 was too small. Windows
+  // run over the 50-row shortlist, never the corpus; the corpus-side
+  // cut is a TakeOrdered heap.
+  // -------------------------------------------------------------------
+  private val RerankShortlist = 50
+
+  def pqRerank(s: SparkSession, d: String): DataFrame = {
+    val base = embeddings(s, d)
+      .withColumn("e", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+    val q = base.filter(col("vec_id") === 0).select(col("e").as("qe"))
+    val c = withSubScales(base.filter(col("vec_id") > 0))
+    val adc = adcScore
+    val shortlist = c.crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(adc, 6).as("adc_dot"),
+        round(call_function("array_dot", col("e"), col("qe")), 6)
+          .as("exact_dot"))
+      .orderBy(desc("adc_dot"), asc("vec_id"))
+      .limit(RerankShortlist)
+    val wAdc = Window.orderBy(desc("adc_dot"), asc("vec_id"))
+    val wExact = Window.orderBy(desc("exact_dot"), asc("vec_id"))
+    shortlist
+      .withColumn("rank_adc", row_number().over(wAdc).cast("long"))
+      .withColumn("rank_exact", row_number().over(wExact).cast("long"))
+      .filter(col("rank_exact") <= 10)
+      .select(col("rank_exact"), col("vec_id"), col("adc_dot"),
+        col("exact_dot"), col("rank_adc"),
+        (col("rank_adc") > 10).as("promoted"))
+      .orderBy("rank_exact")
+  }
+
+  val pqRerankSql: String = {
+    val mxDefs = subScalesSql
+    val adc = adcScoreSql
+    val exact = (1 to Dim).map(i => s"e[$i] * qe[$i]").mkString(" + ")
+    s"""WITH base AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |q AS (SELECT e AS qe FROM base WHERE vec_id = 0),
+       |c AS (
+       |  SELECT vec_id, e,
+       |    $mxDefs
+       |  FROM base WHERE vec_id > 0),
+       |shortlist AS (
+       |  SELECT vec_id, round($adc, 6) AS adc_dot,
+       |    round($exact, 6) AS exact_dot
+       |  FROM c CROSS JOIN q
+       |  ORDER BY adc_dot DESC, vec_id LIMIT $RerankShortlist),
+       |ranked AS (
+       |  SELECT vec_id, adc_dot, exact_dot,
+       |    row_number() OVER (ORDER BY adc_dot DESC, vec_id) AS rank_adc,
+       |    row_number() OVER (ORDER BY exact_dot DESC, vec_id) AS rank_exact
+       |  FROM shortlist)
+       |SELECT rank_exact, vec_id, adc_dot, exact_dot, rank_adc,
+       |  (rank_adc > 10) AS promoted
+       |FROM ranked WHERE rank_exact <= 10
+       |ORDER BY rank_exact""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // B29l: IVF-PQ search — the full production ANN index shape: the
   // coarse quantizer prunes the corpus to the query's `nprobe` nearest
   // lists (broadcast hash join on list_id, candidates ≈ nprobe/nlists
@@ -1577,6 +1645,7 @@ object VectorQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "vec_random_projection" -> (randomProjection _),
     "vec_mips" -> (mips _),
+    "vec_pq_rerank" -> (pqRerank _),
     "vec_norm_audit" -> (normAudit _),
     "vec_trunc_recall" -> (truncRecall _),
     "vec_recall_curve" -> (recallCurve _),
@@ -1605,6 +1674,7 @@ object VectorQueries {
   val oracles: Map[String, String] = Map(
     "vec_random_projection" -> randomProjectionSql,
     "vec_mips" -> mipsSql,
+    "vec_pq_rerank" -> pqRerankSql,
     "vec_norm_audit" -> normAuditSql,
     "vec_trunc_recall" -> truncRecallSql,
     "vec_recall_curve" -> recallCurveSql,

@@ -316,7 +316,7 @@ class PlanQualitySpec extends AnyFunSuite {
       "vec_ann_recall", // 1-row exact-vs-ann count pair
       "vec_recall_curve", // ≤10-row ranked legs x 3-row k grid
       "vec_kmeans_step", "vec_kmeans_loop", // k≤16-row centroid matrix
-      "vec_pq_ann", "vec_ivf_pq", // 1-row full-precision query vector
+      "vec_pq_ann", "vec_ivf_pq", "vec_pq_rerank", // 1-row full-precision query vector
       "vec_mips", // 1-row query vector x 1-row max-norm aggregate
       "train_shard_balance", // 1-row doc/char totals aggregate
       "text_vocab_growth", // 1-row max-doc-id bucket boundary
