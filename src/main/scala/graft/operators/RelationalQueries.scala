@@ -880,6 +880,153 @@ object RelationalQueries {
       |FROM tr ORDER BY prev_type, next_type""".stripMargin
 
   // -------------------------------------------------------------------
+  // Charter: time-series PAA profile — piecewise aggregate
+  // approximation (Keogh et al.), the standard first compression step
+  // of scalable time-series similarity search: each user's month of
+  // event values collapses to 8 fixed segments of exact cent sums
+  // (missing segments are explicit zeros via a user×segment grid).
+  // One shuffle on (user, seg) with map-side partials; the grid comes
+  // from a distinct-user pass + an 8-element sequence explode, never a
+  // per-event fan-out. Every value is BIGINT cents — no float
+  // summation, deterministic across engines and partitionings.
+  // -------------------------------------------------------------------
+  private val TsSegs = 8
+  private val TsT0 = 1704067200000000L // 2024-01-01T00:00:00Z micros
+  private val TsSpan = 31L * 86400000000L // the corpus month
+
+  def tsPaa(s: SparkSession, d: String): DataFrame =
+    tsPaaRelation(s, d).orderBy("user_id", "seg")
+
+  val tsPaaSql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id,
+       |    least(greatest(((epoch_us(ts) - $TsT0) * $TsSegs) // $TsSpan,
+       |      0), ${TsSegs - 1}) AS seg,
+       |    CAST(round(value * 100) AS BIGINT) AS cents
+       |  FROM events),
+       |agg AS (
+       |  SELECT user_id, seg, CAST(sum(cents) AS BIGINT) AS paa,
+       |    count(*) AS n_events
+       |  FROM ev GROUP BY user_id, seg),
+       |grid AS (
+       |  SELECT user_id, seg FROM (SELECT DISTINCT user_id FROM ev),
+       |    unnest(range(0, $TsSegs)) AS t(seg))
+       |SELECT g.user_id AS user_id, g.seg AS seg,
+       |  coalesce(a.paa, 0) AS paa,
+       |  coalesce(a.n_events, 0) AS n_events
+       |FROM grid g LEFT JOIN agg a
+       |  ON a.user_id = g.user_id AND a.seg = g.seg
+       |ORDER BY g.user_id, g.seg""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Charter: time-series shape matching — distributed similarity
+  // search in the SAX tradition (symbolize, block on the word, verify
+  // candidates exactly), with a rank-quartile alphabet instead of
+  // z-normalized breakpoints so the symbolization stays in exact
+  // integer math: each user's 8 PAA segments rank within the user
+  // (ties by segment index) and coarsen to ceil(rank/2) ∈ {1..4} — a
+  // 4-letter SAX word over 8!/(2!⁴) = 2520 shapes, sized so blocks
+  // hold a handful of users at the tested SFs (the alphabet/length
+  // pair is THE recall/cost knob; production re-derives it from
+  // count(*) exactly like the banded LSH derives planes). Users
+  // sharing a word become candidate pairs (the same bucket-join-
+  // never-all-pairs shape as the text dedup family, with the same
+  // ≤64 degenerate-block cap), verified by exact L1 distance in cents.
+  // Top-20 closest same-shape pairs. Shuffles carry (user, word) and
+  // 8-long arrays only.
+  // -------------------------------------------------------------------
+  private val TsBlockCap = 64
+
+  def tsShapeMatch(s: SparkSession, d: String): DataFrame = {
+    val wRank = Window.partitionBy("user_id")
+      .orderBy(col("paa").desc, col("seg"))
+    val shaped = tsPaaRelation(s, d)
+      .withColumn("rk", row_number().over(wRank).cast("long"))
+      .groupBy("user_id")
+      .agg(
+        expr("array_join(transform(sort_array(collect_list(struct(seg, rk))), x -> CAST((x.rk + 1) div 2 AS STRING)), '')")
+          .as("word"),
+        expr("transform(sort_array(collect_list(struct(seg, paa))), x -> x.paa)")
+          .as("vec"))
+    graft.Stage.fanout(shaped) { sh =>
+      val ok = sh.groupBy("word").agg(count(lit(1)).as("bn"))
+        .filter(col("bn") <= TsBlockCap)
+        .select(col("word").as("wok"))
+      val blocked = sh.join(ok, col("word") === col("wok"))
+      val l1 = (0 until TsSegs).map(i =>
+        abs(element_at(col("a.vec"), i + 1) - element_at(col("b.vec"), i + 1)))
+        .reduce(_ + _)
+      blocked.as("a").join(blocked.as("b"),
+          col("a.word") === col("b.word") &&
+            col("a.user_id") < col("b.user_id"))
+        .select(col("a.user_id").as("user_a"),
+          col("b.user_id").as("user_b"),
+          col("a.word").as("word"),
+          l1.as("l1_cents"))
+    }.orderBy(col("l1_cents"), col("user_a"), col("user_b")).limit(20)
+  }
+
+  /** The PAA relation without the presentation ORDER BY — shared by
+    * [[tsPaa]]'s registered form and [[tsShapeMatch]]'s pipeline. */
+  private def tsPaaRelation(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .select(col("user_id"),
+        least(greatest(
+          expr(s"((unix_micros(ts) - $TsT0) * $TsSegs) div $TsSpan"),
+          lit(0L)), lit(TsSegs - 1L)).as("seg"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val agg = ev.groupBy("user_id", "seg")
+      .agg(sum(col("cents")).as("paa"), count(lit(1)).as("n_events"))
+    ev.select("user_id").distinct()
+      .select(col("user_id"),
+        explode(expr(s"sequence(CAST(0 AS BIGINT), CAST(${TsSegs - 1} AS BIGINT))"))
+          .as("seg"))
+      .join(agg, Seq("user_id", "seg"), "left")
+      .select(col("user_id"), col("seg"),
+        coalesce(col("paa"), lit(0L)).as("paa"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+  }
+
+  val tsShapeMatchSql: String = {
+    val l1 = (1 to TsSegs).map(i => s"abs(a.vec[$i] - b.vec[$i])")
+      .mkString(" + ")
+    s"""WITH ev AS (
+       |  SELECT user_id,
+       |    least(greatest(((epoch_us(ts) - $TsT0) * $TsSegs) // $TsSpan,
+       |      0), ${TsSegs - 1}) AS seg,
+       |    CAST(round(value * 100) AS BIGINT) AS cents
+       |  FROM events),
+       |agg AS (
+       |  SELECT user_id, seg, CAST(sum(cents) AS BIGINT) AS paa
+       |  FROM ev GROUP BY user_id, seg),
+       |paa AS (
+       |  SELECT g.user_id AS user_id, g.seg AS seg, coalesce(a.paa, 0) AS paa
+       |  FROM (SELECT user_id, seg
+       |        FROM (SELECT DISTINCT user_id FROM ev),
+       |          unnest(range(0, $TsSegs)) AS t(seg)) g
+       |  LEFT JOIN agg a ON a.user_id = g.user_id AND a.seg = g.seg),
+       |rk AS (
+       |  SELECT user_id, seg, paa,
+       |    row_number() OVER (PARTITION BY user_id
+       |      ORDER BY paa DESC, seg) AS rk
+       |  FROM paa),
+       |shaped AS (
+       |  SELECT user_id,
+       |    string_agg(CAST((rk + 1) // 2 AS VARCHAR), '' ORDER BY seg) AS word,
+       |    list(paa ORDER BY seg) AS vec
+       |  FROM rk GROUP BY user_id),
+       |ok AS (
+       |  SELECT word AS wok FROM shaped GROUP BY word
+       |  HAVING count(*) <= $TsBlockCap),
+       |blocked AS (SELECT s.* FROM shaped s JOIN ok ON s.word = ok.wok)
+       |SELECT a.user_id AS user_a, b.user_id AS user_b, a.word AS word,
+       |  CAST($l1 AS BIGINT) AS l1_cents
+       |FROM blocked a JOIN blocked b
+       |  ON a.word = b.word AND a.user_id < b.user_id
+       |ORDER BY l1_cents, user_a, user_b LIMIT 20""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // Charter: iterative graph analytics — 3 fixed PageRank rounds over
   // the customer↔supplier trading graph (distinct pairs from
   // lineitem⋈orders, symmetrized), the Pregel-in-DataFrames shape:
@@ -1712,6 +1859,8 @@ object RelationalQueries {
     "rel_gap_fill" -> (gapFill _),
     "rel_markov" -> (markovTransitions _),
     "rel_pagerank" -> (pageRank _),
+    "rel_ts_paa" -> (tsPaa _),
+    "rel_ts_shape_match" -> (tsShapeMatch _),
     "rel_pseudonymize" -> (pseudonymize _),
     "rel_key_skew" -> (keySkew _),
     "rel_retention" -> (retention _),
@@ -1769,6 +1918,8 @@ object RelationalQueries {
     "rel_gap_fill" -> gapFillSql,
     "rel_markov" -> markovTransitionsSql,
     "rel_pagerank" -> pageRankSql,
+    "rel_ts_paa" -> tsPaaSql,
+    "rel_ts_shape_match" -> tsShapeMatchSql,
     "rel_pseudonymize" -> pseudonymizeSql,
     "rel_key_skew" -> keySkewSql,
     "rel_retention" -> retentionSql,
