@@ -450,7 +450,78 @@ object MultimodalQueries {
        |    / 1.8446744073709552e19, 6) AS mean_energy
        |FROM wins GROUP BY media_id ORDER BY media_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // M10: video scene-cut detection — the temporal segmentation every
+  // video curation pipeline runs before sampling training frames (cut
+  // detection → shot boundaries → one keyframe per shot instead of a
+  // blind every-Nth grid). Consecutive frame features compare under a
+  // lag window per asset (shuffle keys are media_id only — the
+  // ordered-frame contract at 100 TB is the same per-key window), a
+  // cut fires when the feature jump exceeds half the feature range,
+  // and the per-asset report gives shot count, mean shot length in
+  // exact milli-frames, and the first cut point. All integer math.
+  //
+  // >>> STUB DECODE <<< : the per-frame "feature" is the md5-derived
+  // integer of (content checksum, frame index) — a real build uses a
+  // frame-difference metric over decoded pixels; the window/threshold
+  // plumbing is unchanged.
+  // -------------------------------------------------------------------
+  private val SceneCutJump = 2147483648L // 2^31: half the feature range
+
+  def sceneCut(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val frames = mediaTable(s, d)
+      .filter(col("format") === "jpeg")
+      .select(col("media_id"), md5(col("content")).as("cmd5"),
+        explode(sequence(lit(0), col("n_frames") - 1)).as("w"))
+      .select(col("media_id"), col("w"),
+        conv(substring(md5(concat(col("cmd5"), lit(":"),
+          col("w").cast("string"))), 1, 8), 16, 10).cast("long").as("k"))
+    val wl = Window.partitionBy("media_id").orderBy("w")
+    frames
+      .withColumn("pk", lag(col("k"), 1).over(wl))
+      .withColumn("cut",
+        when(col("pk").isNotNull &&
+          abs(col("k") - col("pk")) > SceneCutJump, 1L).otherwise(0L))
+      .groupBy("media_id")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(col("cut")).as("n_cuts"),
+        min(when(col("cut") === 1L, col("w"))).as("first_cut_w"))
+      .select(col("media_id"), col("n_frames"), col("n_cuts"),
+        (col("n_cuts") + 1).as("n_shots"),
+        expr("(n_frames * 1000) div (n_cuts + 1)").as("mean_shot_milliframes"),
+        col("first_cut_w").cast("int").as("first_cut_w"))
+      .orderBy("media_id")
+  }
+
+  val sceneCutSql: String =
+    s"""WITH frames AS (
+       |  SELECT media_id, CAST(w AS INT) AS w,
+       |    CAST(('0x' || substr(md5(md5(content_text) || ':' ||
+       |      CAST(CAST(w AS INT) AS VARCHAR)), 1, 8)) AS BIGINT) AS k
+       |  FROM (SELECT media_id, content_text, n_frames
+       |        FROM (${mediaSql.replace("\n", "\n       |")})
+       |        WHERE format = 'jpeg'),
+       |    unnest(range(0, CAST(n_frames AS BIGINT))) AS t(w)),
+       |lagged AS (
+       |  SELECT media_id, w, k,
+       |    lag(k) OVER (PARTITION BY media_id ORDER BY w) AS pk
+       |  FROM frames),
+       |flags AS (
+       |  SELECT media_id, w,
+       |    CASE WHEN pk IS NOT NULL AND abs(k - pk) > $SceneCutJump
+       |         THEN 1 ELSE 0 END AS cut
+       |  FROM lagged)
+       |SELECT media_id, count(*) AS n_frames,
+       |  CAST(sum(cut) AS BIGINT) AS n_cuts,
+       |  CAST(sum(cut) + 1 AS BIGINT) AS n_shots,
+       |  CAST((count(*) * 1000) // (sum(cut) + 1) AS BIGINT)
+       |    AS mean_shot_milliframes,
+       |  CAST(min(CASE WHEN cut = 1 THEN w END) AS INT) AS first_cut_w
+       |FROM flags GROUP BY media_id ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "media_scene_cut" -> (sceneCut _),
     "media_audio_energy" -> (audioEnergy _),
     "media_phash_neardup" -> (phashNearDup _),
     "media_shape_buckets" -> (shapeBuckets _),
@@ -463,6 +534,7 @@ object MultimodalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "media_scene_cut" -> sceneCutSql,
     "media_audio_energy" -> audioEnergySql,
     "media_phash_neardup" -> phashNearDupSql,
     "media_shape_buckets" -> shapeBucketsSql,

@@ -2970,6 +2970,51 @@ object TextQueries {
   }
 
   // -------------------------------------------------------------------
+  // Charter: weighted sampling without replacement — the
+  // Efraimidis-Spirakis A-ES scheme (one pass, mergeable, the ONLY
+  // practical way to draw a weighted sample from a distributed corpus
+  // without materializing cumulative weights): each doc gets key
+  // ln(u)/w for a deterministic hash-uniform u and weight w = n_chars,
+  // and the global top-K keys ARE the weighted sample. Spark shape:
+  // per-row map + TakeOrderedAndProject heap — no shuffle beyond the
+  // K-row cut. Determinism: u is an exact 60-bit hash fraction, ln(u)
+  // is pinned to micro-units (the text_lm_score precedent), and the
+  // key is one IEEE division of two exact integers.
+  // -------------------------------------------------------------------
+  private val WsK = 100
+
+  def weightedSample(s: SparkSession, d: String): DataFrame = {
+    val u = (h60(concat(lit("ws-v1:"), col("doc_id").cast("string"))) + 1)
+      .cast("double") / lit(1.152921504606846976e18)
+    val lnuMicro = round(log(u) * 1000000).cast("long")
+    val sampled = documents(s, d)
+      .select(col("doc_id"), col("n_chars").as("weight"),
+        (lnuMicro / col("n_chars")).as("key"))
+      .orderBy(col("key").desc, col("doc_id"))
+      .limit(WsK)
+    sampled
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("key").desc, col("doc_id"))).cast("long"))
+      .select(col("rank"), col("doc_id"), col("weight"),
+        round(col("key"), 6).as("sample_key"))
+      .orderBy("rank")
+  }
+
+  val weightedSampleSql: String = {
+    val u = s"(CAST((${h60Sql("'ws-v1:' || CAST(doc_id AS VARCHAR)")}) AS BIGINT) + 1) / 1.152921504606846976e18"
+    s"""WITH keyed AS (
+       |  SELECT doc_id, n_chars AS weight,
+       |    CAST(round(ln($u) * 1000000) AS BIGINT) / n_chars AS key
+       |  FROM documents),
+       |top AS (
+       |  SELECT doc_id, weight, key,
+       |    row_number() OVER (ORDER BY key DESC, doc_id) AS rank
+       |  FROM keyed)
+       |SELECT rank, doc_id, weight, round(key, 6) AS sample_key
+       |FROM top WHERE rank <= $WsK ORDER BY rank""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // Charter: vocabulary-growth (Heaps' law) curve — the corpus-level
   // complement of text_zipf_fit: bucket the corpus into 10 equal
   // doc_id ranges (the ingestion order), count tokens and FIRST-SEEN
@@ -3590,6 +3635,7 @@ object TextQueries {
     "text_bpe_merge2" -> (bpeMerge2 _),
     "train_split_assign" -> (splitAssign _),
     "train_shard_balance" -> (shardBalance _),
+    "train_weighted_sample" -> (weightedSample _),
     "text_vocab_growth" -> (vocabGrowth _),
     "train_epoch_plan" -> (epochPlan _),
     "train_length_buckets" -> (lengthBuckets _),
@@ -3653,6 +3699,7 @@ object TextQueries {
     "text_bpe_merge2" -> bpeMerge2Sql,
     "train_split_assign" -> splitAssignSql,
     "train_shard_balance" -> shardBalanceSql,
+    "train_weighted_sample" -> weightedSampleSql,
     "text_vocab_growth" -> vocabGrowthSql,
     "train_epoch_plan" -> epochPlanSql,
     "train_length_buckets" -> lengthBucketsSql,

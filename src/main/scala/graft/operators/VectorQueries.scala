@@ -1642,7 +1642,69 @@ object VectorQueries {
        |ORDER BY ip DESC, vec_id LIMIT 10""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // B29: per-label centroid drift — the embedding-pipeline monitoring
+  // gate: when a producer re-embeds (model update, preprocessing
+  // change), per-label centroids move, and a drift above threshold
+  // must block the downstream index rebuild. Here the "two snapshots"
+  // are the corpus halves by vec_id parity; per (label, half) the
+  // micro-unit-quantized embeddings fold through array_sum_agg — one
+  // |labels|×2-row exact aggregate, no posexplode inflation, shuffle-
+  // order-independent — and the halves join on label to produce the
+  // L2 centroid distance and worst single dimension. The one float
+  // conversion happens on the final |labels|-row relation.
+  // -------------------------------------------------------------------
+  def centroidDrift(s: SparkSession, d: String): DataFrame = {
+    val quantized = embeddings(s, d)
+      .select(col("label"), (col("vec_id") % 2 === 0).as("half_a"),
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
+          .as("q"))
+    val agg = quantized.groupBy("label", "half_a")
+      .agg(call_function("array_sum_agg", col("q")).as("sums"),
+        count(lit(1)).as("n"))
+    val a = agg.filter(col("half_a"))
+      .select(col("label"), col("sums").as("sa"), col("n").as("na"))
+    val b = agg.filter(!col("half_a"))
+      .select(col("label").as("lb"), col("sums").as("sb"), col("n").as("nb"))
+    // 1e6 (a DOUBLE literal) not 1000000.0 (Spark SQL parses that as
+    // DECIMAL and the whole lambda silently shifts to decimal math)
+    val diffs = expr(
+      "zip_with(sa, sb, (x, y) -> x / (na * 1e6) - y / (nb * 1e6))")
+    a.join(b, col("label") === col("lb"))
+      .select(col("label"), col("na"), col("nb"), diffs.as("dv"))
+      .select(col("label"), col("na"), col("nb"),
+        round(sqrt(expr("aggregate(dv, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v * v)")), 6)
+          .as("drift_l2"),
+        round(expr("array_max(transform(dv, v -> abs(v)))"), 6)
+          .as("max_dim_drift"))
+      .orderBy("label")
+  }
+
+  val centroidDriftSql: String = {
+    def sums(tag: String) = (1 to Dim).map(i =>
+      s"CAST(sum(CAST(round(CAST(embedding[$i] AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS $tag$i")
+      .mkString(",\n       |    ")
+    def diff(i: Int) =
+      s"(a.sa$i / (a.na * 1000000.0) - b.sb$i / (b.nb * 1000000.0))"
+    val l2 = (1 to Dim).map(i => s"${diff(i)} * ${diff(i)}").mkString(" + ")
+    val mx = s"list_max([${(1 to Dim).map(i => s"abs(${diff(i)})").mkString(", ")}])"
+    s"""WITH a AS (
+       |  SELECT label, count(*) AS na,
+       |    ${sums("sa")}
+       |  FROM embeddings WHERE vec_id % 2 = 0 GROUP BY label),
+       |b AS (
+       |  SELECT label, count(*) AS nb,
+       |    ${sums("sb")}
+       |  FROM embeddings WHERE vec_id % 2 <> 0 GROUP BY label)
+       |SELECT a.label AS label, a.na AS na, b.nb AS nb,
+       |  round(sqrt($l2), 6) AS drift_l2,
+       |  round($mx, 6) AS max_dim_drift
+       |FROM a JOIN b ON a.label = b.label
+       |ORDER BY a.label""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vec_centroid_drift" -> (centroidDrift _),
     "vec_random_projection" -> (randomProjection _),
     "vec_mips" -> (mips _),
     "vec_pq_rerank" -> (pqRerank _),
@@ -1672,6 +1734,7 @@ object VectorQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "vec_centroid_drift" -> centroidDriftSql,
     "vec_random_projection" -> randomProjectionSql,
     "vec_mips" -> mipsSql,
     "vec_pq_rerank" -> pqRerankSql,
