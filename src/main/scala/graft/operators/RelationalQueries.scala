@@ -882,8 +882,8 @@ object RelationalQueries {
   // -------------------------------------------------------------------
   // Charter: time-series PAA profile — piecewise aggregate
   // approximation (Keogh et al.), the standard first compression step
-  // of scalable time-series similarity search: each user's month of
-  // event values collapses to 8 fixed segments of exact cent sums
+  // of scalable time-series similarity search: each user's activity
+  // span collapses to 8 fixed segments of exact cent sums
   // (missing segments are explicit zeros via a user×segment grid).
   // One shuffle on (user, seg) with map-side partials; the grid comes
   // from a distinct-user pass + an 8-element sequence explode, never a
@@ -891,19 +891,22 @@ object RelationalQueries {
   // summation, deterministic across engines and partitionings.
   // -------------------------------------------------------------------
   private val TsSegs = 8
-  private val TsT0 = 1704067200000000L // 2024-01-01T00:00:00Z micros
-  private val TsSpan = 31L * 86400000000L // the corpus month
 
   def tsPaa(s: SparkSession, d: String): DataFrame =
     tsPaaRelation(s, d).orderBy("user_id", "seg")
 
   val tsPaaSql: String =
-    s"""WITH ev AS (
-       |  SELECT user_id,
-       |    least(greatest(((epoch_us(ts) - $TsT0) * $TsSegs) // $TsSpan,
-       |      0), ${TsSegs - 1}) AS seg,
+    s"""WITH raw AS (
+       |  SELECT user_id, epoch_us(ts) AS tus,
        |    CAST(round(value * 100) AS BIGINT) AS cents
        |  FROM events),
+       |bounds AS (
+       |  SELECT user_id, min(tus) AS t0, max(tus) AS t1
+       |  FROM raw GROUP BY user_id),
+       |ev AS (
+       |  SELECT r.user_id AS user_id,
+       |    ((r.tus - b.t0) * $TsSegs) // (b.t1 - b.t0 + 1) AS seg, r.cents AS cents
+       |  FROM raw r JOIN bounds b ON b.user_id = r.user_id),
        |agg AS (
        |  SELECT user_id, seg, CAST(sum(cents) AS BIGINT) AS paa,
        |    count(*) AS n_events
@@ -924,11 +927,14 @@ object RelationalQueries {
   // candidates exactly), with a rank-quartile alphabet instead of
   // z-normalized breakpoints so the symbolization stays in exact
   // integer math: each user's 8 PAA segments rank within the user
-  // (ties by segment index) and coarsen to ceil(rank/2) ∈ {1..4} — a
-  // 4-letter SAX word over 8!/(2!⁴) = 2520 shapes, sized so blocks
-  // hold a handful of users at the tested SFs (the alphabet/length
-  // pair is THE recall/cost knob; production re-derives it from
-  // count(*) exactly like the banded LSH derives planes). Users
+  // (ties by segment index) and coarsen to ceil(rank/D) — the divisor
+  // D IS DERIVED FROM count(*) exactly like the banded LSH derives
+  // its planes: <100 users → D=8 (one word: tiny corpora just verify
+  // all pairs), <1000 → D=4 (70 words), else D=2 (2520 words), so the
+  // word space tracks the corpus and blocks stay a bounded handful of
+  // users at every scale. The user count is bounded driver state (one
+  // long, the PageRank-n discipline), mirrored as a scalar subquery
+  // in the oracle. Users
   // sharing a word become candidate pairs (the same bucket-join-
   // never-all-pairs shape as the text dedup family, with the same
   // ≤64 degenerate-block cap), verified by exact L1 distance in cents.
@@ -938,19 +944,31 @@ object RelationalQueries {
   private val TsBlockCap = 64
 
   def tsShapeMatch(s: SparkSession, d: String): DataFrame = {
+    val paaRel = tsPaaRelation(s, d)
+    val nUsers = paaRel.select("user_id").distinct().count()
+    val dv = if (nUsers < 100) 8 else if (nUsers < 1000) 4 else 2
     val wRank = Window.partitionBy("user_id")
       .orderBy(col("paa").desc, col("seg"))
-    val shaped = tsPaaRelation(s, d)
+    val shaped = paaRel
       .withColumn("rk", row_number().over(wRank).cast("long"))
       .groupBy("user_id")
       .agg(
-        expr("array_join(transform(sort_array(collect_list(struct(seg, rk))), x -> CAST((x.rk + 1) div 2 AS STRING)), '')")
+        expr(s"array_join(transform(sort_array(collect_list(struct(seg, rk))), x -> CAST((x.rk + ${dv - 1}) div $dv AS STRING)), '')")
           .as("word"),
         expr("transform(sort_array(collect_list(struct(seg, paa))), x -> x.paa)")
           .as("vec"))
     graft.Stage.fanout(shaped) { sh =>
-      val ok = sh.groupBy("word").agg(count(lit(1)).as("bn"))
-        .filter(col("bn") <= TsBlockCap)
+      val sizes = sh.groupBy("word").agg(count(lit(1)).as("bn"))
+      // cap activation is observable, not silent (the TextQueries
+      // cappedBlocks discipline): a dropped block means real users got
+      // no pairs and the alphabet/length knob needs retuning
+      val dropped = sizes.agg(coalesce(
+        sum(when(col("bn") > TsBlockCap, 1L).otherwise(0L)), lit(0L)))
+        .head().getLong(0)
+      if (dropped > 0) System.err.println(
+        s"[graft] rel_ts_shape_match: degenerate-block cap ($TsBlockCap) " +
+          s"dropped $dropped block(s)")
+      val ok = sizes.filter(col("bn") <= TsBlockCap)
         .select(col("word").as("wok"))
       val blocked = sh.join(ok, col("word") === col("wok"))
       val l1 = (0 until TsSegs).map(i =>
@@ -967,14 +985,31 @@ object RelationalQueries {
   }
 
   /** The PAA relation without the presentation ORDER BY — shared by
-    * [[tsPaa]]'s registered form and [[tsShapeMatch]]'s pipeline. */
+    * [[tsPaa]]'s registered form and [[tsShapeMatch]]'s pipeline.
+    *
+    * The analysis window is EACH USER'S OWN activity span (min..max of
+    * their event times), not a pinned calendar month or a global
+    * corpus window: the corpus history grows with scale (a 10× corpus
+    * is a 10×-longer history with users active in disjoint eras), and
+    * any shared window squeezes an era's users into one segment,
+    * silently degenerating the segmentation — measured: the global-
+    * window form dropped 9 whole-era blocks at sf1. Per-user windows
+    * make the shape time-shift-invariant (the behavioral semantics a
+    * spend-profile wants) and cost one user-keyed bounds aggregate
+    * that co-partitions with the PAA aggregate that follows.
+    * `(t1 - t0 + 1)` as the divisor keeps seg in [0, 7] with no
+    * clamping — all integer math, exact in both engines.
+    */
   private def tsPaaRelation(s: SparkSession, d: String): DataFrame = {
-    val ev = events(s, d)
-      .select(col("user_id"),
-        least(greatest(
-          expr(s"((unix_micros(ts) - $TsT0) * $TsSegs) div $TsSpan"),
-          lit(0L)), lit(TsSegs - 1L)).as("seg"),
+    val raw = events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"),
         round(col("value") * 100).cast("long").as("cents"))
+    val bounds = raw.groupBy("user_id")
+      .agg(min(col("tus")).as("t0"), max(col("tus")).as("t1"))
+    val ev = raw.join(bounds, "user_id")
+      .select(col("user_id"),
+        expr(s"((tus - t0) * $TsSegs) div (t1 - t0 + 1)").as("seg"),
+        col("cents"))
     val agg = ev.groupBy("user_id", "seg")
       .agg(sum(col("cents")).as("paa"), count(lit(1)).as("n_events"))
     ev.select("user_id").distinct()
@@ -990,12 +1025,17 @@ object RelationalQueries {
   val tsShapeMatchSql: String = {
     val l1 = (1 to TsSegs).map(i => s"abs(a.vec[$i] - b.vec[$i])")
       .mkString(" + ")
-    s"""WITH ev AS (
-       |  SELECT user_id,
-       |    least(greatest(((epoch_us(ts) - $TsT0) * $TsSegs) // $TsSpan,
-       |      0), ${TsSegs - 1}) AS seg,
+    s"""WITH raw AS (
+       |  SELECT user_id, epoch_us(ts) AS tus,
        |    CAST(round(value * 100) AS BIGINT) AS cents
        |  FROM events),
+       |bounds AS (
+       |  SELECT user_id, min(tus) AS t0, max(tus) AS t1
+       |  FROM raw GROUP BY user_id),
+       |ev AS (
+       |  SELECT r.user_id AS user_id,
+       |    ((r.tus - b.t0) * $TsSegs) // (b.t1 - b.t0 + 1) AS seg, r.cents AS cents
+       |  FROM raw r JOIN bounds b ON b.user_id = r.user_id),
        |agg AS (
        |  SELECT user_id, seg, CAST(sum(cents) AS BIGINT) AS paa
        |  FROM ev GROUP BY user_id, seg),
@@ -1010,11 +1050,17 @@ object RelationalQueries {
        |    row_number() OVER (PARTITION BY user_id
        |      ORDER BY paa DESC, seg) AS rk
        |  FROM paa),
+       |du AS (
+       |  SELECT CASE WHEN count(DISTINCT user_id) < 100 THEN 8
+       |              WHEN count(DISTINCT user_id) < 1000 THEN 4
+       |              ELSE 2 END AS dv
+       |  FROM raw),
        |shaped AS (
        |  SELECT user_id,
-       |    string_agg(CAST((rk + 1) // 2 AS VARCHAR), '' ORDER BY seg) AS word,
+       |    string_agg(CAST((rk + dv - 1) // dv AS VARCHAR), '' ORDER BY seg)
+       |      AS word,
        |    list(paa ORDER BY seg) AS vec
-       |  FROM rk GROUP BY user_id),
+       |  FROM rk CROSS JOIN du GROUP BY user_id, dv),
        |ok AS (
        |  SELECT word AS wok FROM shaped GROUP BY word
        |  HAVING count(*) <= $TsBlockCap),

@@ -319,6 +319,7 @@ class PlanQualitySpec extends AnyFunSuite {
       "vec_pq_ann", "vec_ivf_pq", "vec_pq_rerank", // 1-row full-precision query vector
       "vec_mips", // 1-row query vector x 1-row max-norm aggregate
       "train_shard_balance", // 1-row doc/char totals aggregate
+      "rel_ts_paa", "rel_ts_shape_match", // 1-row timestamp-bounds aggregate
       "text_vocab_growth", // 1-row max-doc-id bucket boundary
       "vec_cosine_neardup", // staged bucket relation vs itself (equi-join; listed for the AQE local fallback)
       "vec_cosine_neardup_banded", // 1-row planes-from-count aggregate broadcast onto the scan

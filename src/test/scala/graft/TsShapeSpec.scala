@@ -38,9 +38,10 @@ class TsShapeSpec extends AnyFunSuite {
   }
 
   test("paa: segment placement, exact cent sums, and zero-fill") {
+    // single user: the per-user activity window is [first, last] event
     val dir = writeEvents(Seq(
       (1L, 0, 3.00), (1L, 0, 0.50), // two events fold into seg 0
-      (1L, 7, 1.25))) // month tail lands in seg 7, not out of range
+      (1L, 7, 1.25))) // the span tail lands in seg 7, not out of range
     val rows = SparkEntry.queries("rel_ts_paa")(spark, dir)
       .collect().map(r => (r.getAs[Long]("seg"), r.getAs[Long]("paa"),
         r.getAs[Long]("n_events")))
@@ -50,19 +51,26 @@ class TsShapeSpec extends AnyFunSuite {
       (4L, 0L, 0L), (5L, 0L, 0L), (6L, 0L, 0L), (7L, 125L, 1L)))
   }
 
-  test("shape match: same rank word pairs up, different word blocks out") {
-    // users 1 and 2 share the shape word (front-loaded month:
-    // seg0 > seg1 > seg2 > zeros → ranks 1,2,3,4..8 → quartile word
-    // 1,1,2,2,3,3,4,4); user 3 peaks late → different word → no pair
+  test("shape match: tiny-corpus tier brute-force-verifies every pair exactly") {
+    // <100 users → the count(*)-derived alphabet collapses to one word
+    // ("11111111"): at this size blocking buys nothing, so the
+    // operator deliberately verifies ALL pairs — and the exact L1s in
+    // cents are the assertion. Per-user windows map each user's three
+    // active slots to segments 0, 3, 7 of their own span.
     val dir = writeEvents(Seq(
       (1L, 0, 3.00), (1L, 1, 2.00), (1L, 2, 1.00),
       (2L, 0, 6.00), (2L, 1, 4.00), (2L, 2, 2.00),
-      (3L, 5, 5.00), (3L, 6, 4.00), (3L, 7, 3.00)))
+      (3L, 0, 1.00), (3L, 1, 2.00), (3L, 2, 3.00)))
     val rows = SparkEntry.queries("rel_ts_shape_match")(spark, dir)
       .collect().map(r => (r.getAs[Long]("user_a"), r.getAs[Long]("user_b"),
         r.getAs[String]("word"), r.getAs[Long]("l1_cents")))
-    // L1 = |300−600| + |200−400| + |100−200| = 600 cents
-    assert(rows.toSeq === Seq((1L, 2L, "11223344", 600L)))
+    // L1(1,3) = |300−100| + |200−200| + |100−300| = 400
+    // L1(1,2) = |300−600| + |200−400| + |100−200| = 600
+    // L1(2,3) = |600−100| + |400−200| + |200−300| = 800
+    assert(rows.toSeq === Seq(
+      (1L, 3L, "11111111", 400L),
+      (1L, 2L, "11111111", 600L),
+      (2L, 3L, "11111111", 800L)))
   }
 
   test("paa at sf0.001: mass conservation and 8 segments per user") {
