@@ -53,6 +53,9 @@ object GenScale {
     val mode = args.lift(3)
     val docsOnly = mode.contains("docs")
     val vecsOnly = mode.contains("vecs")
+    // "evs" replicates only the events table — the time-series decade
+    // probes need 100× event history, nothing else
+    val evsOnly = mode.contains("evs")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -81,7 +84,7 @@ object GenScale {
       println(s"[genscale] $name written")
     }
 
-    if (!docsOnly && !vecsOnly) {
+    if (!docsOnly && !vecsOnly && !evsOnly) {
       val (ck, sk, pk, ok) = (
         keySpan(tbl("customer"), "c_custkey"),
         keySpan(tbl("supplier"), "s_suppkey"),
@@ -97,7 +100,9 @@ object GenScale {
         "orders")
       write(replicate(tbl("lineitem"), "l_orderkey" -> ok,
         "l_partkey" -> pk, "l_suppkey" -> sk), "lineitem")
+    }
 
+    if ((!docsOnly && !vecsOnly) || evsOnly) {
       // events.ts is parquet TIMESTAMP(NANOS); keep it as raw nanos longs
       // (the engine's scan operators read that shape natively).
       // ts SHIFTS per copy (disjoint time ranges, 1 h guard gap): event
@@ -119,7 +124,7 @@ object GenScale {
         "events")
     }
 
-    if (!vecsOnly) {
+    if (!vecsOnly && !evsOnly) {
     val docs = tbl("documents")
     val dk = keySpan(docs, "doc_id")
     write(replicate(docs, "doc_id" -> dk)
@@ -131,7 +136,7 @@ object GenScale {
       .withColumn("n_chars", length(col("text")).cast("long")), "documents")
     }
 
-    if (!docsOnly) {
+    if (!docsOnly && !evsOnly) {
       val emb = tbl("embeddings")
       val vk = keySpan(emb, "vec_id")
       write(replicate(emb, "vec_id" -> vk)

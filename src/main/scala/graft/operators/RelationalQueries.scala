@@ -930,11 +930,13 @@ object RelationalQueries {
   // (ties by segment index) and coarsen to ceil(rank/D) — the divisor
   // D IS DERIVED FROM count(*) exactly like the banded LSH derives
   // its planes: <100 users → D=8 (one word: tiny corpora just verify
-  // all pairs), <1000 → D=4 (70 words), else D=2 (2520 words), so the
-  // word space tracks the corpus and blocks stay a bounded handful of
-  // users at every scale. The user count is bounded driver state (one
-  // long, the PageRank-n discipline), mirrored as a scalar subquery
-  // in the oracle. Users
+  // all pairs), <1000 → D=4 (70 words), <100k → D=2 (2520 words),
+  // else D=1 (the full rank permutation, 40320 words), so the word
+  // space tracks the corpus and blocks stay a bounded handful of
+  // users at every scale — BlockingDiag's ts_shape family measures
+  // the block distribution per decade. The user count is bounded
+  // driver state (one long, the PageRank-n discipline), mirrored as a
+  // scalar subquery in the oracle. Users
   // sharing a word become candidate pairs (the same bucket-join-
   // never-all-pairs shape as the text dedup family, with the same
   // ≤64 degenerate-block cap), verified by exact L1 distance in cents.
@@ -943,13 +945,17 @@ object RelationalQueries {
   // -------------------------------------------------------------------
   private val TsBlockCap = 64
 
-  def tsShapeMatch(s: SparkSession, d: String): DataFrame = {
+  /** (user_id, word, vec): the symbolized shape relation — factored
+    * out so BlockingDiag can measure the word key's block-size
+    * distribution across decades without running the pair join. */
+  private[graft] def tsShaped(s: SparkSession, d: String): DataFrame = {
     val paaRel = tsPaaRelation(s, d)
     val nUsers = paaRel.select("user_id").distinct().count()
-    val dv = if (nUsers < 100) 8 else if (nUsers < 1000) 4 else 2
+    val dv = if (nUsers < 100) 8 else if (nUsers < 1000) 4
+      else if (nUsers < 100000) 2 else 1
     val wRank = Window.partitionBy("user_id")
       .orderBy(col("paa").desc, col("seg"))
-    val shaped = paaRel
+    paaRel
       .withColumn("rk", row_number().over(wRank).cast("long"))
       .groupBy("user_id")
       .agg(
@@ -957,6 +963,10 @@ object RelationalQueries {
           .as("word"),
         expr("transform(sort_array(collect_list(struct(seg, paa))), x -> x.paa)")
           .as("vec"))
+  }
+
+  def tsShapeMatch(s: SparkSession, d: String): DataFrame = {
+    val shaped = tsShaped(s, d)
     graft.Stage.fanout(shaped) { sh =>
       val sizes = sh.groupBy("word").agg(count(lit(1)).as("bn"))
       // cap activation is observable, not silent (the TextQueries
@@ -1053,7 +1063,8 @@ object RelationalQueries {
        |du AS (
        |  SELECT CASE WHEN count(DISTINCT user_id) < 100 THEN 8
        |              WHEN count(DISTINCT user_id) < 1000 THEN 4
-       |              ELSE 2 END AS dv
+       |              WHEN count(DISTINCT user_id) < 100000 THEN 2
+       |              ELSE 1 END AS dv
        |  FROM raw),
        |shaped AS (
        |  SELECT user_id,

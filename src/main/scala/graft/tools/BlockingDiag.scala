@@ -131,6 +131,18 @@ object BlockingDiag {
       "same_cluster_pairs" -> Option(r.get(1)).map(_.asInstanceOf[Number].longValue()).getOrElse(0L))
   }
 
+  /** (user_id, block) under rel_ts_shape_match's key: the
+    * count(*)-tiered SAX word over per-user-window PAA ranks
+    * (RelationalQueries.tsShaped). GenScale copies repeat each user's
+    * shape exactly, so block sizes grow ~copies per decade — the
+    * worst case for a fixed word space; `dropped_blocks` going nonzero
+    * is the measured signal that the next tier (longer words /
+    * TsSegs=16) is due.
+    */
+  def tsShapeBlocks(s: SparkSession, d: String): DataFrame =
+    graft.operators.RelationalQueries.tsShaped(s, d)
+      .select(col("user_id").as("doc_id"), col("word").as("block"))
+
   /** One stats row over a (doc_id, block) relation: candidate pairs
     * under the cap, what the cap drops, and the block-size tail.
     */
@@ -178,7 +190,9 @@ object BlockingDiag {
            (if (new java.io.File(s"$d/embeddings.parquet").exists())
              Seq("vec_lsh" -> (() => vecLshBlocks(spark, d)),
                "vec_lsh_banded" -> (() => vecLshBandedBlocks(spark, d)),
-               "vec_semantic" -> (() => vecSemanticBlocks(spark, d))) else Nil))
+               "vec_semantic" -> (() => vecSemanticBlocks(spark, d))) else Nil) ++
+           (if (new java.io.File(s"$d/events.parquet").exists())
+             Seq("ts_shape" -> (() => tsShapeBlocks(spark, d))) else Nil))
            .filter(fb => familyFilter.forall(_.contains(fb._1)))) {
       val blocks = mk()
       // the text operators cap degenerate blocks; the vector families
