@@ -880,6 +880,71 @@ object RelationalQueries {
       |FROM tr ORDER BY prev_type, next_type""".stripMargin
 
   // -------------------------------------------------------------------
+  // Charter: last-touch conversion attribution — the marketing-
+  // analytics join every event pipeline ships: each purchase credits
+  // the user's most recent preceding touch event (click/view/signup)
+  // within a 7-day lookback, else 'unattributed'. One user_id-keyed
+  // window pass (IGNORE NULLS last_value carries the running last
+  // touch — no self-join, no per-conversion scan-back), then a
+  // |channels|-row aggregate with exact BIGINT cent revenue. The
+  // touch timestamp and type ride the same window frame, so they
+  // always come from the same touch row.
+  // -------------------------------------------------------------------
+  private val AttributionLookbackUs = 7L * 86400000000L
+
+  def attribution(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("tus"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val isTouch = col("event_type").isin("click", "view", "signup")
+    val ev = events(s, d)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tus"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+    ev
+      .withColumn("lt_tus",
+        last(when(isTouch, col("tus")), ignoreNulls = true).over(w))
+      .withColumn("lt_type",
+        last(when(isTouch, col("event_type")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(
+        when(col("lt_tus").isNull ||
+          col("tus") - col("lt_tus") > AttributionLookbackUs,
+          lit("unattributed")).otherwise(col("lt_type")).as("channel"),
+        col("cents"))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_conversions"),
+        sum(col("cents")).as("revenue_cents"))
+      .orderBy("channel")
+  }
+
+  val attributionSql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS tus, event_type,
+       |    CAST(round(value * 100) AS BIGINT) AS cents
+       |  FROM events),
+       |lt AS (
+       |  SELECT event_type, tus, cents,
+       |    last_value(CASE WHEN event_type IN ('click', 'view', 'signup')
+       |               THEN tus END IGNORE NULLS)
+       |      OVER (PARTITION BY user_id ORDER BY tus, event_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |      AS lt_tus,
+       |    last_value(CASE WHEN event_type IN ('click', 'view', 'signup')
+       |               THEN event_type END IGNORE NULLS)
+       |      OVER (PARTITION BY user_id ORDER BY tus, event_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |      AS lt_type
+       |  FROM ev)
+       |SELECT CASE WHEN lt_tus IS NULL
+       |              OR tus - lt_tus > $AttributionLookbackUs
+       |            THEN 'unattributed' ELSE lt_type END AS channel,
+       |  count(*) AS n_conversions,
+       |  CAST(sum(cents) AS BIGINT) AS revenue_cents
+       |FROM lt WHERE event_type = 'purchase'
+       |GROUP BY channel ORDER BY channel""".stripMargin
+
+  // -------------------------------------------------------------------
   // Charter: time-series PAA profile — piecewise aggregate
   // approximation (Keogh et al.), the standard first compression step
   // of scalable time-series similarity search: each user's activity
@@ -1917,6 +1982,7 @@ object RelationalQueries {
     "rel_markov" -> (markovTransitions _),
     "rel_pagerank" -> (pageRank _),
     "rel_ts_paa" -> (tsPaa _),
+    "rel_attribution" -> (attribution _),
     "rel_ts_shape_match" -> (tsShapeMatch _),
     "rel_pseudonymize" -> (pseudonymize _),
     "rel_key_skew" -> (keySkew _),
@@ -1976,6 +2042,7 @@ object RelationalQueries {
     "rel_markov" -> markovTransitionsSql,
     "rel_pagerank" -> pageRankSql,
     "rel_ts_paa" -> tsPaaSql,
+    "rel_attribution" -> attributionSql,
     "rel_ts_shape_match" -> tsShapeMatchSql,
     "rel_pseudonymize" -> pseudonymizeSql,
     "rel_key_skew" -> keySkewSql,

@@ -1469,6 +1469,81 @@ object TextQueries {
   }
 
   // -------------------------------------------------------------------
+  // Charter: train/test split LEAKAGE audit — decontamination's
+  // within-corpus twin: after train_split_assign carves the corpus,
+  // passages shared between a train doc and any test/val doc leak the
+  // held-out sets into training (the metric-inflating bug every eval
+  // pipeline must rule out). Same scale shape as dedup_decontaminate:
+  // the (doc, passage-hash) relation is built ONCE (stride 4 — the
+  // dedup grade; leakage needs dup passages, not every alignment) and
+  // staged; the holdout hash set is a slim distinct (hash, split)
+  // relation that hash-joins back against train passages. Split
+  // membership derives from the SAME salted doc_id hash as
+  // train_split_assign, so this audits exactly the split that ships.
+  // -------------------------------------------------------------------
+  def splitLeakage(s: SparkSession, d: String): DataFrame = {
+    val bucket = pmod(h60(concat(lit("split-v1:"),
+      col("doc_id").cast("string"))), lit(100L))
+    val split = when(bucket < 5, lit("test"))
+      .when(bucket < 10, lit("val")).otherwise(lit("train"))
+    val ph = passageHashes(documents(s, d), stride = 4)
+      .withColumn("split", split)
+    graft.Stage.fanout(ph) { p =>
+      val holdout = p.filter(col("split") =!= "train")
+        .select(col("ph").as("hph"), col("split").as("hsplit")).distinct()
+      p.filter(col("split") === "train")
+        .join(holdout, col("ph") === col("hph"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_passages"),
+          sum(when(col("hsplit") === "test", 1L).otherwise(0L))
+            .as("n_test_hits"),
+          sum(when(col("hsplit") === "val", 1L).otherwise(0L))
+            .as("n_val_hits"))
+        .filter(col("n_test_hits") + col("n_val_hits") > 0)
+    }.select(col("doc_id"), col("n_passages"),
+        col("n_test_hits"), col("n_val_hits"),
+        round((col("n_test_hits") + col("n_val_hits")).cast("double") /
+          col("n_passages"), 6).as("leak_ratio"))
+      .orderBy("doc_id")
+  }
+
+  val splitLeakageSql: String = {
+    val ph = h60Sql("passage")
+    val bucket =
+      s"((${h60Sql("'split-v1:' || CAST(doc_id AS VARCHAR)")} % 100) + 100) % 100"
+    s"""WITH wt AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 8),
+       |p AS (
+       |  SELECT doc_id,
+       |    CASE WHEN $bucket < 5 THEN 'test'
+       |         WHEN $bucket < 10 THEN 'val' ELSE 'train' END AS split,
+       |    $ph AS ph
+       |  FROM (
+       |    SELECT doc_id,
+       |      unnest(list_transform(range(0, len(t) - 8 + 1, 4),
+       |        i -> array_to_string(t[i + 1:i + 8], ' '))) AS passage
+       |    FROM wt)),
+       |holdout AS (
+       |  SELECT DISTINCT ph AS hph, split AS hsplit FROM p
+       |  WHERE split <> 'train')
+       |SELECT doc_id, n_passages, n_test_hits, n_val_hits,
+       |  round(CAST(n_test_hits + n_val_hits AS DOUBLE) / n_passages, 6)
+       |    AS leak_ratio
+       |FROM (
+       |  SELECT doc_id, count(*) AS n_passages,
+       |    CAST(sum(CASE WHEN hsplit = 'test' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_test_hits,
+       |    CAST(sum(CASE WHEN hsplit = 'val' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_val_hits
+       |  FROM p LEFT JOIN holdout ON p.ph = holdout.hph
+       |  WHERE split = 'train'
+       |  GROUP BY doc_id)
+       |WHERE n_test_hits + n_val_hits > 0
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // Charter: domain mixture reweighting — the sampling-weight table a
   // training run uses to rebalance sources toward a target mixture
   // (uniform here; swap the target expression for a learned one). Per
@@ -3663,6 +3738,7 @@ object TextQueries {
     "train_curriculum" -> (trainCurriculum _),
     "text_heavy_hitters" -> (heavyHitters _),
     "dedup_decontaminate" -> (decontaminate _),
+    "dedup_split_leakage" -> (splitLeakage _),
     "train_mixture" -> (trainMixture _),
     "text_repetition" -> (repetition _),
     "text_bigram_lm" -> (bigramLm _),
@@ -3727,6 +3803,7 @@ object TextQueries {
     "train_curriculum" -> trainCurriculumSql,
     "text_heavy_hitters" -> heavyHittersSql,
     "dedup_decontaminate" -> decontaminateSql,
+    "dedup_split_leakage" -> splitLeakageSql,
     "train_mixture" -> trainMixtureSql,
     "text_repetition" -> repetitionSql,
     "text_bigram_lm" -> bigramLmSql,
