@@ -6,8 +6,9 @@ import org.apache.spark.sql.streaming.StreamingQuery
 import graft.streaming._
 
 /** Stateful-stream throughput for the bench artifact: drives ALL eight
-  * non-relay streams (compaction, sessionize, incremental dedup,
-  * sketch, curation, decontaminate, media features, ANN serving) over
+  * non-relay streams (compaction, attribution, sessionize, incremental
+  * dedup, sketch, curation, decontaminate, media features, ANN
+  * serving) over
   * the sf tables staged as micro-batch files — several triggers each,
   * the same file-per-source-batch shape the relay bench uses — and
   * reports rows/sec plus end-of-run state rows. For ann_serve the rate
@@ -91,6 +92,14 @@ object StreamBench {
           .option("maxFilesPerTrigger", 8).parquet(s"$root/events")
           .as[CompactionStream.Event],
         s"$root/compact_out", s"$root/compact_chk")
+    }(storeStateRows)
+
+    measure("attribution", nEv) { () =>
+      AttributionStream.start(
+        spark.readStream.schema(evSchema)
+          .option("maxFilesPerTrigger", 8).parquet(s"$root/events")
+          .as[AttributionStream.Event],
+        s"$root/attr_out", s"$root/attr_chk")
     }(storeStateRows)
 
     measure("sessionize", nEv) { () =>
