@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import graft.streaming._
 
-/** Stateful-stream throughput for the bench artifact: drives ALL eight
+/** Stateful-stream throughput for the bench artifact: drives ALL nine
   * non-relay streams (compaction, attribution, sessionize, incremental
   * dedup, sketch, curation, decontaminate, media features, ANN
   * serving) over

@@ -399,7 +399,10 @@ object MultimodalQueries {
 
   def audioEnergy(s: SparkSession, d: String): DataFrame = {
     val assets = mediaTable(s, d)
-      .filter(col("format") === "wav")
+      // n_frames > 0 guard: sequence(0, -1) yields a DESCENDING
+      // [0, -1] for a zero-frame asset while the oracle's range(0, 0)
+      // is empty — filter the degenerate assets out on both engines
+      .filter(col("format") === "wav" && col("n_frames") > 0)
       .select(col("media_id"), md5(col("content")).as("cmd5"),
         col("n_frames"))
     val wins = assets
@@ -471,7 +474,9 @@ object MultimodalQueries {
   def sceneCut(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val frames = mediaTable(s, d)
-      .filter(col("format") === "jpeg")
+      // same zero-frame guard as audioEnergy: Spark's sequence(0, -1)
+      // is a descending two-element array, not empty
+      .filter(col("format") === "jpeg" && col("n_frames") > 0)
       .select(col("media_id"), md5(col("content")).as("cmd5"),
         explode(sequence(lit(0), col("n_frames") - 1)).as("w"))
       .select(col("media_id"), col("w"),

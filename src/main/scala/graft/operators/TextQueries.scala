@@ -1491,15 +1491,23 @@ object TextQueries {
     graft.Stage.fanout(ph) { p =>
       val holdout = p.filter(col("split") =!= "train")
         .select(col("ph").as("hph"), col("split").as("hsplit")).distinct()
-      p.filter(col("split") === "train")
-        .join(holdout, col("ph") === col("hph"), "left")
+      val train = p.filter(col("split") === "train")
+      // n_passages counts the PRE-join relation: the holdout join fans
+      // a passage out once per leaked split (a hash present in both
+      // test AND val matches twice), which would inflate the
+      // denominator and understate leak_ratio; hit counts keep the
+      // fan-out on purpose (one count per leaked split)
+      val counts = train.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_passages"))
+      train
+        .join(holdout, col("ph") === col("hph"))
         .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_passages"),
+        .agg(
           sum(when(col("hsplit") === "test", 1L).otherwise(0L))
             .as("n_test_hits"),
           sum(when(col("hsplit") === "val", 1L).otherwise(0L))
             .as("n_val_hits"))
-        .filter(col("n_test_hits") + col("n_val_hits") > 0)
+        .join(counts, Seq("doc_id"))
     }.select(col("doc_id"), col("n_passages"),
         col("n_test_hits"), col("n_val_hits"),
         round((col("n_test_hits") + col("n_val_hits")).cast("double") /
@@ -1526,20 +1534,23 @@ object TextQueries {
        |    FROM wt)),
        |holdout AS (
        |  SELECT DISTINCT ph AS hph, split AS hsplit FROM p
-       |  WHERE split <> 'train')
-       |SELECT doc_id, n_passages, n_test_hits, n_val_hits,
-       |  round(CAST(n_test_hits + n_val_hits AS DOUBLE) / n_passages, 6)
-       |    AS leak_ratio
-       |FROM (
-       |  SELECT doc_id, count(*) AS n_passages,
+       |  WHERE split <> 'train'),
+       |counts AS (
+       |  SELECT doc_id, count(*) AS n_passages FROM p
+       |  WHERE split = 'train' GROUP BY doc_id),
+       |hits AS (
+       |  SELECT doc_id,
        |    CAST(sum(CASE WHEN hsplit = 'test' THEN 1 ELSE 0 END) AS BIGINT)
        |      AS n_test_hits,
        |    CAST(sum(CASE WHEN hsplit = 'val' THEN 1 ELSE 0 END) AS BIGINT)
        |      AS n_val_hits
-       |  FROM p LEFT JOIN holdout ON p.ph = holdout.hph
+       |  FROM p JOIN holdout ON p.ph = holdout.hph
        |  WHERE split = 'train'
        |  GROUP BY doc_id)
-       |WHERE n_test_hits + n_val_hits > 0
+       |SELECT doc_id, n_passages, n_test_hits, n_val_hits,
+       |  round(CAST(n_test_hits + n_val_hits AS DOUBLE) / n_passages, 6)
+       |    AS leak_ratio
+       |FROM hits JOIN counts USING (doc_id)
        |ORDER BY doc_id""".stripMargin
   }
 
@@ -3313,8 +3324,12 @@ object TextQueries {
         sum("tf").as("tf_part"))
     part.groupBy("term")
       .agg(
-        slice(array_sort(flatten(collect_list(col("post_part")))), 1, 10)
-          .as("postings"),
+        // space-joined scalar, not a raw ARRAY column: the driver's
+        // pandas hash-compare cannot factorize container cells (the
+        // registry-wide convention — see text_chunk_overlap)
+        array_join(transform(
+          slice(array_sort(flatten(collect_list(col("post_part")))), 1, 10),
+          _.cast("string")), " ").as("postings"),
         sum("df_part").as("df"),
         sum("tf_part").as("total_tf"))
       .orderBy(col("df").desc, col("term")).limit(50)
@@ -3326,7 +3341,9 @@ object TextQueries {
       |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
       |    FROM documents)
       |  WHERE term <> '' GROUP BY term, doc_id)
-      |SELECT term, (list_sort(list(doc_id)))[1:10] AS postings,
+      |SELECT term,
+      |  array_to_string(list_transform((list_sort(list(doc_id)))[1:10],
+      |    x -> CAST(x AS VARCHAR)), ' ') AS postings,
       |  count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf
       |FROM td GROUP BY term ORDER BY df DESC, term LIMIT 50""".stripMargin
 

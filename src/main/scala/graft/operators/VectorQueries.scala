@@ -994,13 +994,18 @@ object VectorQueries {
     val q = base.filter(col("vec_id") === 0).select(col("e").as("qe"))
     val c = withSubScales(base.filter(col("vec_id") > 0))
     val adc = adcScore
+    // the retrieve stage scores ADC ONLY; the candidate vector rides
+    // through the TakeOrdered cut so the full-precision dot is paid on
+    // exactly the 50 shortlisted rows (at 100 TB the corpus scan
+    // touches codes + scales, never a full-precision product)
     val shortlist = c.crossJoin(broadcast(q))
-      .select(col("vec_id"),
-        round(adc, 6).as("adc_dot"),
-        round(call_function("array_dot", col("e"), col("qe")), 6)
-          .as("exact_dot"))
+      .select(col("vec_id"), round(adc, 6).as("adc_dot"), col("e"),
+        col("qe"))
       .orderBy(desc("adc_dot"), asc("vec_id"))
       .limit(RerankShortlist)
+      .withColumn("exact_dot",
+        round(call_function("array_dot", col("e"), col("qe")), 6))
+      .drop("e", "qe")
     val wAdc = Window.orderBy(desc("adc_dot"), asc("vec_id"))
     val wExact = Window.orderBy(desc("exact_dot"), asc("vec_id"))
     shortlist
@@ -1027,15 +1032,17 @@ object VectorQueries {
        |    $mxDefs
        |  FROM base WHERE vec_id > 0),
        |shortlist AS (
-       |  SELECT vec_id, round($adc, 6) AS adc_dot,
-       |    round($exact, 6) AS exact_dot
+       |  SELECT vec_id, round($adc, 6) AS adc_dot, e, qe
        |  FROM c CROSS JOIN q
        |  ORDER BY adc_dot DESC, vec_id LIMIT $RerankShortlist),
+       |rescored AS (
+       |  SELECT vec_id, adc_dot, round($exact, 6) AS exact_dot
+       |  FROM shortlist),
        |ranked AS (
        |  SELECT vec_id, adc_dot, exact_dot,
        |    row_number() OVER (ORDER BY adc_dot DESC, vec_id) AS rank_adc,
        |    row_number() OVER (ORDER BY exact_dot DESC, vec_id) AS rank_exact
-       |  FROM shortlist)
+       |  FROM rescored)
        |SELECT rank_exact, vec_id, adc_dot, exact_dot, rank_adc,
        |  (rank_adc > 10) AS promoted
        |FROM ranked WHERE rank_exact <= 10

@@ -92,6 +92,73 @@ class AttributionStreamSpec extends AnyFunSuite {
     assert(out === Map(3L -> "view"))
   }
 
+  test("microsecond-tied touches resolve on event_id, matching batch") {
+    val root = Files.createTempDirectory("attr-stream5").toString
+    new java.io.File(s"$root/in").mkdirs()
+    // click (id=1) and view (id=2) at the SAME timestamp: the batch
+    // window's (tus, event_id) frame credits the view; a tus-only
+    // advance rule would keep the click
+    StreamFiles.writeOneFile(spark, s"$root/in", "b1.parquet", Seq(
+      Row(1L, t("2024-01-01 10:00:00"), 1L, "click", 0.0),
+      Row(2L, t("2024-01-01 10:00:00"), 1L, "view", 0.0),
+      Row(3L, t("2024-01-01 11:00:00"), 1L, "purchase", 5.00)), schema)
+    val out = runStream(root)
+      .select("event_id", "channel").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(3L -> "view"))
+  }
+
+  test("cross-batch microsecond tie: equal-time higher-id touch replaces state") {
+    val root = Files.createTempDirectory("attr-stream6").toString
+    new java.io.File(s"$root/in").mkdirs()
+    StreamFiles.writeOneFile(spark, s"$root/in", "b1.parquet", Seq(
+      Row(1L, t("2024-01-01 10:00:00"), 1L, "click", 0.0)), schema)
+    StreamFiles.writeOneFile(spark, s"$root/in", "b2.parquet", Seq(
+      Row(2L, t("2024-01-01 10:00:00"), 1L, "view", 0.0),
+      Row(3L, t("2024-01-01 11:00:00"), 1L, "purchase", 5.00)), schema)
+    Stage.orderStagedFiles(s"$root/in")
+    val out = runStream(root)
+      .select("event_id", "channel").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(3L -> "view"))
+  }
+
+  test("touch state expires one lookback after the touch") {
+    val root = Files.createTempDirectory("attr-stream7").toString
+    new java.io.File(s"$root/in").mkdirs()
+    import spark.implicits._
+    // b1: touches for users 1 and 2 at day 0
+    StreamFiles.writeOneFile(spark, s"$root/in", "b1.parquet", Seq(
+      Row(1L, t("2024-01-01 10:00:00"), 1L, "click", 0.0),
+      Row(2L, t("2024-01-01 10:00:00"), 2L, "click", 0.0)), schema)
+    // b2: user 2 touches again at day 10 — advances the watermark past
+    // user 1's expiry (day 8)
+    StreamFiles.writeOneFile(spark, s"$root/in", "b2.parquet", Seq(
+      Row(3L, t("2024-01-11 10:00:00"), 2L, "view", 0.0)), schema)
+    // b3: a purchase by user 2 — processed with the watermark at day
+    // 10, so user 1's expired state is removed this batch; user 1 gets
+    // no event here, exercising the pure-timeout path
+    StreamFiles.writeOneFile(spark, s"$root/in", "b3.parquet", Seq(
+      Row(4L, t("2024-01-11 12:00:00"), 2L, "purchase", 9.00)), schema)
+    Stage.orderStagedFiles(s"$root/in")
+    val events = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$root/in")
+      .as[AttributionStream.Event]
+    val q = AttributionStream.start(events, s"$root/out", s"$root/chk")
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.read.parquet(s"$root/out")
+      .select("event_id", "channel").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(4L -> "view"))
+    // the store ends bounded by ACTIVE users: user 1's day-0 touch
+    // (expiry day 8 < final watermark day ~11) is gone, user 2 remains
+    val stateRows = q.recentProgress.reverse
+      .find(_.stateOperators.nonEmpty)
+      .map(_.stateOperators.head.numRowsTotal)
+    assert(stateRows.contains(1L),
+      s"expected 1 surviving state row, got $stateRows")
+  }
+
   test("sf0.001 ordered replay matches rel_attribution channel totals") {
     val root = Files.createTempDirectory("attr-stream4").toString
     val sf = "/root/testdata/sf0.001"

@@ -103,6 +103,31 @@ class BatchSevenOpsSpec extends AnyFunSuite {
     assert(rows.toSeq === Seq((trainIds(0), 1L, 0L, 1.0)))
   }
 
+  test("split leakage: a dual-split hash does not inflate the passage count") {
+    // one train passage leaked into BOTH a test and a val doc: the
+    // holdout join fans that passage out twice, so a post-join count
+    // would report n_passages = 3 for this 2-passage doc (and
+    // leak_ratio 0.666667 instead of 1.0)
+    val ids = (0L until 400L)
+    val testId = ids.find(splitBucket(_) < 5).get
+    val valId = ids.find(i => splitBucket(i) >= 5 && splitBucket(i) < 10).get
+    val trainId = ids.find(splitBucket(_) >= 10).get
+    val leak = (1 to 8).map(i => s"leak$i").mkString(" ")
+    // 12 tokens, stride 4 → exactly 2 passages; the first is the leak
+    val trainText = leak + " " + (1 to 4).map(i => s"tail$i").mkString(" ")
+    val dir = tmp("leak-dual")
+    import spark.implicits._
+    Seq((testId, leak), (valId, leak), (trainId, trainText))
+      .map { case (id, text) => (id, text, "en", "s0", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("dedup_split_leakage")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_passages"), r.getAs[Long]("n_test_hits"),
+        r.getAs[Long]("n_val_hits"), r.getAs[Double]("leak_ratio")))
+    assert(rows.toSeq === Seq((trainId, 2L, 1L, 1L, 1.0)))
+  }
+
   test("split leakage at sf0.001: flagged docs are train docs with real hits") {
     val rows = SparkEntry.queries("dedup_split_leakage")(spark, sf).collect()
     rows.foreach { r =>

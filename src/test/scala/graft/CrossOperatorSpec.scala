@@ -88,4 +88,26 @@ class CrossOperatorSpec extends AnyFunSuite {
         s"weight ${a.getAs[Double]("w")} got ${a.getAs[Long]("n")} slots, " +
           s"weight ${b.getAs[Double]("w")} got ${b.getAs[Long]("n")}")
   }
+
+  test("no registered query emits a top-level container column") {
+    // The driver's DuckDB/pandas hash-compare factorizes cell values;
+    // an ARRAY/MAP/STRUCT column dies in `sort_values` (the exact
+    // r10 breakage of text_inverted_index). Every array-producing
+    // operator must serialize to a scalar (array_join / concat_ws /
+    // to_json) before leaving the registry. Schema-only: analysis
+    // without execution, so the walk over all queries stays cheap.
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, q) =>
+        q(spark, sf).schema.fields.collect {
+          case f if f.dataType.isInstanceOf[ArrayType] ||
+            f.dataType.isInstanceOf[MapType] ||
+            f.dataType.isInstanceOf[StructType] =>
+            s"$name.${f.name}: ${f.dataType.simpleString}"
+        }
+    }
+    assert(bad.isEmpty,
+      s"container-typed output columns (driver compare cannot hash " +
+        s"them): ${bad.mkString("; ")}")
+  }
 }

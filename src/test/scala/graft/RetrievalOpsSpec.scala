@@ -43,7 +43,7 @@ class RetrievalOpsSpec extends AnyFunSuite {
       (i, "s", if (i % 2 == 0) s"common common u$i" else s"common u$i")))
     val row = SparkEntry.queries("text_inverted_index")(spark, dir)
       .filter(col("term") === "common").collect().head
-    assert(row.getAs[Seq[Long]]("postings") === (0L until 10L))
+    assert(row.getAs[String]("postings") === (0L until 10L).mkString(" "))
     assert(row.getAs[Long]("df") === 40L)
     assert(row.getAs[Long]("total_tf") === 60L) // 20*2 + 20*1
   }
@@ -58,7 +58,7 @@ class RetrievalOpsSpec extends AnyFunSuite {
     val dir = writeDocs((small ++ large).map(i => (i, "s", "pivot")))
     val row = SparkEntry.queries("text_inverted_index")(spark, dir)
       .filter(col("term") === "pivot").collect().head
-    assert(row.getAs[Seq[Long]]("postings") === small)
+    assert(row.getAs[String]("postings") === small.mkString(" "))
     assert(row.getAs[Long]("df") === 40L)
   }
 
