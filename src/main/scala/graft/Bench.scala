@@ -198,17 +198,16 @@ object Bench {
         ev.repartitionByRange(files, org.apache.spark.sql.functions.col("ts"))
           .sortWithinPartitions("ts").write.parquet(s"$root/in")
         graft.Stage.orderStagedFiles(s"$root/in")
-        // Per-trigger file cap: each micro-batch pays a fixed commit
-        // barrier (~0.5-1 s: offset log + sink commit), so drain
-        // throughput scales with events-per-trigger until executor
-        // parallelism saturates. 256 files ≈ 1M events/trigger keeps
-        // the sf1 corpus to a single-digit trigger count (measured
-        // curve in SCALING.md §Relay); a LIVE relay tuning for latency
-        // would lower this toward the reference's event-count-max
-        // batching instead. Overridable for the tuning sweep.
-        val mfpt = sys.env.getOrElse("SPARK_GRAFT_RELAY_MFPT", "256").toInt
-        val cfg = graft.streaming.CdcRelay.RelayConfig(
-          s"$root/in", s"$root/out", s"$root/chk", maxFilesPerTrigger = mfpt)
+        // Per-trigger file cap: the RelayConfig DEFAULT is the tuned
+        // drain setting (256 files/trigger — the measured curve lives
+        // in SCALING.md §Relay), so the committed artifact benches the
+        // configuration a user gets out of the box. The env override
+        // exists only for the tuning sweep.
+        val base = graft.streaming.CdcRelay.RelayConfig(
+          s"$root/in", s"$root/out", s"$root/chk")
+        val cfg = sys.env.get("SPARK_GRAFT_RELAY_MFPT")
+          .map(v => base.copy(maxFilesPerTrigger = v.toInt))
+          .getOrElse(base)
         val t0 = System.nanoTime()
         graft.streaming.CdcRelay.start(spark, cfg).awaitTermination()
         val secs = (System.nanoTime() - t0) / 1e9

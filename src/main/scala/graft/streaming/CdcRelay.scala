@@ -57,9 +57,16 @@ object CdcRelay {
       clusterId: String = "graft",
       dedupeWindow: String = "2 minutes",
       /** A5 batch-size cap (reference `--event-count-max`): max input
-        * files admitted per micro-batch.
+        * files admitted per micro-batch. The default is the tuned
+        * drain setting from the measured batch-size→throughput curve
+        * (SCALING.md §Relay: each trigger pays a ~0.5-1 s commit
+        * barrier, so throughput scales with events-per-trigger until
+        * executor parallelism saturates; 256 files kept the sf1 drain
+        * at 163-184k events/s vs 52k at 32). A LIVE relay tuning for
+        * per-event latency should lower this toward the reference's
+        * `--event-count-max` batching instead.
         */
-      maxFilesPerTrigger: Int = 16,
+      maxFilesPerTrigger: Int = 256,
       /** A4 idle throttle (reference `--idle-interval-ms`): the pacing
         * interval of the poll loop. Used as the processing-time trigger
         * period by [[startContinuous]] and as the denominator of the

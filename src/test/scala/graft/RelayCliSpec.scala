@@ -43,6 +43,10 @@ class RelayCliSpec extends AnyFunSuite {
     assert(!base("--provision=false").config.provision)
     assert(base("--provision=true").config.provision)
     assert(base().config.provision) // default stays true
+    // the default batch cap is the TUNED drain setting (SCALING.md
+    // §Relay measured curve), not an arbitrary small trigger — the
+    // committed bench artifact runs this default
+    assert(base().config.maxFilesPerTrigger == 256)
     assert(base("--single-writer-lease=true").config.singleWriterLease)
     assert(base("--drain=true").drain && !base().drain)
     val bad = intercept[IllegalArgumentException] { base("--drain=maybe") }
