@@ -470,39 +470,103 @@ object VectorQueries {
   private val SemanticBallSize = 64
   private val SemanticMaxSeeds = 4096
 
+  /** Lloyd update rounds for the semantic coarse quantizer. Two rounds
+    * measurably tightens cluster confinement over raw first-k seeds
+    * (BlockingDiag `vec_semantic_recall` — SCALING.md) while keeping
+    * the oracle's unrolled-CTE chain readable; the loop converges fast
+    * because only the argmax assignment matters, not the centroids.
+    */
+  private val SemanticLloydRounds = 2
+
   /** (vec_id, embedding, nrm, list_id) under the scale-adaptive coarse
-    * quantizer: seeds = first k vectors, k from count(*). At the
-    * sf0.01 gate (500 vectors) the lower clamp gives k = 16 — the IVF
-    * assignment exactly.
+    * quantizer: k = clamp(16..4096, ceil(N/64)) from count(*), seeds =
+    * first k vectors, then [[SemanticLloydRounds]] Lloyd updates
+    * (assign by max rounded dot, re-center on the cluster mean). At
+    * the sf0.01 gate (500 vectors) the lower clamp gives k = 16.
+    *
+    * Cross-engine determinism of the TRAINED centroids: vectors are
+    * fixed to exact micro-unit longs (floor(x*1e6 + 0.5) — floor, not
+    * round, so no HALF-mode divergence), per-cluster component sums
+    * are exact BIGINTs (mergeable, order-independent — the KMeans.run
+    * discipline), and mean = CAST(sum AS DOUBLE) / (n * 1e6) is one
+    * correctly-rounded division of exact integers in both engines.
+    * Empty clusters drop out of the centroid relation identically.
+    *
+    * Scale shape: each Lloyd round is the same broadcast-×-centroids +
+    * argmax ranking pass as assignment itself (the k-row centroid
+    * relation is a ≤4096×64-double broadcast), plus one k-row exact
+    * aggregate — training cost is ~rounds× the assignment pass, all
+    * map-side except the slim ranking shuffle.
     */
   private[graft] def semanticAssigned(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d).withColumn("nrm", norm("embedding"))
+      .withColumn("v", expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT))"))
     val kDf = e.agg(least(lit(SemanticMaxSeeds), greatest(lit(IvfSeeds),
       ceil(count(lit(1)).cast("double") / SemanticBallSize).cast("int")))
       .as("k"))
-    val cents = e.select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
-      .crossJoin(broadcast(kDf)).filter(col("cid") < col("k")).drop("k")
-    val scored = e.crossJoin(broadcast(cents))
-      .withColumn("d", round(dot("embedding", "c_emb"), 6))
-    val w = Window.partitionBy("vec_id").orderBy(col("d").desc, col("cid"))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    def assign(cents: DataFrame): DataFrame = {
+      val scored = e.crossJoin(broadcast(cents))
+        .withColumn("d", round(dot("embedding", "c_emb"), 6))
+      val w = Window.partitionBy("vec_id").orderBy(col("d").desc, col("cid"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    }
+    val cents0 = e
+      .select(col("vec_id").as("cid"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("c_emb"))
+      .crossJoin(broadcast(kDf)).filter(col("cid") < col("k"))
+      .select("cid", "c_emb")
+    val trained = (1 to SemanticLloydRounds).foldLeft(cents0) { (c, _) =>
+      assign(c)
+        .groupBy(col("cid").as("cid"))
+        .agg(count(lit(1)).as("n"),
+          call_function("array_sum_agg", col("v")).as("sums"))
+        .select(col("cid"), expr(
+          "transform(sums, x -> CAST(x AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6))")
+          .as("c_emb"))
+    }
+    assign(trained)
       .select(col("vec_id"), col("embedding"), col("nrm"),
         col("cid").as("list_id"))
   }
 
-  private val semanticAssignedSql: String =
-    s"""SELECT vec_id, embedding, nrm, list_id FROM (
-       |  SELECT e.vec_id, e.embedding,
-       |    sqrt(${dotSql("e.embedding", "e.embedding")}) AS nrm,
-       |    c.cid AS list_id,
+  /** One SQL Lloyd assignment pass: argmax rounded dot over `cents`. */
+  private def semanticAssignSql(cents: String): String =
+    s"""SELECT vec_id, embedding, nrm, v, cid FROM (
+       |  SELECT e.vec_id, e.embedding, e.nrm, e.v, c.cid,
        |    row_number() OVER (PARTITION BY e.vec_id
        |      ORDER BY round(${dotSql("e.embedding", "c.c_emb")}, 6) DESC, c.cid) AS rn
-       |  FROM embeddings e,
-       |    (SELECT vec_id AS cid, embedding AS c_emb FROM embeddings,
-       |       (SELECT least($SemanticMaxSeeds, greatest($IvfSeeds,
-       |          CAST(ceil(count(*) / $SemanticBallSize.0) AS INT))) AS k
-       |        FROM embeddings) kk
-       |     WHERE vec_id < kk.k) c) WHERE rn = 1""".stripMargin
+       |  FROM e, $cents c) WHERE rn = 1""".stripMargin
+
+  /** One SQL Lloyd centroid update: exact micro-long component sums →
+    * one correctly-rounded division per component (64 unrolled).
+    */
+  private def semanticCentroidSql(assigned: String): String = {
+    val comps = (1 to Dim).map(i =>
+      s"CAST(sum(v[$i]) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1e6)")
+      .mkString(",\n       |     ")
+    s"""SELECT cid, [$comps] AS c_emb FROM $assigned GROUP BY cid"""
+  }
+
+  private val semanticAssignedSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS nrm,
+       |    list_transform(embedding,
+       |      x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |kk AS (SELECT least($SemanticMaxSeeds, greatest($IvfSeeds,
+       |    CAST(ceil(count(*) / $SemanticBallSize.0) AS INT))) AS k
+       |  FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c_emb
+       |  FROM embeddings, kk WHERE vec_id < kk.k),
+       |a0 AS (${semanticAssignSql("c0")}),
+       |c1 AS (${semanticCentroidSql("a0")}),
+       |a1 AS (${semanticAssignSql("c1")}),
+       |c2 AS (${semanticCentroidSql("a1")}),
+       |af AS (${semanticAssignSql("c2")})
+       |SELECT vec_id, embedding, nrm, cid AS list_id FROM af""".stripMargin
 
   def semanticDedup(s: SparkSession, d: String): DataFrame = {
     val a = semanticAssigned(s, d)
