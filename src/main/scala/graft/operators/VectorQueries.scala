@@ -505,12 +505,22 @@ object VectorQueries {
     val kDf = e.agg(least(lit(SemanticMaxSeeds), greatest(lit(IvfSeeds),
       ceil(count(lit(1)).cast("double") / SemanticBallSize).cast("int")))
       .as("k"))
-    def assign(cents: DataFrame): DataFrame = {
-      val scored = e.crossJoin(broadcast(cents))
-        .withColumn("d", round(dot("embedding", "c_emb"), 6))
-      val w = Window.partitionBy("vec_id").orderBy(col("d").desc, col("cid"))
-      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-    }
+    // argmax(d DESC, cid ASC) as a partial-aggregable max(struct):
+    // the broadcast crossJoin needs no exchange and the map-side
+    // combine collapses to one row per vector BEFORE the shuffle, so
+    // each pass moves N slim rows — never the N×k scored relation
+    // (the first cut ranked N×k wide rows through a window shuffle
+    // and OOMed the 200k×3125 decade; same argmax, wrong exchange).
+    // The oracle's row_number form is the identical (d DESC, cid ASC)
+    // pick: round-6 d ties break on the LOWEST cid = max (d, -cid).
+    def assign(cents: DataFrame): DataFrame =
+      e.select("vec_id", "embedding").crossJoin(broadcast(cents))
+        .select(col("vec_id"),
+          struct(round(dot("embedding", "c_emb"), 6).as("d"),
+            (-col("cid")).as("nc")).as("sc"))
+        .groupBy("vec_id")
+        .agg(max(col("sc")).as("m"))
+        .select(col("vec_id"), (-col("m").getField("nc")).as("cid"))
     val cents0 = e
       .select(col("vec_id").as("cid"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("c_emb"))
@@ -518,7 +528,8 @@ object VectorQueries {
       .select("cid", "c_emb")
     val trained = (1 to SemanticLloydRounds).foldLeft(cents0) { (c, _) =>
       assign(c)
-        .groupBy(col("cid").as("cid"))
+        .join(e.select(col("vec_id"), col("v")), Seq("vec_id"))
+        .groupBy("cid")
         .agg(count(lit(1)).as("n"),
           call_function("array_sum_agg", col("v")).as("sums"))
         .select(col("cid"), expr(
@@ -526,6 +537,8 @@ object VectorQueries {
           .as("c_emb"))
     }
     assign(trained)
+      .join(e.select(col("vec_id"), col("embedding"), col("nrm")),
+        Seq("vec_id"))
       .select(col("vec_id"), col("embedding"), col("nrm"),
         col("cid").as("list_id"))
   }
