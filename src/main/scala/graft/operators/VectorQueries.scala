@@ -192,18 +192,32 @@ object VectorQueries {
     val q = e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("label").as("q_label"),
         col("embedding").as("q_embedding"), col("nrm").as("q_nrm"))
-    val scored = e.crossJoin(broadcast(q))
+    // The anchor set is corpus-proportional (every 50th vector), so the
+    // scored relation is N×N/50 — the brute-force mining baseline is
+    // inherently quadratic COMPUTE (production mines through the IVF
+    // index instead). What must NOT be quadratic is memory: the first
+    // cut computed pos_sim as max().over(partitionBy(q_id)) — an
+    // unbounded window that shuffled and sorted the whole scored
+    // relation, and OOMed at the 200k-vector decade (800M-row window
+    // input). Now (a) pos_sim is a slim partial-aggregable max — the
+    // map-side combine collapses to one row per anchor before any
+    // exchange — joined back onto the mined rows, and (b) the top-5
+    // rank filter lets InferWindowGroupLimit keep ≤5 rows per
+    // (partition, anchor) BEFORE the shuffle, so the exchange carries
+    // ~5·Q·partitions rows, never N×Q. Scoring runs twice (one pass
+    // per consumer) — recomputing cheap dots beats materializing the
+    // quadratic relation.
+    def scored = e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("q_label"), col("vec_id"), col("label"),
         cosinePre("embedding", "q_embedding", col("nrm"), col("q_nrm")).as("sim"))
-    val wAll = Window.partitionBy("q_id")
+    val pos = scored.filter(col("label") === col("q_label"))
+      .groupBy("q_id").agg(max(col("sim")).as("pos_sim"))
     val wTop = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
-    scored
-      .withColumn("pos_sim",
-        max(when(col("label") === col("q_label"), col("sim"))).over(wAll))
-      .filter(col("label") =!= col("q_label"))
+    scored.filter(col("label") =!= col("q_label"))
       .withColumn("rn", row_number().over(wTop))
       .filter(col("rn") <= 5)
+      .join(pos, Seq("q_id"), "left")
       .select(col("q_id"), col("rn"), col("vec_id").as("neg_id"),
         col("label").as("neg_label"), col("sim"), col("pos_sim"),
         round(col("pos_sim") - col("sim"), 6).as("margin"))
@@ -220,18 +234,18 @@ object VectorQueries {
        |scored AS (
        |  SELECT q.q_id, q.q_label, a.vec_id, a.label, $cos AS sim
        |  FROM be a, q WHERE a.vec_id <> q.q_id),
-       |wp AS (
-       |  SELECT *, max(CASE WHEN label = q_label THEN sim END)
-       |    OVER (PARTITION BY q_id) AS pos_sim
-       |  FROM scored),
+       |pos AS (
+       |  SELECT q_id, max(sim) AS pos_sim FROM scored
+       |  WHERE label = q_label GROUP BY q_id),
        |negs AS (
-       |  SELECT q_id, vec_id, label, sim, pos_sim,
+       |  SELECT q_id, vec_id, label, sim,
        |    CAST(row_number() OVER (PARTITION BY q_id
        |      ORDER BY sim DESC, vec_id) AS INTEGER) AS rn
-       |  FROM wp WHERE label <> q_label)
-       |SELECT q_id, rn, vec_id AS neg_id, label AS neg_label, sim, pos_sim,
-       |  round(pos_sim - sim, 6) AS margin
-       |FROM negs WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
+       |  FROM scored WHERE label <> q_label)
+       |SELECT n.q_id, n.rn, n.vec_id AS neg_id, n.label AS neg_label,
+       |  n.sim, p.pos_sim, round(p.pos_sim - n.sim, 6) AS margin
+       |FROM negs n LEFT JOIN pos p ON n.q_id = p.q_id
+       |WHERE n.rn <= 5 ORDER BY n.q_id, n.rn""".stripMargin
   }
 
   val knnMultiSql: String = {
