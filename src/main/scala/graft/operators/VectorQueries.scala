@@ -633,6 +633,80 @@ object VectorQueries {
   }
 
   // -------------------------------------------------------------------
+  // B29/charter: ANN-confined hard-negative mining — the PRODUCTION
+  // twin of vec_hard_negatives. The brute-force miner scores every
+  // anchor against the whole corpus (N×N/50 dots — the measured-
+  // quadratic baseline, SCALING.md §vec tier sf10); this variant
+  // confines each anchor's candidate set to its own trained
+  // coarse-quantizer cell (semanticAssigned: k = clamp(16..4096,
+  // ⌈N/64⌉), two Lloyd rounds), so candidates ≈ cell size (~64) per
+  // anchor and total work is ~64·Q — LINEAR in the corpus even with a
+  // corpus-proportional anchor set. The price is the cell-confinement
+  // miss rate measured in SCALING.md (86% same-cluster recall at the
+  // production θ=0.9 regime after training); the shape is SemDeDup's
+  // confinement applied to mining. The quantizer relation is staged
+  // once (Stage.fanout) and feeds anchors, the positive ceiling, and
+  // the candidate side; pos_sim is a slim partial-aggregable max and
+  // the top-5 rank filter gets the WindowGroupLimit pushdown — the
+  // same bounded-memory discipline the brute-force miner now uses.
+  // -------------------------------------------------------------------
+  def hardNegativesAnn(s: SparkSession, d: String): DataFrame = {
+    val lbl = embeddings(s, d).select(col("vec_id"), col("label"))
+    val a = semanticAssigned(s, d).join(lbl, Seq("vec_id"))
+    graft.Stage.fanout(a) { aa =>
+      val anchors = aa.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("embedding").as("q_embedding"), col("nrm").as("q_nrm"),
+          col("list_id").as("q_list"))
+      val scored = aa
+        .join(anchors,
+          col("list_id") === col("q_list") && col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("q_label"), col("vec_id"), col("label"),
+          cosinePre("embedding", "q_embedding", col("nrm"), col("q_nrm"))
+            .as("sim"))
+      val pos = scored.filter(col("label") === col("q_label"))
+        .groupBy("q_id").agg(max(col("sim")).as("pos_sim"))
+      val wTop = Window.partitionBy("q_id")
+        .orderBy(col("sim").desc, col("vec_id"))
+      scored.filter(col("label") =!= col("q_label"))
+        .withColumn("rn", row_number().over(wTop))
+        .filter(col("rn") <= 5)
+        .join(pos, Seq("q_id"), "left")
+        .select(col("q_id"), col("rn"), col("vec_id").as("neg_id"),
+          col("label").as("neg_label"), col("sim"), col("pos_sim"),
+          round(col("pos_sim") - col("sim"), 6).as("margin"))
+    }.orderBy("q_id", "rn")
+  }
+
+  val hardNegativesAnnSql: String = {
+    val cos = s"round((${dotSql("a.embedding", "q.q_embedding")}) / (a.nrm * q.q_nrm), 6)"
+    s"""WITH assigned AS ($semanticAssignedSql),
+       |al AS (
+       |  SELECT a.vec_id, a.embedding, a.nrm, a.list_id, e.label
+       |  FROM assigned a JOIN embeddings e ON a.vec_id = e.vec_id),
+       |anchors AS (
+       |  SELECT vec_id AS q_id, label AS q_label,
+       |    embedding AS q_embedding, nrm AS q_nrm, list_id AS q_list
+       |  FROM al WHERE vec_id % 50 = 0),
+       |scored AS (
+       |  SELECT q.q_id, q.q_label, a.vec_id, a.label, $cos AS sim
+       |  FROM al a JOIN anchors q
+       |    ON a.list_id = q.q_list AND a.vec_id <> q.q_id),
+       |pos AS (
+       |  SELECT q_id, max(sim) AS pos_sim FROM scored
+       |  WHERE label = q_label GROUP BY q_id),
+       |negs AS (
+       |  SELECT q_id, vec_id, label, sim,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY sim DESC, vec_id) AS INTEGER) AS rn
+       |  FROM scored WHERE label <> q_label)
+       |SELECT n.q_id, n.rn, n.vec_id AS neg_id, n.label AS neg_label,
+       |  n.sim, p.pos_sim, round(p.pos_sim - n.sim, 6) AS margin
+       |FROM negs n LEFT JOIN pos p ON n.q_id = p.q_id
+       |WHERE n.rn <= 5 ORDER BY n.q_id, n.rn""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // B29e: IVF (inverted-file) ANN — the other scale path besides LSH.
   // Coarse quantizer: the 16 seed vectors (vec_id < 16) stand in for
   // k-means centroids (training is out of scope; the plumbing is the
@@ -1827,6 +1901,7 @@ object VectorQueries {
     "vec_knn_bruteforce" -> (knnBruteForce _),
     "vec_knn_multi" -> (knnMulti _),
     "vec_hard_negatives" -> (hardNegatives _),
+    "vec_hard_negatives_ann" -> (hardNegativesAnn _),
     "vec_lsh_buckets" -> (lshBuckets _),
     "vec_lsh_ann" -> (lshAnn _)
   )
@@ -1857,6 +1932,7 @@ object VectorQueries {
     "vec_knn_bruteforce" -> knnBruteForceSql,
     "vec_knn_multi" -> knnMultiSql,
     "vec_hard_negatives" -> hardNegativesSql,
+    "vec_hard_negatives_ann" -> hardNegativesAnnSql,
     "vec_lsh_buckets" -> lshBucketsSql,
     "vec_lsh_ann" -> lshAnnSql
   )

@@ -89,6 +89,30 @@ class CrossOperatorSpec extends AnyFunSuite {
           s"weight ${b.getAs[Double]("w")} got ${b.getAs[Long]("n")}")
   }
 
+  test("ANN-confined mining is dominated by brute-force mining per anchor") {
+    // vec_hard_negatives_ann restricts candidates to the anchor's
+    // coarse cluster, so its mined sims can never exceed the
+    // brute-force miner's global best negative for the same anchor,
+    // and every mined negative must carry a label different from the
+    // anchor's
+    val brute = VectorQueries.queries("vec_hard_negatives")(spark, sf)
+      .filter(col("rn") === 1)
+      .select(col("q_id"), col("sim").as("best_sim"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val labels = Tables.embeddings(spark, sf)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val ann = VectorQueries.queries("vec_hard_negatives_ann")(spark, sf)
+      .collect()
+    assert(ann.nonEmpty)
+    ann.foreach { r =>
+      val q = r.getAs[Long]("q_id")
+      assert(r.getAs[Double]("sim") <= brute(q) + 1e-9,
+        s"anchor $q: ANN sim ${r.getAs[Double]("sim")} beats global best ${brute(q)}")
+      assert(labels(r.getAs[Long]("neg_id")) != labels(q))
+    }
+  }
+
   test("no registered query emits a top-level container column") {
     // The driver's DuckDB/pandas hash-compare factorizes cell values;
     // an ARRAY/MAP/STRUCT column dies in `sort_values` (the exact
