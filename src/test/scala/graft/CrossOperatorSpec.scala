@@ -89,6 +89,53 @@ class CrossOperatorSpec extends AnyFunSuite {
           s"weight ${b.getAs[Double]("w")} got ${b.getAs[Long]("n")}")
   }
 
+  test("trained quantizer assignment matches an independent Scala reimplementation") {
+    // semanticAssigned's whole pipeline — micro-long fixing, two Lloyd
+    // rounds (argmax assign + exact-integer mean), final argmax with
+    // (d DESC, cid ASC) ties — re-derived here in plain Scala with the
+    // same left-associated IEEE dots and HALF_UP rounding. Pins the
+    // max(struct(d, -cid)) trick to the rank-window semantics the
+    // DuckDB oracle uses, independently of either engine.
+    def r6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val rows = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      .sortBy(_._1)
+    val n = rows.length
+    val k = math.min(4096, math.max(16, math.ceil(n / 64.0).toInt))
+    val micro = rows.map { case (id, e) =>
+      id -> e.map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong)
+    }.toMap
+    def dot(e: Array[Float], c: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < e.length) { s += e(i).toDouble * c(i); i += 1 }
+      s
+    }
+    def assign(cents: Seq[(Long, Array[Double])]): Map[Long, Long] =
+      rows.map { case (id, e) =>
+        id -> cents.map { case (cid, c) => (r6(dot(e, c)), cid) }
+          .minBy { case (d, cid) => (-d, cid) }._2
+      }.toMap
+    var cents: Seq[(Long, Array[Double])] = rows.take(k)
+      .map { case (id, e) => id -> e.map(_.toDouble) }
+    for (_ <- 1 to 2) {
+      val byCluster = assign(cents).toSeq.groupBy(_._2)
+      cents = byCluster.toSeq.sortBy(_._1).map { case (cid, members) =>
+        val vs = members.map { case (id, _) => micro(id) }
+        val sums = vs.transpose.map(_.sum)
+        cid -> sums.map(s => s.toDouble / (vs.size.toDouble * 1e6)).toArray
+      }
+    }
+    val expected = assign(cents)
+    val got = VectorQueries.semanticAssigned(spark, sf)
+      .select("vec_id", "list_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === n)
+    val diff = got.filter { case (id, lid) => expected(id) != lid }
+    assert(diff.isEmpty, s"${diff.size} mismatched assignments, e.g. ${diff.take(3)}")
+  }
+
   test("ANN-confined mining is dominated by brute-force mining per anchor") {
     // vec_hard_negatives_ann restricts candidates to the anchor's
     // coarse cluster, so its mined sims can never exceed the
