@@ -1436,18 +1436,45 @@ object RelationalQueries {
   // (rn-1)*20 < n so neither engine does float ceil math. This is the
   // train-mix shape when per-class quotas must be exact; rel_hash_sample
   // is the constant-memory approximate alternative (no in-stratum sort)
-  // when ±ε on the rate is fine — at 100 TB prefer that unless quotas
-  // are contractual, since exact quotas cost a per-stratum sort.
+  // when ±ε on the rate is fine.
+  //
+  // The exact rank is computed as a TWO-LEVEL rank, not one window per
+  // stratum: the naive `row_number() OVER (PARTITION BY stratum)` puts
+  // each whole stratum through ONE task's external sort — with 3 strata
+  // that is 3 tasks sorting ~N/3 rows each while the other 29 cores
+  // idle, and it was the registry's only >12×-at-sf10 plan (13.5× for
+  // 10×, SCALING.md §sf10full). Instead: rk is uniform in [0, 2^60), so
+  // RANGE-bucket it on its high 6 bits (64 contiguous rank ranges per
+  // stratum), rank locally inside each (stratum, bucket) — 192 parallel
+  // sorts of ~N/192 rows — and add back the exact offset = sum of lower
+  // buckets' counts, from a 192-row broadcast side computed in the same
+  // pass shape. Same (rk, key) total order, identical output, and the
+  // sort parallelism now scales with cores instead of strata.
   // -------------------------------------------------------------------
   def stratifiedSample(s: SparkSession, d: String): DataFrame = {
     val rk = conv(substring(md5(concat(lit("strat:"), col("o_orderkey"))),
       1, 15), 16, 10).cast("long")
-    val w = Window.partitionBy("o_orderstatus").orderBy("rk", "o_orderkey")
-    val cw = Window.partitionBy("o_orderstatus")
-    orders(s, d)
+    val base = orders(s, d)
       .select(col("o_orderkey"), col("o_orderstatus"), rk.as("rk"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n_stratum", count(lit(1)).over(cw))
+      .withColumn("bkt", shiftright(col("rk"), 54))
+    // 3×64-row relation: per-bucket counts → exclusive prefix sum gives
+    // each bucket's global rank offset; per-stratum total is the quota
+    // denominator. The window here sorts ≤64 rows per stratum.
+    val counts = base.groupBy("o_orderstatus", "bkt")
+      .agg(count(lit(1)).as("cnt"))
+    val offs = counts
+      .withColumn("off", coalesce(sum(col("cnt")).over(
+        Window.partitionBy("o_orderstatus").orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n_stratum", sum(col("cnt")).over(
+        Window.partitionBy("o_orderstatus")))
+      .select("o_orderstatus", "bkt", "off", "n_stratum")
+    val wLocal = Window.partitionBy("o_orderstatus", "bkt")
+      .orderBy("rk", "o_orderkey")
+    base
+      .withColumn("lrn", row_number().over(wLocal))
+      .join(broadcast(offs), Seq("o_orderstatus", "bkt"))
+      .withColumn("rn", (col("lrn") + col("off")).cast("int"))
       .filter((col("rn") - 1) * 20 < col("n_stratum"))
       .select("o_orderstatus", "o_orderkey", "rn", "n_stratum")
       .orderBy("o_orderstatus", "rn")

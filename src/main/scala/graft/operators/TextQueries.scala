@@ -1480,6 +1480,16 @@ object TextQueries {
   // relation that hash-joins back against train passages. Split
   // membership derives from the SAME salted doc_id hash as
   // train_split_assign, so this audits exactly the split that ships.
+  //
+  // Output contract: n_test_hits/n_val_hits count one hit PER LEAKED
+  // SPLIT (a passage hash present in both test and val counts twice),
+  // while n_passages is the plain pre-join passage count — so
+  // leak_ratio = (n_test_hits + n_val_hits) / n_passages can EXCEED
+  // 1.0 (e.g. 1 passage leaking into both holdouts → 2/1). That is
+  // deliberate: the ratio is severity (expected holdout collisions per
+  // train passage), not a fraction of passages; readers wanting the
+  // latter should use the per-split hit columns, each individually
+  // ≤ n_passages.
   // -------------------------------------------------------------------
   def splitLeakage(s: SparkSession, d: String): DataFrame = {
     val bucket = pmod(h60(concat(lit("split-v1:"),

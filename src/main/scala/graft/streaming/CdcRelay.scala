@@ -62,11 +62,14 @@ object CdcRelay {
         * (SCALING.md §Relay: each trigger pays a ~0.5-1 s commit
         * barrier, so throughput scales with events-per-trigger until
         * executor parallelism saturates; 256 files kept the sf1 drain
-        * at 163-184k events/s vs 52k at 32). A LIVE relay tuning for
-        * per-event latency should lower this toward the reference's
-        * `--event-count-max` batching instead.
+        * at 163-184k events/s vs 52k at 32). A LIVE relay wants the
+        * reference's latency-oriented `--event-count-max` batching
+        * instead — [[startContinuous]] swaps this drain default for
+        * [[RelayConfig.LiveMaxFilesPerTrigger]] via
+        * [[RelayConfig.liveProfile]] unless the caller set the cap
+        * explicitly (to a non-default value).
         */
-      maxFilesPerTrigger: Int = 256,
+      maxFilesPerTrigger: Int = RelayConfig.DrainMaxFilesPerTrigger,
       /** A4 idle throttle (reference `--idle-interval-ms`): the pacing
         * interval of the poll loop. Used as the processing-time trigger
         * period by [[startContinuous]] and as the denominator of the
@@ -177,6 +180,32 @@ object CdcRelay {
   }
 
   object RelayConfig {
+    /** The case-class trigger-cap default, tuned for DRAIN throughput
+      * (batch-size→throughput curve, SCALING.md §Relay).
+      */
+    val DrainMaxFilesPerTrigger: Int = 256
+
+    /** Latency-profile trigger cap for LIVE relays: ~4k events/file in
+      * the driver corpora makes 8 files per trigger the same order as
+      * the reference's latency-oriented `--event-count-max` default of
+      * 4096 events/poll (config.go:40) while still amortizing the
+      * per-trigger commit barrier over a few files.
+      */
+    val LiveMaxFilesPerTrigger: Int = 8
+
+    /** Swap the drain-tuned trigger cap for the latency profile. Only
+      * the untouched default is swapped: a caller who explicitly chose
+      * any other cap (including via `--event-count-max`) keeps it.
+      * (An explicit 256 is indistinguishable from the default and gets
+      * the live profile too — callers who really want a 256-file live
+      * trigger set 255 or 257, or call [[CdcRelay.start]] with their
+      * own trigger.)
+      */
+    def liveProfile(cfg: RelayConfig): RelayConfig =
+      if (cfg.maxFilesPerTrigger == DrainMaxFilesPerTrigger)
+        cfg.copy(maxFilesPerTrigger = LiveMaxFilesPerTrigger)
+      else cfg
+
     /** True iff `s` is a strictly positive interval — parsed with the
       * SAME parser `withWatermark` uses (`IntervalUtils
       * .fromIntervalString`), so validation accepts exactly the grammar
@@ -302,7 +331,12 @@ object CdcRelay {
     * this bounds source reads to `maxFilesPerSecond` — the poll-loop +
     * sliding-window-limiter pair of the reference (runner.go:126-169,
     * 750-793) expressed as trigger pacing + per-trigger admission.
+    * The drain-tuned trigger cap does NOT carry over: a live relay
+    * left at the default gets [[RelayConfig.liveProfile]]'s
+    * latency-oriented batch size (reference `--event-count-max` 4096,
+    * config.go:40) instead of the 256-file (~1M-event) drain batches.
     */
   def startContinuous(spark: SparkSession, cfg: RelayConfig): StreamingQuery =
-    start(spark, cfg, Trigger.ProcessingTime(cfg.idleIntervalMs))
+    start(spark, RelayConfig.liveProfile(cfg),
+      Trigger.ProcessingTime(cfg.idleIntervalMs))
 }

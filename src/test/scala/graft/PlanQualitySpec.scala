@@ -199,12 +199,22 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(hashEx.size == 1 && hashEx.head > bcast, plan)
   }
 
-  test("stratified sample shares one shuffle across both windows") {
-    // rank and per-stratum count both partition by the stratum: the
-    // plan must shuffle the input once, not once per window function
+  test("stratified sample ranks in parallel sub-buckets, not one sort per stratum") {
+    // the exact rank is two-level: the full-relation window must
+    // partition by (stratum, range-bucket) — 192 parallel sorts — with
+    // the 192-row offset side arriving over a broadcast join, never a
+    // row_number partitioned by the bare stratum (3 serial task sorts,
+    // the 13.5×-at-sf10 plan this replaced)
     val df = RelationalQueries.stratifiedSample(spark, sf)
     val plan = physical(df)
-    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    val winSpecs = "row_number\\(\\) windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(winSpecs.nonEmpty, plan)
+    winSpecs.foreach { spec =>
+      assert(spec.contains("bkt"),
+        s"full-relation rank must sub-bucket the stratum sort: $spec\n$plan")
+    }
     // semantic quota check: every stratum keeps exactly ceil(n/20) rows
     val quotas = df.groupBy("o_orderstatus")
       .agg(count(lit(1)).as("kept"), max("n_stratum").as("n"))

@@ -108,4 +108,18 @@ class RelayConfigSpec extends AnyFunSuite {
       idleIntervalMs = 200, maxFilesPerSecond = Some(1.0))
     assert(tight.effectiveMaxFilesPerTrigger == 1)
   }
+
+  test("live profile swaps the drain trigger default for the latency cap") {
+    // a live relay left at the drain-tuned default (256 files ≈ 1M
+    // events/trigger) gets the reference's latency-oriented batching
+    // analog (config.go:40 event-count-max = 4096 events)
+    assert(RelayConfig.liveProfile(base).maxFilesPerTrigger ==
+      RelayConfig.LiveMaxFilesPerTrigger)
+    // an explicit non-default cap is the operator's choice — kept
+    val explicit = base.copy(maxFilesPerTrigger = 64)
+    assert(RelayConfig.liveProfile(explicit).maxFilesPerTrigger == 64)
+    // nothing else about the config changes
+    assert(RelayConfig.liveProfile(base).copy(
+      maxFilesPerTrigger = base.maxFilesPerTrigger) == base)
+  }
 }
