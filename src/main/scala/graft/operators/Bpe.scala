@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative BPE (byte-pair-encoding) tokenizer training to K merges —
+  * the full loop behind the single unrolled round of `text_bpe_merge2`
+  * (a production trainer runs hundreds of rounds; the loop, not the
+  * round, is the operator).
+  *
+  * Shape, designed for the 1000-executor case:
+  *   - everything runs over the WORD-FORM table (word, freq) — the one
+  *     corpus collapse happens before training, so each round's pair
+  *     count is vocabulary-bounded, not corpus-bounded.
+  *   - a merged pair is replaced by a fresh single char from the
+  *     Unicode private-use area (U+E000 + round), so a "symbol" is
+  *     always exactly one char and adjacent-pair extraction stays the
+  *     cheap `substr(word, i, 2)` scan every round — no array-of-token
+  *     representation, no quadratic re-tokenization. `replace()` is
+  *     left-to-right non-overlapping, which IS greedy BPE merge
+  *     application, and with a fresh marker it is injective: distinct
+  *     word forms stay distinct, so frequencies never need regrouping.
+  *   - driver state is the merge list only (K rows — the same bounded
+  *     contract as [[KMeans.run]]'s k×dim matrix); each round collects
+  *     exactly one (pair, count) row.
+  *   - each round's merged vocabulary is persisted and the previous
+  *     round unpersisted, so round r's pair count scans one
+  *     materialized relation instead of replaying r rounds of lineage
+  *     (K² blowup otherwise).
+  */
+object Bpe {
+
+  /** One learned merge: `pair` is the raw 2-symbol form (may contain
+    * markers of earlier merges), `decoded` the fully expanded surface
+    * string, `count` the pair's weighted frequency when it was merged.
+    */
+  final case class Merge(rank: Int, pair: String, decoded: String, count: Long)
+
+  private[operators] def marker(round: Int): String =
+    (0xE000 + round).toChar.toString
+
+  /** Expand every marker in `s` back to its surface form. Replacing in
+    * DESCENDING merge order is sufficient: merge r's pair contains only
+    * markers < r, so each replacement introduces only markers a later
+    * (lower) replacement handles.
+    */
+  private def decode(s: String, merges: Seq[Merge]): String =
+    merges.sortBy(-_.rank).foldLeft(s) { (acc, m) =>
+      acc.replace(marker(m.rank - 1), m.pair)
+    }
+
+  /** Train `k` merges over `words` (columns `word: String`,
+    * `freq: Long`). Stops early if no pair remains (fully merged
+    * vocabulary). Returns merges in rank order (rank is 1-based).
+    */
+  def train(s: SparkSession, words: DataFrame, k: Int): Seq[Merge] = {
+    var vocab = words.select(col("word"), col("freq")).persist()
+    vocab.count(): Unit
+    var merges = Vector.empty[Merge]
+    var r = 0
+    var done = false
+    while (r < k && !done) {
+      val top = vocab
+        .filter(length(col("word")) >= 2)
+        .select(col("freq"), explode(transform(
+          sequence(lit(1), length(col("word")) - 1),
+          i => col("word").substr(i, lit(2)))).as("p"))
+        .groupBy("p").agg(sum(col("freq")).as("c"))
+        .orderBy(col("c").desc, col("p")).limit(1)
+        .collect()
+      top.headOption match {
+        case None => done = true
+        case Some(row) =>
+          val (mp, c) = (row.getString(0), row.getLong(1))
+          // lit() columns rather than SQL-string interpolation: the pair
+          // is corpus text and may contain quotes/backslashes
+          val next = vocab
+            .withColumn("_mp", lit(mp)).withColumn("_mk", lit(marker(r)))
+            .select(expr("replace(word, _mp, _mk)").as("word"), col("freq"))
+            .persist()
+          next.count(): Unit
+          vocab.unpersist()
+          vocab = next
+          merges = merges :+ Merge(r + 1, mp, "", c)
+          r += 1
+      }
+    }
+    vocab.unpersist()
+    merges.map(m => m.copy(decoded = decode(m.pair, merges)))
+  }
+}

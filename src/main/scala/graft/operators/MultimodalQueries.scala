@@ -313,19 +313,24 @@ object MultimodalQueries {
   // the same cappedBlocks guard the text dedup family logs; the
   // synthetic corpus has none, so none is wired here.
   //
-  // >>> STUB DECODE <<< : the "perceptual" hash is md5_top60 of the
-  // payload, and the re-encode noise is a deterministic single-bit flip
-  // on the two non-canonical members of each 3-asset group (ids 3k,
-  // 3k+1, 3k+2 share source bytes; 3k is the canonical encode). A real
-  // build swaps in a DCT pHash over decoded pixels; banding, verify,
-  // and output shape are unchanged.
+  // The decode is still the deterministic stub (iterated-MD5 pixel
+  // stream — no codec I/O in this build), but the FINGERPRINT is now a
+  // real 16×16 DCT-II low-frequency hash (plans/DctPhash60: fixed-point
+  // cosine basis, 60 AC coefficients, lower-median threshold), and the
+  // re-encode noise is ±2 per-PIXEL jitter on the two non-canonical
+  // members of each 3-asset group (ids 3k, 3k+1, 3k+2 share source
+  // bytes; 3k is the canonical encode) — so variant copies land at
+  // small-but-variable Hamming distance because coefficients near the
+  // median flip, not because a script flipped one scripted bit.
+  // Banding, verify, and output shape are unchanged; a real build swaps
+  // only the pixel source.
   // -------------------------------------------------------------------
   private val PhashBands = 3      // min bands for guaranteed radius-2 recall
   private val PhashBandBits = 20  // 60-bit fingerprint / 3 bands
   private val PhashRadius = 2
 
   def phashNearDup(s: SparkSession, d: String): DataFrame = {
-    graft.plans.GraftExtensions.register(s) // md5_top60
+    graft.plans.GraftExtensions.register(s) // dct_phash60
     val docs = documents(s, d)
     val anchors = docs.filter(col("doc_id") % 3 === 0)
       .select(col("doc_id").as("src_id"), col("text").as("src_text"))
@@ -333,11 +338,7 @@ object MultimodalQueries {
       (col("doc_id") - col("doc_id") % 3).as("src"))
     val assets = members.join(anchors, col("src") === col("src_id"))
       .select(col("media_id"),
-        expr("""md5_top60(src_text) ^ (CASE WHEN media_id % 3 = 0
-               |  THEN CAST(0 AS BIGINT)
-               |  ELSE shiftleft(CAST(1 AS BIGINT),
-               |                 CAST((media_id * 7) % 60 AS INT)) END)"""
-          .stripMargin).as("phash"))
+        expr("dct_phash60(src_text, media_id % 3)").as("phash"))
     val bands = assets.select(col("media_id"), col("phash"),
         explode(expr(s"sequence(0, ${PhashBands - 1})")).as("band"))
       .withColumn("bv",
@@ -355,15 +356,48 @@ object MultimodalQueries {
       .orderBy("a_id", "b_id")
   }
 
-  val phashNearDupSql: String =
-    s"""WITH assets AS (
-       |  SELECT d.doc_id AS media_id,
-       |    xor(CAST(('0x' || substr(md5(s.text), 1, 15)) AS BIGINT),
-       |        CASE WHEN d.doc_id % 3 = 0 THEN CAST(0 AS BIGINT)
-       |             ELSE (CAST(1 AS BIGINT) << CAST((d.doc_id * 7) % 60 AS INT))
-       |        END) AS phash
+  /** The oracle's DCT is GENERATED from [[graft.plans.DctHashUtil]]'s
+    * own fixed-point cosine table (interpolated as a 128-literal list),
+    * so there is no runtime cosine in either engine and the integer
+    * pipelines are term-for-term identical. MATERIALIZED throughout —
+    * each stage references the previous twice via lambdas and DuckDB
+    * would otherwise inline the chain multiplicatively.
+    */
+  val phashNearDupSql: String = {
+    val cFlat = graft.plans.DctHashUtil.C.flatten.mkString("[", ", ", "]")
+    def raw(salt: String) =
+      s"CAST(('0x' || substr(md5(src_text || $salt || ':' || " +
+        "CAST(i // 16 AS VARCHAR)), CAST(1 + (i % 16) * 2 AS INT), 2)) AS INT)"
+    val rawPx = raw("''")
+    val noise = s"((${raw("'#' || CAST(v AS VARCHAR)")} % 5) - 2)"
+    s"""WITH assets0 AS (
+       |  SELECT d.doc_id AS media_id, d.doc_id % 3 AS v, s.text AS src_text
        |  FROM documents d
        |  JOIN documents s ON s.doc_id = d.doc_id - d.doc_id % 3),
+       |ctab AS (SELECT $cFlat AS cc),
+       |px AS MATERIALIZED (
+       |  SELECT media_id, list_transform(range(0, 256), i ->
+       |    CASE WHEN v = 0 THEN $rawPx
+       |         ELSE greatest(0, least(255, $rawPx + $noise)) END) AS p
+       |  FROM assets0),
+       |tt AS MATERIALIZED (
+       |  SELECT media_id, list_transform(range(0, 128), j ->
+       |    list_sum(list_transform(range(0, 16), r ->
+       |      p[CAST(r * 16 + (j % 16) + 1 AS INT)]
+       |        * cc[CAST((j // 16) * 16 + r + 1 AS INT)]))) AS t
+       |  FROM px, ctab),
+       |cf AS MATERIALIZED (
+       |  SELECT media_id, list_transform(range(1, 61), k ->
+       |    list_sum(list_transform(range(0, 16), c ->
+       |      t[CAST((k // 8) * 16 + c + 1 AS INT)]
+       |        * cc[CAST((k % 8) * 16 + c + 1 AS INT)]))) AS coefs
+       |  FROM tt, ctab),
+       |assets AS MATERIALIZED (
+       |  SELECT media_id, CAST(list_sum(list_transform(range(1, 61), k ->
+       |      CASE WHEN coefs[CAST(k AS INT)] > list_sort(coefs)[30]
+       |           THEN (CAST(1 AS BIGINT) << CAST(k - 1 AS INT))
+       |           ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS phash
+       |  FROM cf),
        |bands AS (
        |  SELECT media_id, phash, band,
        |    (phash >> ($PhashBandBits * band)) & ${(1 << PhashBandBits) - 1} AS bv
@@ -377,6 +411,7 @@ object MultimodalQueries {
        |FROM cand
        |WHERE bit_count(xor(pa, pb)) <= $PhashRadius
        |ORDER BY a_id, b_id""".stripMargin
+  }
 
   // -------------------------------------------------------------------
   // M9: audio energy / voice-activity profile — the audio-modality

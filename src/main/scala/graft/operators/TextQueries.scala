@@ -1816,31 +1816,54 @@ object TextQueries {
   // Charter: dedup method-agreement audit — the QA report an operator
   // reads before committing to thresholds: per method pair, how many
   // docs each dedup method flags (diagonal), how many both flag, and
-  // the Jaccard agreement of the flag sets. Exact = duplicated content
-  // hash; near = member of any LSH-verified near-dup pair; passage =
-  // majority-duplicate passage windows. The flag relations are slim
-  // (method, doc_id) sets, so the pairwise comparison is a same-key
-  // self-join over |flagged docs| rows — the expensive legs are the
-  // dedup pipelines themselves, each already staged/checkpoint-backed.
+  // the Jaccard agreement of the flag sets, over the registry's FULL
+  // flagging-method inventory:
+  //   exact       = duplicated content hash
+  //   bag         = duplicated sorted-token-multiset hash
+  //   near        = member of any LSH-verified near-dup pair
+  //   containment = member of any ≥0.8 gram-containment pair
+  //   passage     = majority-duplicate 8-token passage windows
+  //   substring   = majority-duplicate 20-token windows (stride 10)
+  // The flag relations are slim (method, doc_id) sets, so the pairwise
+  // comparison is a same-key self-join over |flagged docs| rows — the
+  // expensive legs are the dedup pipelines themselves, each already
+  // staged/checkpoint-backed.
   // -------------------------------------------------------------------
   def dedupAgreement(s: SparkSession, d: String): DataFrame = {
     val exactDocs = documents(s, d)
       .select(col("doc_id"), md5(col("text")).as("h"))
       .withColumn("nh", count(lit(1)).over(Window.partitionBy("h")))
       .filter(col("nh") > 1).select("doc_id")
+    val bagDocs = documents(s, d)
+      .select(col("doc_id"),
+        md5(concat_ws(" ",
+          sort_array(expr("filter(split(text, ' '), x -> x <> '')"))))
+          .as("bh"))
+      .withColumn("nb", count(lit(1)).over(Window.partitionBy("bh")))
+      .filter(col("nb") > 1).select("doc_id")
     val nearDocs = neardupPairsCore(s, d)
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val contDocs = containmentCore(s, d)
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
     val passDocs = passageDedupCore(s, d).filter(col("flagged"))
       .select("doc_id")
+    val substrDocs = substringDedupCore(s, d)
+      .filter(col("dup_windows") * 2 >= col("n_windows") &&
+        col("n_windows") > 0)
+      .select("doc_id")
     val rel = exactDocs.withColumn("method", lit("exact"))
+      .unionByName(bagDocs.withColumn("method", lit("bag")))
       .unionByName(nearDocs.withColumn("method", lit("near")))
+      .unionByName(contDocs.withColumn("method", lit("containment")))
       .unionByName(passDocs.withColumn("method", lit("passage")))
+      .unionByName(substrDocs.withColumn("method", lit("substring")))
       .select("method", "doc_id")
     // ONE pass over the flag relation, no composite-level staging: the
     // per-doc method set explodes into its ordered in-set pairs
     // (diagonal included), so pair counts AND method sizes fall out of
-    // a single ≤(3+3)-row aggregate — where the previous self-join
+    // a single ≤(C(6,2)+6)-row aggregate — where the previous self-join
     // shape consumed the relation three times and needed its own
     // persist+checkpoint round-trip on top of the constituents'
     // (measured: the staging overhead, not the pipelines, was the gap
@@ -1872,18 +1895,43 @@ object TextQueries {
       .orderBy("method_a", "method_b")
   }
 
-  val dedupAgreementSql: String = {
+  // lazy: interpolates containmentSql/substringDedupSql, which are
+  // declared LATER in this object — an eager val would bake their
+  // nulls at class init (the Scala init-order trap; forced safely by
+  // the oracle map at the bottom of the file)
+  lazy val dedupAgreementSql: String = {
     val nearSql = neardupPairsSql.replace("ORDER BY doc_a, doc_b", "")
+    val contSql = containmentSql.replace("ORDER BY doc_a, doc_b", "")
+    val substrSql = substringDedupSql.replace("ORDER BY d.doc_id", "")
     val ph = h60Sql("passage")
+    // contSql/substrSql are substituted AFTER stripMargin: containment's
+    // SQL contains lines that BEGIN with `||` (string concat), which an
+    // enclosing stripMargin would truncate to `|` and break the query
     s"""WITH near_pairs AS (SELECT doc_a, doc_b FROM ($nearSql)),
        |nearrel AS (
        |  SELECT DISTINCT doc_id FROM (
        |    SELECT doc_a AS doc_id FROM near_pairs
        |    UNION ALL SELECT doc_b FROM near_pairs)),
+       |cont_pairs AS (SELECT doc_a, doc_b FROM (@@CONT_SQL@@)),
+       |contrel AS (
+       |  SELECT DISTINCT doc_id FROM (
+       |    SELECT doc_a AS doc_id FROM cont_pairs
+       |    UNION ALL SELECT doc_b FROM cont_pairs)),
        |exactrel AS (
        |  SELECT doc_id FROM (
        |    SELECT doc_id, count(*) OVER (PARTITION BY md5(text)) AS nh
        |    FROM documents) WHERE nh > 1),
+       |bagrel AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, count(*) OVER (PARTITION BY bag_md5) AS nb
+       |    FROM (SELECT doc_id,
+       |      md5(coalesce(array_to_string(list_sort(
+       |        list_filter(string_split(text, ' '), x -> x <> '')), ' '), ''))
+       |        AS bag_md5
+       |      FROM documents)) WHERE nb > 1),
+       |substrrel AS (
+       |  SELECT doc_id FROM (@@SUBSTR_SQL@@)
+       |  WHERE dup_windows * 2 >= n_windows AND n_windows > 0),
        |pwt AS (
        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
        |  WHERE len(string_split(text, ' ')) >= 8),
@@ -1904,8 +1952,11 @@ object TextQueries {
        |  WHERE n_dup * 2 >= n_passages),
        |rel AS (
        |  SELECT 'exact' AS method, doc_id FROM exactrel
+       |  UNION ALL SELECT 'bag', doc_id FROM bagrel
        |  UNION ALL SELECT 'near', doc_id FROM nearrel
-       |  UNION ALL SELECT 'passage', doc_id FROM passrel),
+       |  UNION ALL SELECT 'containment', doc_id FROM contrel
+       |  UNION ALL SELECT 'passage', doc_id FROM passrel
+       |  UNION ALL SELECT 'substring', doc_id FROM substrrel),
        |sizes AS (SELECT method, count(*) AS n FROM rel GROUP BY method)
        |SELECT a.method AS method_a, b.method AS method_b,
        |  sa.n AS na, sb.n AS nb, count(*) AS n_both,
@@ -1916,6 +1967,8 @@ object TextQueries {
        |JOIN sizes sb ON sb.method = b.method
        |GROUP BY a.method, b.method, sa.n, sb.n
        |ORDER BY method_a, method_b""".stripMargin
+      .replace("@@CONT_SQL@@", contSql)
+      .replace("@@SUBSTR_SQL@@", substrSql)
   }
 
   // -------------------------------------------------------------------
@@ -2067,7 +2120,13 @@ object TextQueries {
   // (~kB/row); a pathologically huge doc inflates one row, where the
   // exploded shape stays 16 B/row flat — if a 100 TB corpus has such
   // docs, cap gram counts upstream rather than switching shapes.
-  def containment(s: SparkSession, d: String): DataFrame = {
+  def containment(s: SparkSession, d: String): DataFrame =
+    containmentCore(s, d).orderBy("doc_a", "doc_b")
+
+  /** Scored ≥0.8-containment pairs without the output ordering, so
+    * composites (dedup_agreement) can consume the relation directly.
+    */
+  private[operators] def containmentCore(s: SparkSession, d: String): DataFrame = {
     graft.plans.GraftExtensions.register(s)
     val grams = documents(s, d)
       .select(col("doc_id"),
@@ -2111,7 +2170,6 @@ object TextQueries {
         (col("n_common").cast("double") / least(col("na"), col("nb")))
           .as("containment"))
       .filter(col("containment") >= 0.8)
-      .orderBy("doc_a", "doc_b")
   }
 
   val containmentSql: String = {
@@ -2778,7 +2836,13 @@ object TextQueries {
   private val SubstrWindow = 20
   private val SubstrStride = 10
 
-  def substringDedup(s: SparkSession, d: String): DataFrame = {
+  def substringDedup(s: SparkSession, d: String): DataFrame =
+    substringDedupCore(s, d).orderBy("doc_id")
+
+  /** Per-doc window/dup-window counts without the output ordering, so
+    * composites (dedup_agreement) can consume the relation directly.
+    */
+  private[operators] def substringDedupCore(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
     val wins = docs.select(col("doc_id"), toks.as("t"))
       .filter(size(col("t")) >= SubstrWindow)
@@ -2800,7 +2864,6 @@ object TextQueries {
         coalesce(col("dw"), lit(0L)).as("dup_windows"),
         round(coalesce(col("dw"), lit(0L)).cast("double") /
           greatest(coalesce(col("nw"), lit(0L)), lit(1L)), 6).as("dup_ratio"))
-      .orderBy("doc_id")
   }
 
   val substringDedupSql: String = {
@@ -3270,6 +3333,73 @@ object TextQueries {
       |  FROM r2) WHERE rank <= 10 ORDER BY rank""".stripMargin
 
   // -------------------------------------------------------------------
+  // Charter: iterative BPE training to K merges — the driver-loop form
+  // of text_bpe_merge2 (Bpe.train: per round ONE vocabulary-bounded
+  // pair count + ONE top-1 collect + ONE marker replace; driver state
+  // = the K-row merge list). K = 8 here so the oracle stays a readable
+  // unrolled chain; the loop itself is unbounded (a production
+  // tokenizer runs hundreds of rounds — merges/sec at sf1 is measured
+  // in SCALING.md). Output: the learned merge table with each pair
+  // DECODED back to its surface form (markers expanded).
+  // -------------------------------------------------------------------
+  private val BpeTrainMerges = 8
+
+  def bpeTrain(s: SparkSession, d: String): DataFrame = {
+    val words = documents(s, d).select(explode(toks).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val merges = Bpe.train(s, words, BpeTrainMerges)
+    s.createDataFrame(merges.map(m => (m.rank.toLong, m.decoded, m.count)))
+      .toDF("merge_rank", "pair", "pair_count")
+      .orderBy("merge_rank")
+  }
+
+  /** GENERATED from [[BpeTrainMerges]] — the CTE chain always unrolls
+    * to exactly the rounds [[Bpe.train]] executes (the same
+    * derive-from-the-constant contract as the semantic quantizer's
+    * oracle). MATERIALIZED throughout: each round references the
+    * previous vocabulary twice (pair count + replace), which inlined
+    * would compound 2^K.
+    */
+  val bpeTrainSql: String = {
+    val k = BpeTrainMerges
+    def chrSql(r: Int) = s"chr(${0xE000 + r})"
+    val w0 =
+      """w0 AS MATERIALIZED (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE length(word) >= 2 GROUP BY word)""".stripMargin
+    val rounds = (1 to k).map { r =>
+      val merged = if (r < k)
+        s""",
+           |w$r AS MATERIALIZED (
+           |  SELECT replace(word, (SELECT mp FROM t$r), ${chrSql(r - 1)})
+           |      AS word, freq
+           |  FROM w${r - 1})""".stripMargin
+      else ""
+      s"""p$r AS MATERIALIZED (
+         |  SELECT p, sum(freq) AS c
+         |  FROM w${r - 1}, unnest(list_transform(range(1, length(word)),
+         |    i -> substring(word, i, 2))) AS u(p)
+         |  GROUP BY p),
+         |t$r AS MATERIALIZED (
+         |  SELECT p AS mp, CAST(c AS BIGINT) AS c FROM p$r
+         |  ORDER BY c DESC, p LIMIT 1)""".stripMargin + merged
+    }
+    // expand markers descending: merge r's pair holds only markers < r,
+    // so replacing high→low fully decodes (Bpe.decode's foldLeft twin)
+    def decoded(r: Int): String =
+      ((r - 2) to 0 by -1).foldLeft("mp") { (acc, j) =>
+        s"replace($acc, ${chrSql(j)}, (SELECT mp FROM t${j + 1}))"
+      }
+    val sel = (1 to k).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS merge_rank, ${decoded(r)} AS pair, " +
+        s"c AS pair_count FROM t$r")
+      .mkString("\nUNION ALL ")
+    s"WITH $w0,\n${rounds.mkString(",\n")}\n$sel\nORDER BY merge_rank"
+  }
+
+  // -------------------------------------------------------------------
   // Charter: data-loader length bucketing — assign each document to the
   // smallest power-of-two token-length bucket and report per-bucket doc
   // count, token mass, and the padding waste a pad-to-bucket batcher
@@ -3735,6 +3865,7 @@ object TextQueries {
     "text_collocations" -> (collocations _),
     "text_bpe_pairs" -> (bpePairs _),
     "text_bpe_merge2" -> (bpeMerge2 _),
+    "text_bpe_train" -> (bpeTrain _),
     "train_split_assign" -> (splitAssign _),
     "train_shard_balance" -> (shardBalance _),
     "train_weighted_sample" -> (weightedSample _),
@@ -3800,6 +3931,7 @@ object TextQueries {
     "text_collocations" -> collocationsSql,
     "text_bpe_pairs" -> bpePairsSql,
     "text_bpe_merge2" -> bpeMerge2Sql,
+    "text_bpe_train" -> bpeTrainSql,
     "train_split_assign" -> splitAssignSql,
     "train_shard_balance" -> shardBalanceSql,
     "train_weighted_sample" -> weightedSampleSql,

@@ -180,12 +180,12 @@ object VectorQueries {
   // Charter: hard-negative mining for contrastive training — per anchor,
   // the 5 most-similar vectors with a DIFFERENT label (the negatives a
   // contrastive loss learns most from), plus the nearest same-label
-  // similarity and the margin against each negative. ONE broadcast
-  // cross-score pass, then both signals ride a single q_id shuffle: the
-  // nearest-positive is a conditional-max window BEFORE the negative
-  // filter, the top-5 cut a row_number window after it — Catalyst
-  // stacks the two Window nodes over one exchange. Anchors with no
-  // same-label peer keep NULL pos_sim/margin in both engines.
+  // similarity and the margin against each negative. The broadcast
+  // cross-score pass feeds two consumers: pos_sim as a slim
+  // partial-aggregable max joined back, and the top-5 cut as a
+  // row_number filter that takes the WindowGroupLimit pushdown — see
+  // the memory-shape note inside. Anchors with no same-label peer keep
+  // NULL pos_sim/margin in both engines.
   // -------------------------------------------------------------------
   def hardNegatives(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d).withColumn("nrm", norm("embedding"))
@@ -492,11 +492,51 @@ object VectorQueries {
     */
   private val SemanticLloydRounds = 2
 
+  /** Super-layer probes per vector in the hierarchical quantizer
+    * (IVF-multiprobe applied to the assignment hierarchy): each vector
+    * scores the fine-centroid cells of its top-P supers, not just the
+    * argmax one. Measured at the 20k decade (θ = 0.9 confinement
+    * recall; flat quantizer = 86%): P=1 → 53%, P=4 (Q=2) → 76%,
+    * P=8 (Q=2) → 83% — the lost pairs are vectors whose true centroid
+    * sits just across a super boundary, and probing recovers them at
+    * P×Q×√k extra dots per vector (still ~3.8× under the flat k at
+    * the 4096 clamp, and sub-quadratic inside the clamp window:
+    * N^1.5 vs the flat form's N²/64).
+    */
+  private val SemanticProbes = 8
+
+  /** Cell replication in the hierarchical quantizer: each fine centroid
+    * is listed in the cells of its top-Q supers, not just its argmax
+    * one — the cell-overlap half of the boundary problem (a centroid
+    * just across a super boundary is reachable from both sides).
+    * Composes with [[SemanticProbes]]: a vector finds its true centroid
+    * iff the centroid's top-Q supers intersect the vector's top-P.
+    * Confined scoring cost becomes N×P×Q×√k dots.
+    */
+  private val SemanticCellReplicas = 2
+
   /** (vec_id, embedding, nrm, list_id) under the scale-adaptive coarse
     * quantizer: k = clamp(16..4096, ceil(N/64)) from count(*), seeds =
     * first k vectors, then [[SemanticLloydRounds]] Lloyd updates
     * (assign by max rounded dot, re-center on the cluster mean). At
     * the sf0.01 gate (500 vectors) the lower clamp gives k = 16.
+    *
+    * EVERY assignment pass (training and final) runs through a
+    * TWO-LEVEL hierarchy instead of scoring all k centroids: the first
+    * ksup = ceil(sqrt(k)) centroids (by cid) form a super layer; each
+    * fine centroid maps to its argmax super (k×ksup dots — trivial);
+    * each vector ranks the supers (N×ksup dots) and scores only the
+    * fine-centroid cells of its top-[[SemanticProbes]] supers
+    * (N×P×~k/ksup dots). Per-pass work drops from N×k — the N²/64
+    * clamp window that made sf10 the quantizer family's worst decade
+    * (SCALING.md §vec tier) — to N×(1+P)√k: at the k = 4096 clamp
+    * that is ~320 dots/vector instead of 4096. Each super's cell
+    * always contains at least its own seed (candidate map = fine→super
+    * argmax ∪ the seed identity), so no vector can land in an empty
+    * cell. The price is approximation: a vector whose best fine
+    * centroid lives outside every probed cell mis-assigns —
+    * confinement recall vs the flat quantizer is measured in
+    * BlockingDiag (SCALING.md).
     *
     * Cross-engine determinism of the TRAINED centroids: vectors are
     * fixed to exact micro-unit longs (floor(x*1e6 + 0.5) — floor, not
@@ -504,66 +544,167 @@ object VectorQueries {
     * are exact BIGINTs (mergeable, order-independent — the KMeans.run
     * discipline), and mean = CAST(sum AS DOUBLE) / (n * 1e6) is one
     * correctly-rounded division of exact integers in both engines.
-    * Empty clusters drop out of the centroid relation identically.
+    * Empty clusters drop out of the centroid relation identically;
+    * every argmax breaks round-6 dot ties as (d DESC, id ASC) — the
+    * max(struct(d, -id)) ↔ row_number convention.
     *
-    * Scale shape: each Lloyd round is the same broadcast-×-centroids +
-    * argmax ranking pass as assignment itself (the k-row centroid
-    * relation is a ≤4096×64-double broadcast), plus one k-row exact
-    * aggregate — training cost is ~rounds× the assignment pass, all
-    * map-side except the slim ranking shuffle.
+    * Scale shape per pass: two slim N-row argmax shuffles (super pick,
+    * confined pick) instead of one — bought for the 32× dot reduction
+    * at the clamp. The super layer (≤64 rows), fine→super map and
+    * candidate map (≤2k rows), and centroid relation (≤4096×64
+    * doubles ≈ 2 MB) all ride broadcasts; no N×k relation exists
+    * anywhere.
     */
+  /** One cell member of the broadcast two-level index. */
+  private[graft] final case class SemCellEntry(cid: Long, c_emb: Seq[Double])
+
+  /** One super of the broadcast two-level index: its embedding and its
+    * fine-centroid cell (fine→top-Q-super map ∪ the super's own seed).
+    */
+  private[graft] final case class SemSuper(
+      sid: Long, s_emb: Seq[Double], cell: Seq[SemCellEntry])
+
+  /** The per-vector hierarchical argmax as ONE map-side expression over
+    * the broadcast `sups` index: rank the supers by rounded dot
+    * (comparator = d DESC, sid ASC — the explicit lambda avoids any
+    * negated-double ordering subtlety), flatten the top-P cells, and
+    * take the array_max of (d, -cid) structs — the same
+    * (d DESC, cid ASC) pick as the oracle's rank-1 window. No exchange,
+    * no window, no join: an assignment pass is pure codegen compute.
+    */
+  private val SemAssignExpr: String =
+    s"""-(array_max(transform(
+       |    flatten(transform(
+       |      slice(array_sort(
+       |        transform(sups, s -> struct(
+       |          round(array_dot(embedding, s.s_emb), 6) AS d,
+       |          s.sid AS sid, s.cell AS cell)),
+       |        (l, r) -> CASE WHEN l.d > r.d THEN -1
+       |                       WHEN l.d < r.d THEN 1
+       |                       WHEN l.sid < r.sid THEN -1
+       |                       WHEN l.sid > r.sid THEN 1 ELSE 0 END),
+       |      1, $SemanticProbes),
+       |      x -> x.cell)),
+       |    c -> struct(round(array_dot(embedding, c.c_emb), 6) AS d,
+       |                -c.cid AS nc))).nc)""".stripMargin
+
   private[graft] def semanticAssigned(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d).withColumn("nrm", norm("embedding"))
       .withColumn("v", expr(
         "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT))"))
-    val kDf = e.agg(least(lit(SemanticMaxSeeds), greatest(lit(IvfSeeds),
-      ceil(count(lit(1)).cast("double") / SemanticBallSize).cast("int")))
-      .as("k"))
-    // argmax(d DESC, cid ASC) as a partial-aggregable max(struct):
-    // the broadcast crossJoin needs no exchange and the map-side
-    // combine collapses to one row per vector BEFORE the shuffle, so
-    // each pass moves N slim rows — never the N×k scored relation
-    // (the first cut ranked N×k wide rows through a window shuffle
-    // and OOMed the 200k×3125 decade; same argmax, wrong exchange).
-    // The oracle's row_number form is the identical (d DESC, cid ASC)
-    // pick: round-6 d ties break on the LOWEST cid = max (d, -cid).
-    def assign(cents: DataFrame): DataFrame =
-      e.select("vec_id", "embedding").crossJoin(broadcast(cents))
-        .select(col("vec_id"),
-          struct(round(dot("embedding", "c_emb"), 6).as("d"),
-            (-col("cid")).as("nc")).as("sc"))
-        .groupBy("vec_id")
-        .agg(max(col("sc")).as("m"))
-        .select(col("vec_id"), (-col("m").getField("nc")).as("cid"))
-    val cents0 = e
-      .select(col("vec_id").as("cid"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("c_emb"))
-      .crossJoin(broadcast(kDf)).filter(col("cid") < col("k"))
-      .select("cid", "c_emb")
+    val n = embeddings(s, d).count()
+    val k = math.min(SemanticMaxSeeds,
+      math.max(IvfSeeds, math.ceil(n / SemanticBallSize.toDouble).toInt))
+    val ksup = math.ceil(math.sqrt(k.toDouble)).toInt
+    // The centroid set lives on the DRIVER between passes (≤4096×64
+    // doubles — the KMeans.run bounded-collect contract). This is
+    // load-bearing twice over: (a) every hierarchical pass references
+    // its centroid input three times (super layer, fine→super map,
+    // confined cells), and with lazy lineage those references compound
+    // 3^rounds re-evaluations of the whole training chain (measured:
+    // 61.8 s at the 20k decade vs 4.85 s flat — all recompute); (b) the
+    // super layer and cell map are pure functions of the ≤4096-row set,
+    // so deriving them driver-side lets the whole assignment pass ride
+    // ONE broadcast with zero exchanges. The driver-side rounded dot
+    // uses the identical left-associated IEEE sum + HALF_UP rounding as
+    // the engines (pinned by CrossOperatorSpec's independent
+    // reimplementation).
+    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    def ddot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    def supIndex(cents: Seq[(Long, Array[Double])]): Seq[SemSuper] = {
+      val sorted = cents.sortBy(_._1)
+      val sup = sorted.take(ksup)
+      val byCell = sorted.flatMap { case (cid, c) =>
+        sup.map { case (sid, se) => (r6(ddot(c, se)), sid) }
+          .sortBy { case (dd, sid) => (-dd, sid) }
+          .take(SemanticCellReplicas)
+          .map { case (_, sid) => (sid, (cid, c)) }
+      } ++ sup.map { case (sid, se) => (sid, (sid, se)) }
+      val cells = byCell.groupBy(_._1).map { case (sid, ms) =>
+        sid -> ms.map(_._2).distinctBy(_._1).sortBy(_._1)
+      }
+      sup.map { case (sid, se) =>
+        SemSuper(sid, se.toSeq, cells(sid).map { case (cid, c) =>
+          SemCellEntry(cid, c.toSeq)
+        })
+      }
+    }
+    def withAssigned(cents: Seq[(Long, Array[Double])],
+        base: DataFrame): DataFrame = {
+      import s.implicits._
+      val supDf = Seq(Tuple1(supIndex(cents))).toDF("sups")
+      base.crossJoin(broadcast(supDf))
+        .withColumn("cid", expr(SemAssignExpr))
+        .drop("sups")
+    }
+    val cents0: Seq[(Long, Array[Double])] =
+      e.filter(col("vec_id") < k)
+        .select(col("vec_id").as("cid"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("c_emb"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    // Lloyd round: map-side assign + ONE k-row exact aggregate (the
+    // only exchange per round), collected back to the driver.
     val trained = (1 to SemanticLloydRounds).foldLeft(cents0) { (c, _) =>
-      assign(c)
-        .join(e.select(col("vec_id"), col("v")), Seq("vec_id"))
+      withAssigned(c, e.select(col("embedding"), col("v")))
         .groupBy("cid")
-        .agg(count(lit(1)).as("n"),
+        .agg(count(lit(1)).as("cn"),
           call_function("array_sum_agg", col("v")).as("sums"))
         .select(col("cid"), expr(
-          "transform(sums, x -> CAST(x AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6))")
+          "transform(sums, x -> CAST(x AS DOUBLE) / (CAST(cn AS DOUBLE) * 1e6))")
           .as("c_emb"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
     }
-    assign(trained)
-      .join(e.select(col("vec_id"), col("embedding"), col("nrm")),
-        Seq("vec_id"))
+    withAssigned(trained,
+      e.select(col("vec_id"), col("embedding"), col("nrm")))
       .select(col("vec_id"), col("embedding"), col("nrm"),
         col("cid").as("list_id"))
   }
 
-  /** One SQL Lloyd assignment pass: argmax rounded dot over `cents`. */
-  private def semanticAssignSql(cents: String): String =
-    s"""SELECT vec_id, embedding, nrm, v, cid FROM (
-       |  SELECT e.vec_id, e.embedding, e.nrm, e.v, c.cid,
-       |    row_number() OVER (PARTITION BY e.vec_id
-       |      ORDER BY round(${dotSql("e.embedding", "c.c_emb")}, 6) DESC, c.cid) AS rn
-       |  FROM e, $cents c) WHERE rn = 1""".stripMargin
+  /** CTE block for one hierarchical assignment pass over `cents`:
+    * super layer (first ksup by cid) → fine→super argmax map →
+    * seed-guarded candidate map → vector→super argmax → confined fine
+    * argmax, emitted as `a$tag`. Mirrors [[semanticAssigned]]'s
+    * `assign` node for node; every argmax is the same
+    * (round-6 d DESC, id ASC) rank-1 pick.
+    */
+  private def semanticAssignSqlCtes(cents: String, tag: String): String =
+    // AS MATERIALIZED on every multiply-referenced CTE: DuckDB inlines
+    // plain CTEs as views, and this chain references each level three
+    // times (sup/g/a over cents) — inlined, the unrolled-rounds plan
+    // grows 3^depth and OOMs the oracle engine at planning time.
+    s"""sup$tag AS MATERIALIZED (
+       |  SELECT cid AS sid, c_emb AS s_emb FROM (
+       |    SELECT cid, c_emb, row_number() OVER (ORDER BY cid) AS srn
+       |    FROM $cents) t, kk WHERE t.srn <= kk.ksup),
+       |g$tag AS MATERIALIZED (
+       |  SELECT cid, sid FROM (
+       |    SELECT c.cid, s.sid, row_number() OVER (PARTITION BY c.cid
+       |      ORDER BY round(${dotSql("c.c_emb", "s.s_emb")}, 6) DESC, s.sid) AS rn
+       |    FROM $cents c, sup$tag s) WHERE rn <= $SemanticCellReplicas),
+       |cand$tag AS MATERIALIZED (
+       |  SELECT DISTINCT sid, cid FROM (
+       |    SELECT sid, cid FROM g$tag
+       |    UNION ALL SELECT sid, sid AS cid FROM sup$tag)),
+       |va$tag AS MATERIALIZED (
+       |  SELECT vec_id, sid FROM (
+       |    SELECT e.vec_id, s.sid, row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY round(${dotSql("e.embedding", "s.s_emb")}, 6) DESC, s.sid) AS rn
+       |    FROM e, sup$tag s) WHERE rn <= $SemanticProbes),
+       |a$tag AS MATERIALIZED (
+       |  SELECT vec_id, embedding, nrm, v, cid FROM (
+       |    SELECT e.vec_id, e.embedding, e.nrm, e.v, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY round(${dotSql("e.embedding", "c.c_emb")}, 6) DESC, c.cid) AS rn
+       |    FROM e JOIN va$tag va ON e.vec_id = va.vec_id
+       |      JOIN cand$tag cd ON cd.sid = va.sid
+       |      JOIN $cents c ON c.cid = cd.cid) WHERE rn = 1)""".stripMargin
 
   /** One SQL Lloyd centroid update: exact micro-long component sums →
     * one correctly-rounded division per component (64 unrolled).
@@ -575,25 +716,36 @@ object VectorQueries {
     s"""SELECT cid, [$comps] AS c_emb FROM $assigned GROUP BY cid"""
   }
 
-  private val semanticAssignedSql: String =
-    s"""WITH e AS (
+  /** The full quantizer chain, GENERATED from [[SemanticLloydRounds]]
+    * (round r: hierarchical assign over c{r} → centroid update c{r+1};
+    * then one final assign) so bumping the constant can never desync
+    * the engines — the CTE chain always unrolls to exactly the rounds
+    * the DataFrame foldLeft executes.
+    */
+  private val semanticAssignedSql: String = {
+    val roundCtes = (0 until SemanticLloydRounds).map { r =>
+      semanticAssignSqlCtes(s"c$r", r.toString) + ",\n" +
+        s"c${r + 1} AS MATERIALIZED (${semanticCentroidSql(s"a$r")})"
+    }
+    val finalCtes = semanticAssignSqlCtes(s"c$SemanticLloydRounds", "f")
+    s"""WITH e AS MATERIALIZED (
        |  SELECT vec_id, embedding,
        |    sqrt(${dotSql("embedding", "embedding")}) AS nrm,
        |    list_transform(embedding,
        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS v
        |  FROM embeddings),
-       |kk AS (SELECT least($SemanticMaxSeeds, greatest($IvfSeeds,
+       |kk AS MATERIALIZED (
+       |  SELECT k, CAST(ceil(sqrt(CAST(k AS DOUBLE))) AS INT) AS ksup
+       |  FROM (SELECT least($SemanticMaxSeeds, greatest($IvfSeeds,
        |    CAST(ceil(count(*) / $SemanticBallSize.0) AS INT))) AS k
-       |  FROM embeddings),
-       |c0 AS (SELECT vec_id AS cid,
+       |  FROM embeddings)),
+       |c0 AS MATERIALIZED (SELECT vec_id AS cid,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c_emb
        |  FROM embeddings, kk WHERE vec_id < kk.k),
-       |a0 AS (${semanticAssignSql("c0")}),
-       |c1 AS (${semanticCentroidSql("a0")}),
-       |a1 AS (${semanticAssignSql("c1")}),
-       |c2 AS (${semanticCentroidSql("a1")}),
-       |af AS (${semanticAssignSql("c2")})
+       |${roundCtes.mkString(",\n")},
+       |$finalCtes
        |SELECT vec_id, embedding, nrm, cid AS list_id FROM af""".stripMargin
+  }
 
   def semanticDedup(s: SparkSession, d: String): DataFrame = {
     val a = semanticAssigned(s, d)

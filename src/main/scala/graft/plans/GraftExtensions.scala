@@ -65,6 +65,9 @@ object GraftExtensions {
     ("md5_top60",
       new ExpressionInfo(classOf[Md5Top60].getName, "md5_top60"),
       one("md5_top60", Md5Top60)),
+    ("dct_phash60",
+      new ExpressionInfo(classOf[DctPhash60].getName, "dct_phash60"),
+      two("dct_phash60", DctPhash60)),
     ("char_ngrams",
       new ExpressionInfo(classOf[CharNGrams].getName, "char_ngrams"),
       gram("char_ngrams", CharNGrams)),

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Bpe
+
+/** Pins Bpe.train's full-loop semantics against an independent plain
+  * Scala BPE implementation (the CrossOperatorSpec trained-quantizer
+  * pattern): same word-form weighting, same (count DESC, pair ASC)
+  * tie-break, same greedy left-to-right merge application, same
+  * marker/decode scheme — derived here with mutable maps and
+  * String.replace, no Spark.
+  */
+class BpeSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def wordsDf = {
+    graft.Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+  }
+
+  private def inMemoryTrain(words: Seq[(String, Long)], k: Int)
+      : Seq[(Long, String, Long)] = {
+    var vocab = words
+    var merges = Vector.empty[(Int, String, Long)]
+    var r = 0
+    while (r < k) {
+      val counts = scala.collection.mutable.Map[String, Long]()
+      for ((w, f) <- vocab if w.length >= 2; i <- 0 until w.length - 1) {
+        val p = w.substring(i, i + 2)
+        counts(p) = counts.getOrElse(p, 0L) + f
+      }
+      assert(counts.nonEmpty, s"vocabulary exhausted at round $r")
+      val (mp, c) = counts.toSeq.minBy { case (p, n) => (-n, p) }
+      val mk = (0xE000 + r).toChar.toString
+      // String.replace = all non-overlapping occurrences left-to-right,
+      // exactly SQL replace() = greedy BPE merge application
+      vocab = vocab.map { case (w, f) => w.replace(mp, mk) -> f }
+      merges = merges :+ ((r + 1, mp, c))
+      r += 1
+    }
+    def decode(s0: String): String =
+      merges.sortBy(-_._1).foldLeft(s0) { (acc, m) =>
+        acc.replace((0xE000 + m._1 - 1).toChar.toString, m._2)
+      }
+    merges.map { case (rank, p, c) => (rank.toLong, decode(p), c) }
+  }
+
+  test("Bpe.train matches an independent in-memory BPE over 8 merges") {
+    val words = wordsDf.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val expected = inMemoryTrain(words, 8)
+    val got = Bpe.train(spark, wordsDf, 8)
+      .map(m => (m.rank.toLong, m.decoded, m.count))
+    assert(got == expected, s"got=$got\nexpected=$expected")
+  }
+
+  test("merges are well-formed: ranks sequential, decoded pairs expand markers") {
+    val merges = Bpe.train(spark, wordsDf, 4)
+    assert(merges.map(_.rank) == (1 to merges.size))
+    merges.foreach { m =>
+      assert(!m.decoded.exists(c => c >= 0xE000 && c <= 0xF8FF),
+        s"undecoded marker in ${m.decoded}")
+      assert(m.decoded.length >= 2)
+      assert(m.count > 0)
+    }
+    // rank-1 merge is the most frequent raw pair: its decoded form IS
+    // its raw form (no markers can exist yet)
+    assert(merges.head.pair == merges.head.decoded)
+  }
+}

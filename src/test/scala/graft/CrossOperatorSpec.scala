@@ -91,11 +91,16 @@ class CrossOperatorSpec extends AnyFunSuite {
 
   test("trained quantizer assignment matches an independent Scala reimplementation") {
     // semanticAssigned's whole pipeline — micro-long fixing, two Lloyd
-    // rounds (argmax assign + exact-integer mean), final argmax with
-    // (d DESC, cid ASC) ties — re-derived here in plain Scala with the
-    // same left-associated IEEE dots and HALF_UP rounding. Pins the
-    // max(struct(d, -cid)) trick to the rank-window semantics the
-    // DuckDB oracle uses, independently of either engine.
+    // rounds (HIERARCHICAL argmax assign + exact-integer mean), final
+    // hierarchical argmax with (d DESC, id ASC) ties — re-derived here
+    // in plain Scala with the same left-associated IEEE dots and
+    // HALF_UP rounding. The hierarchy is part of the pinned semantics:
+    // supers = first ceil(sqrt(k)) centroids by cid; candidate cells =
+    // each fine centroid in its top-2 supers (SemanticCellReplicas)
+    // ∪ each super's own seed; a vector scores the cells of its top-8
+    // supers (SemanticProbes multiprobe, ranked d DESC / sid ASC).
+    // Pins the max(struct(d, -id)) trick to the rank-window semantics
+    // the DuckDB oracle uses, independently of either engine.
     def r6(x: Double): Double =
       java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
     val rows = Tables.embeddings(spark, sf)
@@ -104,19 +109,37 @@ class CrossOperatorSpec extends AnyFunSuite {
       .sortBy(_._1)
     val n = rows.length
     val k = math.min(4096, math.max(16, math.ceil(n / 64.0).toInt))
+    val ksup = math.ceil(math.sqrt(k.toDouble)).toInt
     val micro = rows.map { case (id, e) =>
       id -> e.map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong)
     }.toMap
-    def dot(e: Array[Float], c: Array[Double]): Double = {
+    def dot(e: Array[Double], c: Array[Double]): Double = {
       var s = 0.0; var i = 0
-      while (i < e.length) { s += e(i).toDouble * c(i); i += 1 }
+      while (i < e.length) { s += e(i) * c(i); i += 1 }
       s
     }
-    def assign(cents: Seq[(Long, Array[Double])]): Map[Long, Long] =
+    def argmax(x: Array[Double], cands: Seq[(Long, Array[Double])]): Long =
+      cands.map { case (cid, c) => (r6(dot(x, c)), cid) }
+        .minBy { case (d, cid) => (-d, cid) }._2
+    def assign(cents: Seq[(Long, Array[Double])]): Map[Long, Long] = {
+      val sup = cents.sortBy(_._1).take(ksup)
+      def topSup(x: Array[Double], p: Int): Seq[Long] =
+        sup.map { case (sid, c) => (r6(dot(x, c)), sid) }
+          .sortBy { case (d, sid) => (-d, sid) }.take(p).map(_._2)
+      val cells: Map[Long, Seq[(Long, Array[Double])]] = {
+        val g = cents.flatMap { case (cid, c) =>
+          topSup(c, 2).map(sid => (sid, (cid, c)))
+        }
+        val seeded = g ++ sup.map { case (sid, c) => (sid, (sid, c)) }
+        seeded.groupBy(_._1).map { case (sid, ms) =>
+          sid -> ms.map(_._2).distinctBy(_._1)
+        }
+      }
       rows.map { case (id, e) =>
-        id -> cents.map { case (cid, c) => (r6(dot(e, c)), cid) }
-          .minBy { case (d, cid) => (-d, cid) }._2
+        val x = e.map(_.toDouble)
+        id -> argmax(x, topSup(x, 8).flatMap(cells.getOrElse(_, Nil)))
       }.toMap
+    }
     var cents: Seq[(Long, Array[Double])] = rows.take(k)
       .map { case (id, e) => id -> e.map(_.toDouble) }
     for (_ <- 1 to 2) {
@@ -165,8 +188,12 @@ class CrossOperatorSpec extends AnyFunSuite {
     // an ARRAY/MAP/STRUCT column dies in `sort_values` (the exact
     // r10 breakage of text_inverted_index). Every array-producing
     // operator must serialize to a scalar (array_join / concat_ws /
-    // to_json) before leaving the registry. Schema-only: analysis
-    // without execution, so the walk over all queries stays cheap.
+    // to_json) before leaving the registry. Only `.schema` is read,
+    // but building a Stage.fanout-backed query eagerly persists +
+    // counts + checkpoints its staged relation (Stage.scala), so this
+    // walk EXECUTES the heavy stage of every fanout query — acceptable
+    // at the sf0.001 fixture, and the price of asserting the real
+    // registry entries rather than plan-only doubles.
     import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
     val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, q) =>

@@ -73,4 +73,38 @@ class DecontaminateStreamSpec extends AnyFunSuite {
       System.nanoTime() < deadline) Thread.sleep(100)
     assert(spark.sharedState.cacheManager.isEmpty)
   }
+
+  test("two-era replay holds zero keyed state: resident state is the eval cache only") {
+    // The stream is STATELESS by design — every micro-batch joins
+    // against the static (benchmark-bounded) eval cache and writes an
+    // idempotent batch_id partition; there is no keyed store to expire.
+    // This pins it: after an era of input AND after a second era twice
+    // the size, the progress metrics must report zero state-store rows —
+    // the resident footprint cannot grow with the crawl.
+    val root = Files.createTempDirectory("decon-eras").toString
+    val in = s"$root/in"; new java.io.File(in).mkdirs()
+    def era(name: String, ids: Range): Unit =
+      StreamFiles.writeOneFile(spark, in, name,
+        ids.map(i => org.apache.spark.sql.Row(i.toLong,
+          s"era doc $i one two three four five six seven eight")), schema)
+    def stateRows(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+      Option(q.lastProgress)
+        .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+
+    era("era1.parquet", 2000 until 2010)
+    val docs = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val q = DecontaminateStream.start(
+      spark, docs, sf, s"$root/out", s"$root/chk")
+    try {
+      q.processAllAvailable()
+      assert(stateRows(q) == 0L, s"era 1 left keyed state: ${q.lastProgress}")
+      era("era2.parquet", 3000 until 3020)
+      q.processAllAvailable()
+      assert(stateRows(q) == 0L, s"era 2 left keyed state: ${q.lastProgress}")
+    } finally q.stop()
+    // every doc of both eras got its verdict — statelessness did not
+    // cost coverage
+    assert(spark.read.parquet(s"$root/out").count() == 30)
+  }
 }

@@ -45,4 +45,36 @@ class MediaFeatureStreamSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).count() == 0)
     assert(batch.exceptAll(streamed).count() == 0)
   }
+
+  test("two-era replay holds zero keyed state: the stream is a stateless map") {
+    // No keyed store exists to grow with the corpus — decode is a pure
+    // per-partition map and the sink is the product, not state. Pinned
+    // across two eras (the second twice the first) via the progress
+    // metrics, the same boundedness contract AttributionStream meets by
+    // expiry and this stream meets by construction.
+    import spark.implicits._
+    val root = Files.createTempDirectory("media-eras").toString
+    val in = s"$root/in"; new java.io.File(in).mkdirs()
+    val assets = graft.operators.MultimodalQueries.mediaTable(spark, sf)
+    val schema = assets.schema
+    def stateRows(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+      Option(q.lastProgress)
+        .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+    StreamFiles.writeOneFile(spark, in, "era1.parquet",
+      assets.filter(col("media_id") < 10).collect().toSeq, schema)
+    val media = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+      .as[graft.operators.MultimodalQueries.MediaIn]
+    val q = MediaFeatureStream.start(media, s"$root/out", s"$root/chk")
+    try {
+      q.processAllAvailable()
+      assert(stateRows(q) == 0L, s"era 1 left keyed state: ${q.lastProgress}")
+      StreamFiles.writeOneFile(spark, in, "era2.parquet",
+        assets.filter(col("media_id") >= 10 && col("media_id") < 30)
+          .collect().toSeq, schema)
+      q.processAllAvailable()
+      assert(stateRows(q) == 0L, s"era 2 left keyed state: ${q.lastProgress}")
+    } finally q.stop()
+    assert(spark.read.parquet(s"$root/out").count() == 30)
+  }
 }

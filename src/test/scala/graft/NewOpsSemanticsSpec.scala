@@ -446,21 +446,39 @@ class NewOpsSemanticsSpec extends AnyFunSuite {
 
   // ---- media_phash_neardup ------------------------------------------
 
-  test("phash neardup: within-group pairs surface with exact Hamming " +
-    "distances, no cross-group pairs, 2-bit pairs survive banding") {
-    // groups {0,1,2} and {3,4,5}: anchor unperturbed, members flip bit
-    // (id*7 % 60) — anchor pairs at Hamming 1, member-member at 2 (the
-    // radius), which the 3×20-bit banding must still catch (pigeonhole)
+  test("phash neardup: the pipeline surfaces exactly the DCT-hash pairs " +
+    "within the Hamming radius") {
+    // groups {0,1,2} and {3,4,5}: anchor is the canonical encode
+    // (variant 0); members 1/2 are ±2-pixel-jitter re-encodes of the
+    // SAME source bytes. Expected pairs are derived here straight from
+    // DctHashUtil.hash (the expression under test is pinned
+    // cross-engine by the oracle; THIS test pins the pipeline around
+    // it: grouping, banding, radius filter, ordering) — any ≤2-bit
+    // pair must survive the 3×20-bit banding by pigeonhole.
+    import org.apache.spark.unsafe.types.UTF8String
+    val anchorText = Map(
+      0L -> "the quick brown fox jumps over the lazy dog",
+      3L -> "a completely different source payload for group two")
     val dir = writeDocs(Seq(
-      (0L, "s", "the quick brown fox jumps over the lazy dog"),
+      (0L, "s", anchorText(0L)),
       (1L, "s", "ignored - reads the anchor's bytes"),
       (2L, "s", "ignored - reads the anchor's bytes"),
-      (3L, "s", "a completely different source payload for group two"),
+      (3L, "s", anchorText(3L)),
       (4L, "s", "ignored"), (5L, "s", "ignored")))
+    def h(id: Long): Long = graft.plans.DctHashUtil.hash(
+      UTF8String.fromString(anchorText(id - id % 3)), id % 3)
+    val ids = 0L to 5L
+    val expected = (for {
+      a <- ids; b <- ids if a < b
+      d = java.lang.Long.bitCount(h(a) ^ h(b)) if d <= 2
+    } yield (a, b, d)).sortBy(p => (p._1, p._2))
     val got = SparkEntry.queries("media_phash_neardup")(spark, dir)
       .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
         r.getAs[Int]("hamming"))).toSeq
-    assert(got === Seq((0L, 1L, 1), (0L, 2L, 1), (1L, 2L, 2),
-      (3L, 4L, 1), (3L, 5L, 1), (4L, 5L, 2)))
+    assert(got === expected)
+    // the jitter produces REAL near-dups: at least one variant pair
+    // lands inside the radius, and none collapses to a cross-group pair
+    assert(expected.nonEmpty)
+    expected.foreach { case (a, b, _) => assert(a / 3 == b / 3) }
   }
 }
