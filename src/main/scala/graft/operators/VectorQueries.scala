@@ -548,45 +548,24 @@ object VectorQueries {
     * every argmax breaks round-6 dot ties as (d DESC, id ASC) — the
     * max(struct(d, -id)) ↔ row_number convention.
     *
-    * Scale shape per pass: two slim N-row argmax shuffles (super pick,
-    * confined pick) instead of one — bought for the 32× dot reduction
-    * at the clamp. The super layer (≤64 rows), fine→super map and
-    * candidate map (≤2k rows), and centroid relation (≤4096×64
-    * doubles ≈ 2 MB) all ride broadcasts; no N×k relation exists
-    * anywhere.
+    * Scale shape per pass: ZERO exchanges — the whole two-level index
+    * (supers + cells, ≤4096×64 doubles ≈ 2-6 MB) is built on the
+    * driver and rides the plan as a reference object into the compiled
+    * [[graft.plans.SemanticAssign]] expression, so assignment is pure
+    * map-side codegen compute; the only shuffle anywhere in training is
+    * the k-row exact centroid aggregate (map-side combined), and the
+    * final assignment pass shuffles nothing at all. No N×k relation
+    * exists anywhere. This is strictly better than the flat form's
+    * per-pass N-slim-row argmax exchange AND ~3.8× fewer dots at the
+    * clamp.
     */
-  /** One cell member of the broadcast two-level index. */
-  private[graft] final case class SemCellEntry(cid: Long, c_emb: Seq[Double])
-
-  /** One super of the broadcast two-level index: its embedding and its
-    * fine-centroid cell (fine→top-Q-super map ∪ the super's own seed).
-    */
-  private[graft] final case class SemSuper(
-      sid: Long, s_emb: Seq[Double], cell: Seq[SemCellEntry])
-
-  /** The per-vector hierarchical argmax as ONE map-side expression over
-    * the broadcast `sups` index: rank the supers by rounded dot
-    * (comparator = d DESC, sid ASC — the explicit lambda avoids any
-    * negated-double ordering subtlety), flatten the top-P cells, and
-    * take the array_max of (d, -cid) structs — the same
-    * (d DESC, cid ASC) pick as the oracle's rank-1 window. No exchange,
-    * no window, no join: an assignment pass is pure codegen compute.
-    */
-  private val SemAssignExpr: String =
-    s"""-(array_max(transform(
-       |    flatten(transform(
-       |      slice(array_sort(
-       |        transform(sups, s -> struct(
-       |          round(array_dot(embedding, s.s_emb), 6) AS d,
-       |          s.sid AS sid, s.cell AS cell)),
-       |        (l, r) -> CASE WHEN l.d > r.d THEN -1
-       |                       WHEN l.d < r.d THEN 1
-       |                       WHEN l.sid < r.sid THEN -1
-       |                       WHEN l.sid > r.sid THEN 1 ELSE 0 END),
-       |      1, $SemanticProbes),
-       |      x -> x.cell)),
-       |    c -> struct(round(array_dot(embedding, c.c_emb), 6) AS d,
-       |                -c.cid AS nc))).nc)""".stripMargin
+  // (The per-vector hierarchical argmax was first composed from
+  // higher-order array functions — transform/array_sort/flatten/
+  // array_max. Lambda evaluation is interpreted per element, and the
+  // pass measured 3.6× SLOWER than the flat quantizer at the 20k decade
+  // despite equal dot counts, so the inner loops moved into the native
+  // plans/SemanticAssign expression: same zero-exchange map-side pass,
+  // compiled.)
 
   private[graft] def semanticAssigned(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d).withColumn("nrm", norm("embedding"))
@@ -616,7 +595,7 @@ object VectorQueries {
       while (i < a.length) { acc += a(i) * b(i); i += 1 }
       acc
     }
-    def supIndex(cents: Seq[(Long, Array[Double])]): Seq[SemSuper] = {
+    def supIndex(cents: Seq[(Long, Array[Double])]): graft.plans.SemIndex = {
       val sorted = cents.sortBy(_._1)
       val sup = sorted.take(ksup)
       val byCell = sorted.flatMap { case (cid, c) =>
@@ -628,20 +607,21 @@ object VectorQueries {
       val cells = byCell.groupBy(_._1).map { case (sid, ms) =>
         sid -> ms.map(_._2).distinctBy(_._1).sortBy(_._1)
       }
-      sup.map { case (sid, se) =>
-        SemSuper(sid, se.toSeq, cells(sid).map { case (cid, c) =>
-          SemCellEntry(cid, c.toSeq)
-        })
-      }
+      new graft.plans.SemIndex(
+        sup.map(_._1).toArray,
+        sup.map(_._2).toArray,
+        sup.map { case (sid, _) => cells(sid).map(_._1).toArray }.toArray,
+        sup.map { case (sid, _) => cells(sid).map(_._2).toArray }.toArray,
+        SemanticProbes)
     }
     def withAssigned(cents: Seq[(Long, Array[Double])],
-        base: DataFrame): DataFrame = {
-      import s.implicits._
-      val supDf = Seq(Tuple1(supIndex(cents))).toDF("sups")
-      base.crossJoin(broadcast(supDf))
-        .withColumn("cid", expr(SemAssignExpr))
-        .drop("sups")
-    }
+        base: DataFrame): DataFrame =
+      base.withColumn("cid",
+        org.apache.spark.sql.graftbridge.DatasetBridge.column(
+          graft.plans.SemanticAssign(
+            org.apache.spark.sql.graftbridge.DatasetBridge
+              .expression(s, col("embedding")),
+            supIndex(cents))))
     val cents0: Seq[(Long, Array[Double])] =
       e.filter(col("vec_id") < k)
         .select(col("vec_id").as("cid"),

@@ -14,6 +14,21 @@ object DatasetBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Wrap a raw Catalyst Expression into a public Column
+    * (`classic.ExpressionUtils.column` is `private[sql]`) — needed for
+    * parameterized native expressions that can't register as SQL
+    * functions because they carry a driver-built object (e.g.
+    * [[graft.plans.SemanticAssign]]'s quantizer index).
+    */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.Column =
+    classic.ExpressionUtils.column(e)
+
+  /** The reverse direction: a Column's underlying Expression. */
+  def expression(spark: SparkSession, c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    spark.asInstanceOf[classic.SparkSession].expression(c)
+
   /** `Observation.getOrEmpty` is `private[sql]`; the public `get`
     * blocks forever if the observed action's listener never fires —
     * iterative drivers need the non-blocking probe with a bounded wait
