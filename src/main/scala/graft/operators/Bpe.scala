@@ -1,7 +1,11 @@
 package graft.operators
 
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.DatasetBridge
+import org.apache.spark.storage.StorageLevel
 
 /** Iterative BPE (byte-pair-encoding) tokenizer training to K merges —
   * the full loop behind the single unrolled round of `text_bpe_merge2`
@@ -23,10 +27,13 @@ import org.apache.spark.sql.functions._
   *   - driver state is the merge list only (K rows — the same bounded
   *     contract as [[KMeans.run]]'s k×dim matrix); each round collects
   *     exactly one (pair, count) row.
-  *   - each round's merged vocabulary is persisted and the previous
-  *     round unpersisted, so round r's pair count scans one
-  *     materialized relation instead of replaying r rounds of lineage
-  *     (K² blowup otherwise).
+  *   - each round's merged vocabulary is materialized as a persisted
+  *     `RDD[InternalRow]` rooted in a fresh `LogicalRDD` leaf and the
+  *     previous round's blocks explicitly freed, so round r's pair
+  *     count scans one O(1)-plan relation: no lineage replay, no
+  *     chain of nested cache entries (K² analysis + unreclaimable
+  *     blocks otherwise — the chained-persist form leaked ~200 MB per
+  *     round and OOMed a K=256 run by round ~20).
   */
 object Bpe {
 
@@ -54,8 +61,33 @@ object Bpe {
     * vocabulary). Returns merges in rank order (rank is 1-based).
     */
   def train(s: SparkSession, words: DataFrame, k: Int): Seq[Merge] = {
-    var vocab = words.select(col("word"), col("freq")).persist()
-    vocab.count(): Unit
+    // Root each round's vocabulary as a SELF-CONTAINED relation: a
+    // persisted RDD[InternalRow] wrapped in a LogicalRDD leaf. The
+    // naive `persist()`-per-round chain nests round r-1's
+    // InMemoryRelation inside round r's cache entry, so the cache
+    // manager never reclaims the superseded generations (measured:
+    // ~200 MB leaked per round at sf0.1 — OOM by round ~20 of a K=256
+    // run). With an explicit RDD root, exactly two generations are
+    // ever live and the plan analyzed per round is O(1), not O(r).
+    def materialize(df: DataFrame): (DataFrame, RDD[InternalRow]) = {
+      // toRdd reuses UnsafeRows — copy before caching. localCheckpoint
+      // truncates the RDD lineage once materialized (the new
+      // generation then references the cached blocks, NOT the parent
+      // RDD chain — an r-deep chain overflows the task-deserialization
+      // stack by round ~150), which also makes the explicit unpersist
+      // of the superseded generation safe: nothing references it.
+      // Tradeoff (documented on RDD.localCheckpoint): losing an
+      // executor mid-round forfeits recompute — an iterative trainer
+      // on an unreliable cluster would use reliable checkpoint(), as
+      // KMeans-style drivers do; rounds here are seconds long.
+      val rdd = DatasetBridge.internalRdd(df).map(_.copy())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
+      rdd.count(): Unit
+      (DatasetBridge.ofInternalRows(s, df.schema, rdd), rdd)
+    }
+    var (vocab, vocabRdd) = materialize(
+      words.select(col("word"), col("freq")))
     var merges = Vector.empty[Merge]
     var r = 0
     var done = false
@@ -74,18 +106,17 @@ object Bpe {
           val (mp, c) = (row.getString(0), row.getLong(1))
           // lit() columns rather than SQL-string interpolation: the pair
           // is corpus text and may contain quotes/backslashes
-          val next = vocab
+          val (next, nextRdd) = materialize(vocab
             .withColumn("_mp", lit(mp)).withColumn("_mk", lit(marker(r)))
-            .select(expr("replace(word, _mp, _mk)").as("word"), col("freq"))
-            .persist()
-          next.count(): Unit
-          vocab.unpersist()
+            .select(expr("replace(word, _mp, _mk)").as("word"), col("freq")))
+          vocabRdd.unpersist(blocking = false)
           vocab = next
+          vocabRdd = nextRdd
           merges = merges :+ Merge(r + 1, mp, "", c)
           r += 1
       }
     }
-    vocab.unpersist()
+    vocabRdd.unpersist(blocking = false)
     merges.map(m => m.copy(decoded = decode(m.pair, merges)))
   }
 }

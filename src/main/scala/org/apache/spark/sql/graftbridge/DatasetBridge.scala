@@ -29,6 +29,35 @@ object DatasetBridge {
       : org.apache.spark.sql.catalyst.expressions.Expression =
     spark.asInstanceOf[classic.SparkSession].expression(c)
 
+  /** A DataFrame's compiled `RDD[InternalRow]` (`queryExecution.toRdd`
+    * lives on `classic.Dataset`). Rows are REUSED UnsafeRows — callers
+    * that retain them (e.g. to persist) must `.copy()` per row.
+    */
+  def internalRdd(df: DataFrame)
+      : org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.toRdd
+
+  /** Wrap a materialized `RDD[InternalRow]` back into a DataFrame via
+    * [[org.apache.spark.sql.execution.LogicalRDD]] — an O(1) leaf plan.
+    * This is how an iterative driver roots each round's state as a
+    * self-contained relation: re-deriving round r from a chained
+    * `persist()` keeps the previous rounds' InMemoryRelations nested
+    * inside the new cache entry (an r-deep plan whose blocks the cache
+    * manager cannot reclaim), whereas a LogicalRDD over an explicitly
+    * persisted RDD gives O(1) analysis per round and a deterministic
+    * two-generation block lifecycle.
+    */
+  def ofInternalRows(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow])
+      : DataFrame = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    val attrs = org.apache.spark.sql.catalyst.types.DataTypeUtils
+      .toAttributes(schema)
+    classic.Dataset.ofRows(cs,
+      org.apache.spark.sql.execution.LogicalRDD(attrs, rdd)(cs))
+  }
+
   /** `Observation.getOrEmpty` is `private[sql]`; the public `get`
     * blocks forever if the observed action's listener never fires —
     * iterative drivers need the non-blocking probe with a bounded wait
