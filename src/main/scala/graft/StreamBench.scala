@@ -23,41 +23,52 @@ import graft.streaming._
   */
 object StreamBench {
 
-  /** name -> (rows_per_sec, state_rows) */
+  /** name -> (rows_per_sec, state_rows). `SPARK_GRAFT_STREAMS` (comma-
+    * separated names) measures a subset — re-measuring one stream after
+    * a fix shouldn't cost the full nine-stream sweep.
+    */
   def run(spark: SparkSession, sfDir: String): Map[String, (Double, Long)] = {
+    val onlyStreams = sys.env.get("SPARK_GRAFT_STREAMS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def wanted(name: String): Boolean = onlyStreams.forall(_.contains(name))
     val out = scala.collection.mutable.Map[String, (Double, Long)]()
     val root = java.nio.file.Files.createTempDirectory("bench-streams").toString
     import spark.implicits._
 
     // stage events and documents once, ~4096 rows per file so
-    // maxFilesPerTrigger yields several genuine micro-batches
-    val ev = Tables.events(spark, sfDir)
+    // maxFilesPerTrigger yields several genuine micro-batches; LAZY so
+    // a SPARK_GRAFT_STREAMS subset run stages only what it measures
+    lazy val ev = Tables.events(spark, sfDir)
       .select("event_id", "ts", "user_id", "event_type", "value")
-    val nEv = ev.count()
+    lazy val nEv = ev.count()
     // event-time-ordered staging (file i = i-th ts range), the ordered
     // CDC input contract — random staging makes every later trigger's
     // rows below-watermark "late" for the sessionize stream (see the
     // relay staging note in Bench.scala)
-    ev.repartitionByRange(math.max(1, math.ceil(nEv / 4096.0).toInt),
-        col("ts"))
-      .sortWithinPartitions("ts").write.parquet(s"$root/events")
-    Stage.orderStagedFiles(s"$root/events")
-    val evSchema = spark.read.parquet(s"$root/events").schema
+    lazy val evSchema = {
+      ev.repartitionByRange(math.max(1, math.ceil(nEv / 4096.0).toInt),
+          col("ts"))
+        .sortWithinPartitions("ts").write.parquet(s"$root/events")
+      Stage.orderStagedFiles(s"$root/events")
+      spark.read.parquet(s"$root/events").schema
+    }
 
-    val docs = Tables.documents(spark, sfDir)
+    lazy val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"), col("text"),
         // producer-stamped ingest time for the curation watermark:
         // deterministic, monotone-ish in doc_id
         timestamp_micros(lit(1700000000000000L) +
           col("doc_id") * 1000000L).as("ingest_ts"))
-    val nDocs = docs.count()
+    lazy val nDocs = docs.count()
     // ingest_ts is monotone in doc_id, so range-stage by doc_id for the
     // same ordered-arrival contract (curation's watermark)
-    docs.repartitionByRange(math.max(1, math.ceil(nDocs / 1024.0).toInt),
-        col("doc_id"))
-      .sortWithinPartitions("doc_id").write.parquet(s"$root/docs")
-    Stage.orderStagedFiles(s"$root/docs")
-    val docSchema = spark.read.parquet(s"$root/docs").schema
+    lazy val docSchema = {
+      docs.repartitionByRange(math.max(1, math.ceil(nDocs / 1024.0).toInt),
+          col("doc_id"))
+        .sortWithinPartitions("doc_id").write.parquet(s"$root/docs")
+      Stage.orderStagedFiles(s"$root/docs")
+      spark.read.parquet(s"$root/docs").schema
+    }
 
     /** Time a stream to completion; stateRows reads the finished query
       * (progress metrics) or the external store. The timed window closes
@@ -66,9 +77,9 @@ object StreamBench {
       * rows_per_sec is comparable across foreachBatch and state-store
       * streams.
       */
-    def measure(name: String, rows: Long)(build: () => StreamingQuery)(
+    def measure(name: String, rows: => Long)(build: () => StreamingQuery)(
         stateRows: StreamingQuery => Long): Unit =
-      try {
+      if (wanted(name)) try {
         val t0 = System.nanoTime()
         val q = build()
         val (secs, st) =
@@ -172,13 +183,15 @@ object StreamBench {
 
     // ANN serving: a small query stream against the full corpus index —
     // rows/sec here is QUERIES served per second, not ingest throughput
-    val qs = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 64)
+    lazy val qs = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 64)
       .select(col("vec_id").as("q_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))")
           .as("q_embedding"))
-    val nQ = qs.count()
-    qs.repartition(8).write.parquet(s"$root/queries")
-    val qSchema = spark.read.parquet(s"$root/queries").schema
+    lazy val nQ = qs.count()
+    lazy val qSchema = {
+      qs.repartition(8).write.parquet(s"$root/queries")
+      spark.read.parquet(s"$root/queries").schema
+    }
 
     measure("ann_serve", nQ) { () =>
       AnnStream.start(spark,

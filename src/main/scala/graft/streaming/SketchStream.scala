@@ -47,6 +47,29 @@ object SketchStream {
       case _: org.apache.spark.sql.AnalysisException => CountMin.Agg.zero
     }
 
+  /** Snapshot at EXACTLY `upTo` via its direct partition path — an
+    * O(1) read, where [[snapshot]] LISTS every `batch_id=` partition
+    * before pruning (O(B) per call, O(B²) across a stream's life: by
+    * the sf10 decade's 245th batch the listing is most of the batch's
+    * fixed cost, and a long-lived stream only gets worse). The batch
+    * loop's predecessor read is the happy path — batch n runs only
+    * after n-1 committed its snapshot — so the listing form survives
+    * purely as the fallback (first batch, pruned history, replay
+    * after a crash that lost the predecessor's partition).
+    */
+  private def snapshotAt(spark: SparkSession, outDir: String,
+      upTo: Long): Array[Long] =
+    if (upTo < 0) CountMin.Agg.zero
+    else try {
+      val rows = spark.read.parquet(s"$outDir/batch_id=$upTo")
+        .select("sk").limit(1).collect()
+      if (rows.isEmpty) snapshot(spark, outDir, upTo)
+      else rows(0).getSeq[Long](0).toArray
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException =>
+        snapshot(spark, outDir, upTo)
+    }
+
   /** Estimate a term's frequency from the latest snapshot ≤ `upTo`. */
   def estimate(spark: SparkSession, outDir: String, upTo: Long,
       term: String): Long =
@@ -68,7 +91,7 @@ object SketchStream {
           .select(CountMin.Agg.toColumn)
           .head()
         val merged = CountMin.Agg.merge(
-          snapshot(spark, outDir, batchId - 1), partial)
+          snapshotAt(spark, outDir, batchId - 1), partial)
         spark.createDataset(Seq(merged)).toDF("sk")
           .withColumn("batch_id", lit(batchId))
           .coalesce(1)

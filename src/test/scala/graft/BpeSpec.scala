@@ -72,4 +72,30 @@ class BpeSpec extends AnyFunSuite {
     // its raw form (no markers can exist yet)
     assert(merges.head.pair == merges.head.decoded)
   }
+
+  test("deep training run: K=48 stays correct and leaks no cached state") {
+    // Regression for the two round-lifecycle failures a K=256 run
+    // exposed (SCALING.md §Bpe.train): chained persist-per-round leaked
+    // ~200 MB of plan metadata PER ROUND (8 GiB OOM by round ~20 over a
+    // 31-row vocabulary), and the r-deep RDD DAG then overflowed task
+    // deserialization at round ~150. Deep-ish K over a synthetic
+    // vocabulary that sustains it; correctness pinned against the
+    // independent in-memory trainer, lifecycle pinned by the
+    // persistent-RDD census returning to its pre-train snapshot
+    // (exactly two generations live DURING training is unobservable
+    // from here; zero NEW ones after it is the contract's boundary).
+    val rng = new scala.util.Random(7)
+    val words = Seq.tabulate(24) { i =>
+      val w = (0 until 12).map(_ => ('a' + rng.nextInt(6)).toChar).mkString
+      (w, (i % 7 + 1).toLong)
+    }
+    val df = spark.createDataFrame(words).toDF("word", "freq")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val expected = inMemoryTrain(words, 48)
+    val got = Bpe.train(spark, df, 48)
+      .map(m => (m.rank.toLong, m.decoded, m.count))
+    assert(got == expected)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"train leaked persisted RDDs: $leaked")
+  }
 }
