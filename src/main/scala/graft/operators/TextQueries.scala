@@ -3361,9 +3361,13 @@ object TextQueries {
     * previous vocabulary twice (pair count + replace), which inlined
     * would compound 2^K.
     */
-  val bpeTrainSql: String = {
-    val k = BpeTrainMerges
-    def chrSql(r: Int) = s"chr(${0xE000 + r})"
+  private def bpeChrSql(r: Int) = s"chr(${0xE000 + r})"
+
+  /** The K-round training CTE chain (w0, p_r/t_r per round, w_r
+    * between rounds) shared by the train and apply oracles — t_r holds
+    * round r's winning pair, in its RAW (marker-bearing) form.
+    */
+  private def bpeChainSql(k: Int): String = {
     val w0 =
       """w0 AS MATERIALIZED (
         |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
@@ -3373,7 +3377,7 @@ object TextQueries {
       val merged = if (r < k)
         s""",
            |w$r AS MATERIALIZED (
-           |  SELECT replace(word, (SELECT mp FROM t$r), ${chrSql(r - 1)})
+           |  SELECT replace(word, (SELECT mp FROM t$r), ${bpeChrSql(r - 1)})
            |      AS word, freq
            |  FROM w${r - 1})""".stripMargin
       else ""
@@ -3386,17 +3390,103 @@ object TextQueries {
          |  SELECT p AS mp, CAST(c AS BIGINT) AS c FROM p$r
          |  ORDER BY c DESC, p LIMIT 1)""".stripMargin + merged
     }
+    s"$w0,\n${rounds.mkString(",\n")}"
+  }
+
+  val bpeTrainSql: String = {
+    val k = BpeTrainMerges
     // expand markers descending: merge r's pair holds only markers < r,
     // so replacing high→low fully decodes (Bpe.decode's foldLeft twin)
     def decoded(r: Int): String =
       ((r - 2) to 0 by -1).foldLeft("mp") { (acc, j) =>
-        s"replace($acc, ${chrSql(j)}, (SELECT mp FROM t${j + 1}))"
+        s"replace($acc, ${bpeChrSql(j)}, (SELECT mp FROM t${j + 1}))"
       }
     val sel = (1 to k).map(r =>
       s"SELECT CAST($r AS BIGINT) AS merge_rank, ${decoded(r)} AS pair, " +
         s"c AS pair_count FROM t$r")
       .mkString("\nUNION ALL ")
-    s"WITH $w0,\n${rounds.mkString(",\n")}\n$sel\nORDER BY merge_rank"
+    s"WITH ${bpeChainSql(k)}\n$sel\nORDER BY merge_rank"
+  }
+
+  // -------------------------------------------------------------------
+  // Charter: APPLY the trained tokenizer — the compression curve a
+  // tokenizer team reads before picking K. Trains the registry's K=8
+  // merges (the same Bpe.train loop as text_bpe_train), then applies
+  // them in rank order to the full corpus in ONE scan: merge r's raw
+  // pair contains only markers < r, so round r is one chained
+  // replace(), and because no pair contains a space, whole-text
+  // replacement equals per-word greedy BPE application. All K+1
+  // per-round symbol totals come out of that single projection + one
+  // map-side-combined aggregate (the corpus never shuffles; the
+  // bounded collect is ONE row of K+1 longs, the KMeans contract).
+  // Output: K+1 rows — round 0 is the untokenized character baseline,
+  // round r the corpus token count after merges 1..r, with the saved
+  // count and the compression ratio.
+  // -------------------------------------------------------------------
+  def bpeApply(s: SparkSession, d: String): DataFrame = {
+    val words = documents(s, d).select(explode(toks).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val merges = Bpe.train(s, words, BpeTrainMerges)
+    var compressed: Column = col("w")
+    val lens = Seq.newBuilder[Column]
+    lens += length(compressed).cast("bigint")
+    merges.foreach { m =>
+      compressed = call_function("replace", compressed,
+        lit(m.pair), lit(Bpe.marker(m.rank - 1)))
+      lens += length(compressed).cast("bigint")
+    }
+    val lenCols = lens.result().zipWithIndex.map { case (e, i) =>
+      e.as(s"l$i")
+    }
+    val sumCols = lenCols.indices.map(i => sum(col(s"l$i")).as(s"s$i"))
+    val totals = documents(s, d).select(explode(toks).as("w"))
+      .filter(col("w") =!= "")
+      .select(lenCols: _*)
+      .agg(sumCols.head, sumCols.tail: _*)
+      .collect()(0)
+    val s0 = totals.getLong(0)
+    val rows = lenCols.indices.map { r =>
+      val t = totals.getLong(r)
+      (r.toLong, t, s0 - t,
+        java.math.BigDecimal.valueOf(t.toDouble / s0)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
+    }
+    s.createDataFrame(rows)
+      .toDF("merge_rank", "total_tokens", "tokens_saved", "compression")
+      .orderBy("merge_rank")
+  }
+
+  /** GENERATED from [[BpeTrainMerges]] like [[bpeTrainSql]] (shared
+    * [[bpeChainSql]] chain); the apply side nests round r's replace
+    * around round r-1's, pair values arriving as scalar subqueries
+    * from the chain's t_r relations.
+    */
+  val bpeApplySql: String = {
+    val k = BpeTrainMerges
+    def applied(r: Int): String = (1 to r).foldLeft("w") { (acc, j) =>
+      s"replace($acc, (SELECT mp FROM t$j), ${bpeChrSql(j - 1)})"
+    }
+    val lenCols = (0 to k).map(r => s"length(${applied(r)}) AS l$r")
+      .mkString(",\n    ")
+    val sumCols = (0 to k).map(r => s"sum(l$r) AS s$r").mkString(", ")
+    val sel = (0 to k).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS merge_rank, " +
+        s"CAST(s$r AS BIGINT) AS total_tokens, " +
+        s"CAST(s0 - s$r AS BIGINT) AS tokens_saved, " +
+        s"round(CAST(s$r AS DOUBLE) / s0, 6) AS compression FROM tot")
+      .mkString("\nUNION ALL ")
+    s"""WITH ${bpeChainSql(k)},
+       |corpus AS MATERIALIZED (
+       |  SELECT w FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE w <> ''),
+       |app AS MATERIALIZED (
+       |  SELECT $lenCols
+       |  FROM corpus),
+       |tot AS MATERIALIZED (SELECT $sumCols FROM app)
+       |$sel
+       |ORDER BY merge_rank""".stripMargin
   }
 
   // -------------------------------------------------------------------
@@ -3892,6 +3982,7 @@ object TextQueries {
     "text_stopword_strip" -> (stopwordStrip _),
     "dedup_containment" -> (containment _),
     "dedup_agreement" -> (dedupAgreement _),
+    "text_bpe_apply" -> (bpeApply _),
     "train_packing" -> (trainPacking _),
     "train_curriculum" -> (trainCurriculum _),
     "text_heavy_hitters" -> (heavyHitters _),
@@ -3958,6 +4049,7 @@ object TextQueries {
     "text_stopword_strip" -> stopwordStripSql,
     "dedup_containment" -> containmentSql,
     "dedup_agreement" -> dedupAgreementSql,
+    "text_bpe_apply" -> bpeApplySql,
     "train_packing" -> trainPackingSql,
     "train_curriculum" -> trainCurriculumSql,
     "text_heavy_hitters" -> heavyHittersSql,

@@ -98,4 +98,41 @@ class BpeSpec extends AnyFunSuite {
     val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
     assert(leaked.isEmpty, s"train leaked persisted RDDs: $leaked")
   }
+
+  test("bpeApply matches an in-memory application of the trained merges") {
+    // train in memory, keeping RAW (marker-bearing) pairs — apply
+    // needs them in rank order, not the decoded surface forms
+    val words = wordsDf.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    var vocab = words
+    var raw = Vector.empty[String]
+    for (r <- 0 until 8) {
+      val counts = scala.collection.mutable.Map[String, Long]()
+      for ((w, f) <- vocab if w.length >= 2; i <- 0 until w.length - 1) {
+        val p = w.substring(i, i + 2)
+        counts(p) = counts.getOrElse(p, 0L) + f
+      }
+      val (mp, _) = counts.toSeq.minBy { case (p, n) => (-n, p) }
+      vocab = vocab.map { case (w, f) =>
+        w.replace(mp, (0xE000 + r).toChar.toString) -> f
+      }
+      raw = raw :+ mp
+    }
+    var cur: Seq[String] = graft.Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "").collect().map(_.getString(0)).toSeq
+    var expTotals = Vector(cur.map(_.length.toLong).sum)
+    raw.zipWithIndex.foreach { case (mp, r) =>
+      cur = cur.map(_.replace(mp, (0xE000 + r).toChar.toString))
+      expTotals = expTotals :+ cur.map(_.length.toLong).sum
+    }
+    val got = graft.operators.TextQueries.bpeApply(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).toSeq == (0L to 8L))
+    got.foreach { case (rank, total, saved) =>
+      assert(total == expTotals(rank.toInt),
+        s"rank $rank: got $total expected ${expTotals(rank.toInt)}")
+      assert(saved == expTotals(0) - total)
+    }
+  }
 }
