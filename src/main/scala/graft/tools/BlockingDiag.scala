@@ -131,6 +131,41 @@ object BlockingDiag {
       "same_cluster_pairs" -> Option(r.get(1)).map(_.asInstanceOf[Number].longValue()).getOrElse(0L))
   }
 
+  /** Sampled-anchor cluster-confinement recall for decades where the
+    * full N² ground truth stops being a quick local check: every
+    * ~`targetAnchors` deterministic stride-sampled vectors score
+    * against the WHOLE corpus (anchors×N dots, not N²), and recall is
+    * the same-cluster fraction of the ≥θ pairs incident to an anchor.
+    * Pair-level recall is a mean over pairs; sampling the anchor side
+    * uniformly estimates the same mean — the diagnostic's resolution
+    * is ~1/√pairs, plenty to confirm parity with the small-decade
+    * exact number.
+    */
+  def semanticRecallSampled(s: SparkSession, d: String, theta: Double,
+      targetAnchors: Long): Map[String, Long] = {
+    import graft.operators.VectorQueries.semanticAssigned
+    val a = semanticAssigned(s, d)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("list_id"))
+    val n = a.count()
+    val stride = math.max(1L, n / targetAnchors)
+    val x = a.filter(col("vec_id") % stride === 0).repartition(32)
+    val y = a.select(col("vec_id").as("vec_y"), col("embedding").as("emb_y"),
+      col("nrm").as("nrm_y"), col("list_id").as("list_y"))
+    val r = x.crossJoin(y)
+      .filter(col("vec_y") =!= col("vec_id"))
+      .withColumn("sim",
+        call_function("array_dot", col("embedding"), col("emb_y"))
+          / (col("nrm") * col("nrm_y")))
+      .filter(col("sim") >= theta)
+      .agg(count(lit(1)).as("true_pairs"),
+        sum(when(col("list_id") === col("list_y"), 1L).otherwise(0L))
+          .as("same_cluster_pairs")).head()
+    Map("anchors" -> ((n + stride - 1) / stride),
+      "true_pairs" -> r.getAs[Number](0).longValue(),
+      "same_cluster_pairs" -> Option(r.get(1))
+        .map(_.asInstanceOf[Number].longValue()).getOrElse(0L))
+  }
+
   /** (user_id, block) under rel_ts_shape_match's key: the
     * count(*)-tiered SAX word over per-user-window PAA ranks
     * (RelationalQueries.tsShaped). GenScale copies repeat each user's
@@ -207,11 +242,14 @@ object BlockingDiag {
       for (d <- dirs if new java.io.File(s"$d/embeddings.parquet").exists()) {
         val n = spark.read.parquet(s"$d/embeddings.parquet").count()
         if (n > 30000)
-          // ground truth is an N² brute force — a diagnostic, not an
-          // operator; past ~30k vectors it stops being a quick local
-          // check, and recall is a per-decade property already
-          // measured at the smaller decades
-          println(s"""{"dir":"$d","family":"vec_semantic_recall","skipped":"n=$n > 30000"}""")
+          // past ~30k vectors the full N² ground truth stops being a
+          // quick local check — switch to the sampled-anchor estimate
+          // (anchors×N dots) so decade recall is still a measurement
+          for (theta <- Seq(0.4, 0.9)) {
+            val r = semanticRecallSampled(spark, d, theta, 2000L)
+            println(s"""{"dir":"$d","family":"vec_semantic_recall_sampled","theta":$theta,""" +
+              s""""anchors":${r("anchors")},"true_pairs":${r("true_pairs")},"same_cluster_pairs":${r("same_cluster_pairs")}}""")
+          }
         else
           // 0.4 = the operator's gate threshold (BandedSimThreshold
           // note); 0.9 = the production near-identical pruning regime
