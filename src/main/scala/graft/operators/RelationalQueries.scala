@@ -1900,9 +1900,13 @@ object RelationalQueries {
   // span/width, a function of TIME not of event count, so a 100 TB
   // year at 10-minute grain is still only ~53k grid rows; the events
   // relation itself contributes one slim hash exchange. The running
-  // total's single-partition window runs over the GRID, not the data;
-  // at multi-year spans you'd range-partition the grid by coarse time
-  // and prefix-sum the partition boundaries (train_packing's trick).
+  // total is a TWO-LEVEL prefix sum (the stratified-rank trick): the
+  // grid cumsums inside 4096-bucket blocks in parallel, block offsets
+  // arrive from an exclusive prefix over the ≤span/4096-row block
+  // summary via broadcast — identical output to the naive global
+  // window, whose single task would serialize a multi-year fine-grain
+  // grid (431k one-task rows at the sf1 span; this corpus's one
+  // remaining unpartitioned window over an unbounded-ish relation).
   // -------------------------------------------------------------------
   private val GapBucketMicros = 600000000L // 10 minutes
 
@@ -1916,13 +1920,23 @@ object RelationalQueries {
     val grid = agg.agg(min(col("bu")).as("lo"), max(col("bu")).as("hi"))
       .select(explode(sequence(col("lo"), col("hi"), lit(w))).as("bu"))
     val filled = grid.join(agg.withColumn("hit", lit(true)), Seq("bu"), "left")
-    filled
+    val base = filled
       .select(col("bu"), coalesce(col("n"), lit(0L)).as("n_events"),
         coalesce(col("sc"), lit(0L)).as("sum_cents"),
         col("hit").isNull.as("is_gap"))
-      .withColumn("cum_cents", sum(col("sum_cents")).over(
-        Window.orderBy("bu").rowsBetween(Window.unboundedPreceding,
-          Window.currentRow)))
+      .withColumn("blk", expr(s"bu div $w div 4096"))
+    // exclusive prefix over the block summary — bounded at span/4096
+    // rows, so ITS single-partition window is a handful of rows
+    val blkOff = base.groupBy("blk")
+      .agg(sum(col("sum_cents")).as("bsum"))
+      .withColumn("off", coalesce(sum(col("bsum")).over(
+        Window.orderBy("blk")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("blk", "off")
+    base.join(broadcast(blkOff), "blk")
+      .withColumn("cum_cents", col("off") + sum(col("sum_cents")).over(
+        Window.partitionBy("blk").orderBy("bu")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .select(timestamp_micros(col("bu")).as("bucket"), col("n_events"),
         col("sum_cents"), col("is_gap"), col("cum_cents"))
       .orderBy("bucket")

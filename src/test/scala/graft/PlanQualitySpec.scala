@@ -226,6 +226,27 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("gap fill prefix-sums the grid two-level, not through one global window") {
+    // the running total must cumsum inside 4096-bucket blocks (a
+    // blk-partitioned window over the grid) with block offsets joined
+    // in by broadcast; the only unpartitioned window allowed is the
+    // exclusive prefix over the ≤span/4096-row block summary — a
+    // multi-year fine-grain grid through ONE task's sort is the shape
+    // this replaced
+    val df = RelationalQueries.gapFill(spark, sf)
+    val plan = physical(df)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert("windowspecdefinition\\(blk#".r.findFirstIn(plan).isDefined,
+      s"grid cumsum must partition by blk:\n$plan")
+    // exactness: the two-level total equals a driver-side prefix sum
+    val rows = df.select("sum_cents", "cum_cents").collect()
+    var acc = 0L
+    rows.foreach { r =>
+      acc += r.getLong(0)
+      assert(r.getLong(1) == acc, s"cum mismatch at acc=$acc")
+    }
+  }
+
   test("sessionize shares one shuffle across both windows and the aggregate") {
     // lag-window, cumsum-window, and the (user, sess) aggregate all
     // consume the same user-keyed partitioning: exactly two exchanges

@@ -28,17 +28,26 @@ def norm(v):
 fails = []
 for name, sql in sorted(oracle.items()):
     if only and name not in only: continue
-    try:
-        exp = con.sql(sql)
-        exp_cols = sorted(exp.columns)
-        exp_rows = [tuple(norm(r[exp.columns.index(c)]) for c in exp_cols)
-                    for r in exp.fetchall()]
-        got = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'")
-        got_cols = sorted(got.columns)
-        got_rows = [tuple(norm(r[got.columns.index(c)]) for c in got_cols)
-                    for r in got.fetchall()]
-    except Exception as e:
-        print(f"FAIL {name}: exception {e}")
+    # one retry on exceptions: DuckDB under memory pressure throws
+    # transient allocation OOMs on heavy oracles (observed on
+    # vec_trunc_recall / vec_ivf_ann) that vanish on immediate re-run —
+    # a retried pass distinguishes those from real failures
+    for attempt in (0, 1):
+        try:
+            exp = con.sql(sql)
+            exp_cols = sorted(exp.columns)
+            exp_rows = [tuple(norm(r[exp.columns.index(c)]) for c in exp_cols)
+                        for r in exp.fetchall()]
+            got = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'")
+            got_cols = sorted(got.columns)
+            got_rows = [tuple(norm(r[got.columns.index(c)]) for c in got_cols)
+                        for r in got.fetchall()]
+            err = None
+            break
+        except Exception as e:
+            err = e
+    if err is not None:
+        print(f"FAIL {name}: exception {err}")
         fails.append(name); continue
     if exp_cols != got_cols:
         print(f"FAIL {name}: columns exp={exp_cols} got={got_cols}")
