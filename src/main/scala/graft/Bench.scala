@@ -217,7 +217,7 @@ object Bench {
         val base = graft.streaming.CdcRelay.RelayConfig(
           s"$root/in", s"$root/out", s"$root/chk")
         val cfg = sys.env.get("SPARK_GRAFT_RELAY_MFPT")
-          .map(v => base.copy(maxFilesPerTrigger = v.toInt))
+          .map(v => base.copy(maxFilesPerTrigger = Some(v.toInt)))
           .getOrElse(base)
         val t0 = System.nanoTime()
         graft.streaming.CdcRelay.start(spark, cfg).awaitTermination()
@@ -263,13 +263,22 @@ object Bench {
     println(detail)
     try {
       // cwd-relative default so the build isn't coupled to one machine's
-      // layout; the driver runs sbt from the repo root
-      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+      // layout; the driver runs sbt from the repo root. A NOISY sweep
+      // (control rel_spread > 1.5) must not clobber the curated
+      // quiet-machine bench_full.json — r12's committed artifact was a
+      // 1.55-spread driver run that overwrote the 0.82 closing sweep.
+      // Explicit SPARK_GRAFT_BENCH_OUT always wins; otherwise noisy runs
+      // divert to bench_full.noisy.json (still recorded, never curated).
+      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+        if (noiseExceeded) "bench_full.noisy.json" else "bench_full.json")
+      if (noiseExceeded && !sys.env.contains("SPARK_GRAFT_BENCH_OUT"))
+        System.err.println(s"[bench] noisy sweep diverted to $out " +
+          "(set SPARK_GRAFT_BENCH_OUT to force a path)")
       java.nio.file.Files.write(
         java.nio.file.Paths.get(out),
         detail.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
     } catch { case e: Throwable =>
-      System.err.println(s"[bench] bench_full.json write failed: ${e.getMessage}")
+      System.err.println(s"[bench] bench artifact write failed: ${e.getMessage}")
     }
     // metric-first: rounds 1-2 (metric-first) parsed in the driver
     // artifact; rounds 3-5 (queries-first) all recorded "parsed": null

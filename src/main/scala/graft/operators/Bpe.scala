@@ -59,8 +59,18 @@ object Bpe {
   /** Train `k` merges over `words` (columns `word: String`,
     * `freq: Long`). Stops early if no pair remains (fully merged
     * vocabulary). Returns merges in rank order (rank is 1-based).
+    *
+    * PRECONDITIONS (enforced loudly — violating either would corrupt
+    * merges silently): `k ≤ 6400`, because markers are U+E000+round and
+    * round 6400 would walk past U+F8FF out of the BMP private-use area;
+    * and no word form may already contain a BMP PUA char, because such
+    * a char collides with a marker and breaks the injectivity and
+    * decode invariants (a corpus with PUA text must remap those chars
+    * before training).
     */
   def train(s: SparkSession, words: DataFrame, k: Int): Seq[Merge] = {
+    require(k <= 6400,
+      s"k=$k exceeds the 6400 available BMP private-use markers (U+E000..U+F8FF)")
     // Root each round's vocabulary as a SELF-CONTAINED relation: a
     // persisted RDD[InternalRow] wrapped in a LogicalRDD leaf. The
     // naive `persist()`-per-round chain nests round r-1's
@@ -88,6 +98,14 @@ object Bpe {
     }
     var (vocab, vocabRdd) = materialize(
       words.select(col("word"), col("freq")))
+    // one cheap scan of the just-persisted vocabulary (vocabulary-
+    // bounded, not corpus-bounded) guards the marker-collision
+    // precondition before any merge bakes it in
+    val puaWords = vocab.filter(col("word").rlike("[\\uE000-\\uF8FF]")).count()
+    require(puaWords == 0L,
+      s"$puaWords word forms contain BMP private-use chars " +
+        "(U+E000..U+F8FF), which collide with merge markers — remap " +
+        "them before training")
     var merges = Vector.empty[Merge]
     var r = 0
     var done = false

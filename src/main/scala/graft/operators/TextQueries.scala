@@ -3490,6 +3490,83 @@ object TextQueries {
   }
 
   // -------------------------------------------------------------------
+  // Charter: ENCODE with the trained tokenizer — the per-document
+  // output a data loader actually consumes (text_bpe_apply proves the
+  // corpus-level compression curve; a loader needs each doc's token id
+  // sequence). Trains the registry's K=8 merges (the same Bpe.train
+  // loop), then one corpus scan emits per doc: the token count after
+  // all K merges and the first-16 token ids as a joined string (the
+  // driver compare is scalar-only). Token ids follow the real-BPE
+  // convention: a base character is its own code point, merge j
+  // (marker U+E000+j) is id 256+j. No shuffle except the final order.
+  // -------------------------------------------------------------------
+  private val BpeEncodeHeadIds = 16
+
+  def bpeEncode(s: SparkSession, d: String): DataFrame = {
+    val words = documents(s, d).select(explode(toks).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val merges = Bpe.train(s, words, BpeTrainMerges)
+    // whole-text chained replace = per-word greedy BPE (no pair ever
+    // contains a space — the bpeApply argument); stripping spaces then
+    // yields the doc's symbol sequence directly
+    val applied = merges.foldLeft(col("text")) { (acc, m) =>
+      call_function("replace", acc, lit(m.pair), lit(Bpe.marker(m.rank - 1)))
+    }
+    // symbol → token id: markers (≥ U+E000) are vocab entries 256+j;
+    // anything else is its code point
+    val idOf = (c: Column) =>
+      when(ascii(c) >= 0xE000, ascii(c) - 0xE000 + 256).otherwise(ascii(c))
+    documents(s, d)
+      .select(col("doc_id"),
+        call_function("replace", applied, lit(" "), lit("")).as("syms"))
+      .select(col("doc_id"),
+        length(col("syms")).cast("bigint").as("n_tokens"),
+        substring(col("syms"), 1, BpeEncodeHeadIds).as("head"))
+      .select(col("doc_id"), col("n_tokens"),
+        // sequence(1, 0) would yield [1, 0] (inferred negative step),
+        // so the empty head is special-cased to match DuckDB's empty
+        // range(1, 1)
+        when(length(col("head")) === 0, lit(""))
+          .otherwise(array_join(transform(
+            expr("transform(sequence(1, length(head)), i -> substring(head, i, 1))"),
+            c => idOf(c).cast("string")), ",")).as("head_ids"))
+      .orderBy("doc_id")
+  }
+
+  /** GENERATED from [[BpeTrainMerges]] like [[bpeApplySql]] (shared
+    * [[bpeChainSql]] chain); ids mirror the Spark mapping — code point
+    * for base chars, 256+j for marker U+E000+j.
+    */
+  val bpeEncodeSql: String = {
+    val k = BpeTrainMerges
+    def applied(expr0: String): String = (1 to k).foldLeft(expr0) { (acc, j) =>
+      s"replace($acc, (SELECT mp FROM t$j), ${bpeChrSql(j - 1)})"
+    }
+    def idOf(c: String) =
+      s"CASE WHEN ascii($c) >= 57344 " +
+        s"THEN CAST(ascii($c) - 57344 + 256 AS VARCHAR) " +
+        s"ELSE CAST(ascii($c) AS VARCHAR) END"
+    val sym = s"substring(head, CAST(i AS INT), 1)"
+    // merges apply to the WHOLE text (subqueries are not allowed inside
+    // DuckDB lambdas, and no pair contains a space so whole-text
+    // replace = per-word greedy BPE); stripping spaces yields the
+    // symbol sequence
+    s"""WITH ${bpeChainSql(k)},
+       |f AS (
+       |  SELECT doc_id,
+       |    CAST(length(syms) AS BIGINT) AS n_tokens,
+       |    substring(syms, 1, $BpeEncodeHeadIds) AS head
+       |  FROM (SELECT doc_id,
+       |          replace(${applied("text")}, ' ', '') AS syms
+       |        FROM documents))
+       |SELECT doc_id, n_tokens,
+       |  array_to_string(list_transform(range(1, length(head) + 1),
+       |    i -> ${idOf(sym)}), ',') AS head_ids
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // Charter: data-loader length bucketing — assign each document to the
   // smallest power-of-two token-length bucket and report per-bucket doc
   // count, token mass, and the padding waste a pad-to-bucket batcher
@@ -3983,6 +4060,7 @@ object TextQueries {
     "dedup_containment" -> (containment _),
     "dedup_agreement" -> (dedupAgreement _),
     "text_bpe_apply" -> (bpeApply _),
+    "text_bpe_encode" -> (bpeEncode _),
     "train_packing" -> (trainPacking _),
     "train_curriculum" -> (trainCurriculum _),
     "text_heavy_hitters" -> (heavyHitters _),
@@ -4050,6 +4128,7 @@ object TextQueries {
     "dedup_containment" -> containmentSql,
     "dedup_agreement" -> dedupAgreementSql,
     "text_bpe_apply" -> bpeApplySql,
+    "text_bpe_encode" -> bpeEncodeSql,
     "train_packing" -> trainPackingSql,
     "train_curriculum" -> trainCurriculumSql,
     "text_heavy_hitters" -> heavyHittersSql,

@@ -567,7 +567,15 @@ object VectorQueries {
   // plans/SemanticAssign expression: same zero-exchange map-side pass,
   // compiled.)
 
-  private[graft] def semanticAssigned(s: SparkSession, d: String): DataFrame = {
+  /** The trained hierarchical coarse-quantizer MODEL alongside the
+    * assigned corpus: (trained centroid set — the ≤4096×64 bounded
+    * driver-side matrix — , (vec_id, embedding, nrm, list_id) frame).
+    * Exposed so the serving tier ([[graft.streaming.AnnStream]]) can
+    * probe a query's nearest cells against the same trained quantizer
+    * the batch dedup/mining operators use, instead of re-deriving it.
+    */
+  private[graft] def semanticModel(s: SparkSession, d: String)
+      : (Seq[(Long, Array[Double])], DataFrame) = {
     val e = embeddings(s, d).withColumn("nrm", norm("embedding"))
       .withColumn("v", expr(
         "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT))"))
@@ -641,11 +649,15 @@ object VectorQueries {
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
     }
-    withAssigned(trained,
+    val assigned = withAssigned(trained,
       e.select(col("vec_id"), col("embedding"), col("nrm")))
       .select(col("vec_id"), col("embedding"), col("nrm"),
         col("cid").as("list_id"))
+    (trained, assigned)
   }
+
+  private[graft] def semanticAssigned(s: SparkSession, d: String): DataFrame =
+    semanticModel(s, d)._2
 
   /** CTE block for one hierarchical assignment pass over `cents`:
     * super layer (first ksup by cid) → fine→super argmax map →
@@ -655,31 +667,38 @@ object VectorQueries {
     * (round-6 d DESC, id ASC) rank-1 pick.
     */
   private def semanticAssignSqlCtes(cents: String, tag: String): String =
-    // AS MATERIALIZED on every multiply-referenced CTE: DuckDB inlines
-    // plain CTEs as views, and this chain references each level three
-    // times (sup/g/a over cents) — inlined, the unrolled-rounds plan
-    // grows 3^depth and OOMs the oracle engine at planning time.
+    // AS MATERIALIZED ONLY on multiply-referenced CTEs: DuckDB inlines
+    // plain CTEs as views, and this chain references sup/cents three
+    // times per pass — inlined, the unrolled-rounds plan grows 3^depth
+    // and OOMs the oracle engine at planning time. Conversely, g/cand/
+    // va/a are each referenced exactly ONCE, so materializing them only
+    // costs buffer reservations — under a memory-pressured checker
+    // (the driver's CORRECTNESS gate OOM'd twice at r12) every
+    // needless materialization is allocator pressure. The one
+    // materialized row set per pass that used to be wide (a$tag carried
+    // embedding+nrm+v) is now the narrow (vec_id, cid) assignment; the
+    // centroid update and final select re-join `e` for the payload.
     s"""sup$tag AS MATERIALIZED (
        |  SELECT cid AS sid, c_emb AS s_emb FROM (
        |    SELECT cid, c_emb, row_number() OVER (ORDER BY cid) AS srn
        |    FROM $cents) t, kk WHERE t.srn <= kk.ksup),
-       |g$tag AS MATERIALIZED (
+       |g$tag AS (
        |  SELECT cid, sid FROM (
        |    SELECT c.cid, s.sid, row_number() OVER (PARTITION BY c.cid
        |      ORDER BY round(${dotSql("c.c_emb", "s.s_emb")}, 6) DESC, s.sid) AS rn
        |    FROM $cents c, sup$tag s) WHERE rn <= $SemanticCellReplicas),
-       |cand$tag AS MATERIALIZED (
+       |cand$tag AS (
        |  SELECT DISTINCT sid, cid FROM (
        |    SELECT sid, cid FROM g$tag
        |    UNION ALL SELECT sid, sid AS cid FROM sup$tag)),
-       |va$tag AS MATERIALIZED (
+       |va$tag AS (
        |  SELECT vec_id, sid FROM (
        |    SELECT e.vec_id, s.sid, row_number() OVER (PARTITION BY e.vec_id
        |      ORDER BY round(${dotSql("e.embedding", "s.s_emb")}, 6) DESC, s.sid) AS rn
        |    FROM e, sup$tag s) WHERE rn <= $SemanticProbes),
-       |a$tag AS MATERIALIZED (
-       |  SELECT vec_id, embedding, nrm, v, cid FROM (
-       |    SELECT e.vec_id, e.embedding, e.nrm, e.v, c.cid,
+       |a$tag AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c.cid,
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY round(${dotSql("e.embedding", "c.c_emb")}, 6) DESC, c.cid) AS rn
        |    FROM e JOIN va$tag va ON e.vec_id = va.vec_id
@@ -691,9 +710,12 @@ object VectorQueries {
     */
   private def semanticCentroidSql(assigned: String): String = {
     val comps = (1 to Dim).map(i =>
-      s"CAST(sum(v[$i]) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1e6)")
+      s"CAST(sum(e.v[$i]) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1e6)")
       .mkString(",\n       |     ")
-    s"""SELECT cid, [$comps] AS c_emb FROM $assigned GROUP BY cid"""
+    // `assigned` is the narrow (vec_id, cid) relation; the micro-unit
+    // component sums come from re-joining the materialized `e`.
+    s"""SELECT a.cid, [$comps] AS c_emb
+       |  FROM $assigned a JOIN e ON e.vec_id = a.vec_id GROUP BY a.cid""".stripMargin
   }
 
   /** The full quantizer chain, GENERATED from [[SemanticLloydRounds]]
@@ -710,7 +732,6 @@ object VectorQueries {
     val finalCtes = semanticAssignSqlCtes(s"c$SemanticLloydRounds", "f")
     s"""WITH e AS MATERIALIZED (
        |  SELECT vec_id, embedding,
-       |    sqrt(${dotSql("embedding", "embedding")}) AS nrm,
        |    list_transform(embedding,
        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS v
        |  FROM embeddings),
@@ -724,7 +745,10 @@ object VectorQueries {
        |  FROM embeddings, kk WHERE vec_id < kk.k),
        |${roundCtes.mkString(",\n")},
        |$finalCtes
-       |SELECT vec_id, embedding, nrm, cid AS list_id FROM af""".stripMargin
+       |SELECT e.vec_id, e.embedding,
+       |  sqrt(${dotSql("e.embedding", "e.embedding")}) AS nrm,
+       |  af.cid AS list_id
+       |FROM af JOIN e ON e.vec_id = af.vec_id""".stripMargin
   }
 
   def semanticDedup(s: SparkSession, d: String): DataFrame = {
@@ -749,7 +773,10 @@ object VectorQueries {
 
   val semanticDedupSql: String = {
     val cos = s"round((${dotSql("x.embedding", "y.emb_y")}) / (x.nrm * y.nrm_y), 6)"
-    s"""WITH assigned AS ($semanticAssignedSql),
+    // assigned is consumed three times (x, y, the final left join) —
+    // MATERIALIZED, or DuckDB re-runs the whole unrolled quantizer
+    // chain once per consumer (the r12 checker-OOM failure mode).
+    s"""WITH assigned AS MATERIALIZED ($semanticAssignedSql),
        |x AS (SELECT list_id, vec_id, embedding, nrm FROM assigned),
        |y AS (SELECT list_id AS list_y, vec_id AS vec_y,
        |      embedding AS emb_y, nrm AS nrm_y FROM assigned),
@@ -812,15 +839,18 @@ object VectorQueries {
 
   val hardNegativesAnnSql: String = {
     val cos = s"round((${dotSql("a.embedding", "q.q_embedding")}) / (a.nrm * q.q_nrm), 6)"
+    // al (assigned + label) is consumed twice (anchors, scored), so it
+    // is the materialization point; `assigned` itself has exactly one
+    // consumer (al) and inlines into that one materialization.
     s"""WITH assigned AS ($semanticAssignedSql),
-       |al AS (
+       |al AS MATERIALIZED (
        |  SELECT a.vec_id, a.embedding, a.nrm, a.list_id, e.label
        |  FROM assigned a JOIN embeddings e ON a.vec_id = e.vec_id),
        |anchors AS (
        |  SELECT vec_id AS q_id, label AS q_label,
        |    embedding AS q_embedding, nrm AS q_nrm, list_id AS q_list
        |  FROM al WHERE vec_id % 50 = 0),
-       |scored AS (
+       |scored AS MATERIALIZED (
        |  SELECT q.q_id, q.q_label, a.vec_id, a.label, $cos AS sim
        |  FROM al a JOIN anchors q
        |    ON a.list_id = q.q_list AND a.vec_id <> q.q_id),
@@ -905,13 +935,31 @@ object VectorQueries {
   }
 
   val ivfAnnSql: String = {
-    val cos = s"round((${dotSql("a.embedding", "q.q_embedding")}) / (a.nrm * q.q_nrm), 6)"
-    s"""WITH assigned AS ($ivfAssignedSql),
-       |q AS (SELECT embedding AS q_embedding, nrm AS q_nrm, list_id AS q_list
-       |      FROM assigned WHERE vec_id = 0)
-       |SELECT a.vec_id, a.label, $cos AS sim
-       |FROM assigned a, q WHERE a.vec_id > 0 AND a.list_id = q.q_list
-       |ORDER BY sim DESC, a.vec_id LIMIT 10""".stripMargin
+    val cos = s"round((${dotSql("e.embedding", "q.q_embedding")}) " +
+      s"/ (sqrt(${dotSql("e.embedding", "e.embedding")}) * q.q_nrm), 6)"
+    // The r12 driver checker OOM'd on this oracle: `assigned` (the full
+    // cross-join + ranking chain carrying embedding+nrm per row) was a
+    // PLAIN CTE consumed twice (q, main select), so DuckDB inlined and
+    // ran it twice. Materialize ONLY the narrow (vec_id, list_id)
+    // assignment once and re-join `embeddings` for payload columns.
+    s"""WITH asg AS MATERIALIZED (
+       |  SELECT vec_id, cid AS list_id FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY round(${dotSql("e.embedding", "c.c_emb")}, 6) DESC, c.cid) AS rn
+       |    FROM embeddings e,
+       |      (SELECT vec_id AS cid, embedding AS c_emb FROM embeddings
+       |       WHERE vec_id < $IvfSeeds) c) WHERE rn = 1),
+       |q AS (
+       |  SELECT e.embedding AS q_embedding,
+       |    sqrt(${dotSql("e.embedding", "e.embedding")}) AS q_nrm,
+       |    a.list_id AS q_list
+       |  FROM embeddings e JOIN asg a ON a.vec_id = e.vec_id
+       |  WHERE e.vec_id = 0)
+       |SELECT e.vec_id, e.label, $cos AS sim
+       |FROM asg a JOIN embeddings e ON e.vec_id = a.vec_id, q
+       |WHERE a.vec_id > 0 AND a.list_id = q.q_list
+       |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin
   }
 
   // -------------------------------------------------------------------

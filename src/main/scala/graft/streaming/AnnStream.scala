@@ -7,18 +7,34 @@ import org.apache.spark.storage.StorageLevel
 
 /** Online similarity retrieval — the serving form of the batch ANN
   * operators: a stream of query vectors is answered per micro-batch
-  * against a STATIC corpus with exact cosine top-k (brute force below
-  * ~10^9 corpus vectors; swap the corpus frame for its LSH-bucketed
-  * projection for the indexed path — the batch operators and this
-  * stream share the same dot-product/codegen plumbing via
-  * `array_dot`).
+  * against a STATIC corpus.
+  *
+  * Two serving paths, same output contract (top-`k` by rounded cosine,
+  * vec_id tiebreak — the batch operators' determinism contract):
+  *
+  *   - `nprobe > 0` (default): CELL-CONFINED search against the SAME
+  *     trained hierarchical coarse quantizer the batch dedup/mining
+  *     operators use ([[graft.operators.VectorQueries.semanticModel]]:
+  *     k = clamp(16..4096, ⌈N/64⌉) cells, two Lloyd rounds). Each query
+  *     ranks the ≤4096-row centroid table (broadcast once at stream
+  *     start), keeps its `nprobe` nearest cells, and scores ONLY those
+  *     cells' members — per-query dot-product cost is k + nprobe·(N/k)
+  *     instead of N. The corpus pays one hash-probe per row per batch
+  *     (the join on list_id), which is memory-speed next to 64-dim
+  *     dots; on a cluster the persisted corpus would additionally be
+  *     laid out by list_id so unprobed cells are never touched.
+  *   - `nprobe = 0`: exact brute-force cosine top-k (the baseline the
+  *     recall pin in AnnStreamSpec measures the index against; also
+  *     the right path below ~10⁵ corpus rows where the scan is cheaper
+  *     than the quantizer training).
   *
   * Shape: `foreachBatch` re-uses the batch top-k logic verbatim — the
-  * corpus (with its precomputed norms) is persisted ONCE at stream
-  * start and served from executor memory every micro-batch; the
-  * per-batch broadcast is the QUERY side (tiny). The cache is released
-  * when the query terminates (listener below), so a served-then-stopped
-  * stream leaves no session state behind.
+  * corpus (with norms and, on the indexed path, cell assignments) is
+  * persisted ONCE at stream start and served from executor memory
+  * every micro-batch; the per-batch broadcast is the QUERY side
+  * (tiny). The cache is released when the query terminates (listener
+  * below), so a served-then-stopped stream leaves no session state
+  * behind.
   *
   * Delivery: foreachBatch is at-least-once — a crash between the sink
   * write and the epoch commit replays the batch. Each batch therefore
@@ -29,22 +45,57 @@ import org.apache.spark.storage.StorageLevel
   */
 object AnnStream {
 
+  /** Default probe width for the indexed path: 8 cells ≈ 8/k of the
+    * corpus scored per query — mirrors the batch quantizer's own
+    * SemanticProbes super-cell width. Recall@10 vs exact at this
+    * setting is pinned by AnnStreamSpec on the fixture corpus.
+    */
+  val DefaultNprobe: Int = 8
+
   /** Start the retrieval stream: `queries` is a streaming frame with
     * (q_id LONG, q_embedding ARRAY<DOUBLE>); the corpus is read from
     * `sfDir` once. Top-`k` per query by rounded cosine with vec_id
-    * tiebreak — the same determinism contract as the batch operators.
+    * tiebreak. `nprobe` selects the serving path (see object doc).
     */
   def start(spark: SparkSession, queries: DataFrame, sfDir: String,
-            outDir: String, chkDir: String, k: Int = 5): StreamingQuery = {
+            outDir: String, chkDir: String, k: Int = 5,
+            nprobe: Int = DefaultNprobe): StreamingQuery = {
     graft.plans.GraftExtensions.register(spark)
-    val corpus = graft.Tables.embeddings(spark, sfDir)
+    val indexed = nprobe > 0
+    // On the indexed path the corpus carries its trained cell id; the
+    // one-time Lloyd training (bounded driver state, zero-exchange
+    // assignment passes — see semanticAssigned) happens here at stream
+    // start, not under serving latency.
+    val (cents, base) =
+      if (indexed) {
+        val (c, a) = graft.operators.VectorQueries.semanticModel(spark, sfDir)
+        // the assigned frame is (vec_id, embedding, nrm, list_id) —
+        // re-join the corpus for the label the output carries
+        val lbl = graft.Tables.embeddings(spark, sfDir)
+          .select(col("vec_id"), col("label"))
+        (c, a.join(lbl, Seq("vec_id")).select(col("vec_id"), col("label"),
+          col("embedding"), col("nrm"), col("list_id")))
+      } else
+        (Nil, graft.Tables.embeddings(spark, sfDir)
+          .select(col("vec_id"), col("label"), col("embedding"),
+            sqrt(call_function("array_dot",
+              expr("transform(embedding, x -> CAST(x AS DOUBLE))"),
+              expr("transform(embedding, x -> CAST(x AS DOUBLE))"))).as("nrm"),
+            lit(0L).as("list_id")))
+    val corpus = base
       .withColumn("e", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
-      .withColumn("nrm", sqrt(call_function("array_dot", col("e"), col("e"))))
-      .select(col("vec_id"), col("label"), col("e"), col("nrm"))
+      .select(col("vec_id"), col("label"), col("e"), col("nrm"), col("list_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // materialize BEFORE batch 1, so the first query doesn't pay the
-    // parquet scan + norm computation under serving latency
+    // parquet scan + assignment/norm computation under serving latency
     corpus.queryExecution.toRdd.count()
+    // the centroid table is plan-side state: ≤4096×64 doubles ≈ 2 MB,
+    // broadcast into every batch's probe ranking
+    val centsDf =
+      if (indexed)
+        spark.createDataFrame(cents.map { case (cid, c) => (cid, c.toSeq) })
+          .toDF("cid", "c_emb")
+      else spark.emptyDataFrame
     val query = try queries.writeStream
       .option("checkpointLocation", chkDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -52,7 +103,23 @@ object AnnStream {
           col("q_embedding").as("qe"),
           sqrt(call_function("array_dot", col("q_embedding"),
             col("q_embedding"))).as("q_nrm"))
-        val scored = corpus.crossJoin(broadcast(q))
+        val cand =
+          if (indexed) {
+            // rank the cells per query (q × k tiny cross), keep nprobe,
+            // then confine the scan to those cells' members
+            val wp = org.apache.spark.sql.expressions.Window
+              .partitionBy("q_id").orderBy(col("pd").desc, col("cid"))
+            val probes = q.crossJoin(broadcast(centsDf))
+              .withColumn("pd",
+                round(call_function("array_dot", col("qe"), col("c_emb")), 6))
+              .withColumn("pr", row_number().over(wp))
+              .filter(col("pr") <= nprobe)
+              .select(col("q_id"), col("qe"), col("q_nrm"),
+                col("cid").as("probe_list"))
+            corpus.join(broadcast(probes),
+              col("list_id") === col("probe_list"))
+          } else corpus.crossJoin(broadcast(q))
+        val scored = cand
           .select(col("q_id"), col("vec_id"), col("label"),
             round(call_function("array_dot", col("e"), col("qe")) /
               (col("nrm") * col("q_nrm")), 6).as("sim"))

@@ -57,19 +57,22 @@ object CdcRelay {
       clusterId: String = "graft",
       dedupeWindow: String = "2 minutes",
       /** A5 batch-size cap (reference `--event-count-max`): max input
-        * files admitted per micro-batch. The default is the tuned
-        * drain setting from the measured batch-size→throughput curve
-        * (SCALING.md §Relay: each trigger pays a ~0.5-1 s commit
-        * barrier, so throughput scales with events-per-trigger until
-        * executor parallelism saturates; 256 files kept the sf1 drain
-        * at 163-184k events/s vs 52k at 32). A LIVE relay wants the
-        * reference's latency-oriented `--event-count-max` batching
-        * instead — [[startContinuous]] swaps this drain default for
+        * files admitted per micro-batch. `None` (the default) means
+        * "profile-appropriate": [[start]] resolves it to the tuned
+        * drain setting [[RelayConfig.DrainMaxFilesPerTrigger]] from the
+        * measured batch-size→throughput curve (SCALING.md §Relay: each
+        * trigger pays a ~0.5-1 s commit barrier, so throughput scales
+        * with events-per-trigger until executor parallelism saturates;
+        * 256 files kept the sf1 drain at 163-184k events/s vs 52k at
+        * 32), while [[startContinuous]] resolves it to the reference's
+        * latency-oriented batching analog
         * [[RelayConfig.LiveMaxFilesPerTrigger]] via
-        * [[RelayConfig.liveProfile]] unless the caller set the cap
-        * explicitly (to a non-default value).
+        * [[RelayConfig.liveProfile]]. `Some(n)` — ANY n, including
+        * 256 — is the operator's explicit choice and is never swapped
+        * (an Int field couldn't distinguish an explicit 256 from the
+        * unset default, which silently gave such a caller 8).
         */
-      maxFilesPerTrigger: Int = RelayConfig.DrainMaxFilesPerTrigger,
+      maxFilesPerTrigger: Option[Int] = None,
       /** A4 idle throttle (reference `--idle-interval-ms`): the pacing
         * interval of the poll loop. Used as the processing-time trigger
         * period by [[startContinuous]] and as the denominator of the
@@ -127,8 +130,9 @@ object CdcRelay {
       if (clusterId.trim.isEmpty) b += "clusterId must not be empty"
       if (!RelayConfig.isPositiveDuration(dedupeWindow))
         b += "dedupeWindow must be a positive duration like '2 minutes'"
-      if (maxFilesPerTrigger < 1)
-        b += s"maxFilesPerTrigger must be >= 1 (got $maxFilesPerTrigger)"
+      maxFilesPerTrigger.foreach { m =>
+        if (m < 1) b += s"maxFilesPerTrigger must be >= 1 (got $m)"
+      }
       if (idleIntervalMs <= 0)
         b += s"idleIntervalMs must be greater than zero (got $idleIntervalMs)"
       maxFilesPerSecond.foreach { r =>
@@ -166,17 +170,22 @@ object CdcRelay {
       norm
     }
 
-    /** Effective per-trigger file cap once the rate ceiling applies.
-      * Floors at 1 file per trigger: ceilings below one file per idle
+    /** Effective per-trigger file cap once the unset default resolves
+      * (to the drain profile — [[RelayConfig.liveProfile]] has already
+      * filled in the live cap on the [[CdcRelay.startContinuous]] path
+      * by the time this is read) and the rate ceiling applies. Floors
+      * at 1 file per trigger: ceilings below one file per idle
       * interval need a longer [[idleIntervalMs]], not a zero cap.
       */
-    private[graft] def effectiveMaxFilesPerTrigger: Int =
+    private[graft] def effectiveMaxFilesPerTrigger: Int = {
+      val cap = maxFilesPerTrigger.getOrElse(RelayConfig.DrainMaxFilesPerTrigger)
       maxFilesPerSecond match {
         case Some(rps) =>
-          math.min(maxFilesPerTrigger,
+          math.min(cap,
             math.max(1, math.floor(rps * idleIntervalMs / 1000.0).toInt))
-        case None => maxFilesPerTrigger
+        case None => cap
       }
+    }
   }
 
   object RelayConfig {
@@ -193,17 +202,14 @@ object CdcRelay {
       */
     val LiveMaxFilesPerTrigger: Int = 8
 
-    /** Swap the drain-tuned trigger cap for the latency profile. Only
-      * the untouched default is swapped: a caller who explicitly chose
-      * any other cap (including via `--event-count-max`) keeps it.
-      * (An explicit 256 is indistinguishable from the default and gets
-      * the live profile too — callers who really want a 256-file live
-      * trigger set 255 or 257, or call [[CdcRelay.start]] with their
-      * own trigger.)
+    /** Fill the unset trigger cap with the latency profile. Only the
+      * untouched default (`None`) is filled: a caller who explicitly
+      * chose ANY cap — including `Some(256)`, which an Int field could
+      * not tell apart from the drain default — keeps it.
       */
     def liveProfile(cfg: RelayConfig): RelayConfig =
-      if (cfg.maxFilesPerTrigger == DrainMaxFilesPerTrigger)
-        cfg.copy(maxFilesPerTrigger = LiveMaxFilesPerTrigger)
+      if (cfg.maxFilesPerTrigger.isEmpty)
+        cfg.copy(maxFilesPerTrigger = Some(LiveMaxFilesPerTrigger))
       else cfg
 
     /** True iff `s` is a strictly positive interval — parsed with the

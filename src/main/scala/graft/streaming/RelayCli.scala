@@ -112,7 +112,7 @@ object RelayCli {
       subjectPrefix = kv.getOrElse("subject-prefix", base.subjectPrefix),
       singleSubject = kv.getOrElse("subject", base.singleSubject),
       dedupeWindow = kv.getOrElse("dedupe-window", base.dedupeWindow),
-      maxFilesPerTrigger = eventCountMax.getOrElse(base.maxFilesPerTrigger),
+      maxFilesPerTrigger = eventCountMax.orElse(base.maxFilesPerTrigger),
       idleIntervalMs = long("idle-interval-ms").getOrElse(base.idleIntervalMs),
       // fractional rates are meaningful (floor(rps x idleInterval))
       maxFilesPerSecond = dbl("requests-per-second-limit"),

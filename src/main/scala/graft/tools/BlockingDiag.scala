@@ -149,6 +149,9 @@ object BlockingDiag {
     val n = a.count()
     val stride = math.max(1L, n / targetAnchors)
     val x = a.filter(col("vec_id") % stride === 0).repartition(32)
+    // report the ACTUAL sampled relation size — ceil(n/stride) assumes
+    // dense vec_ids from 0, which sparse/offset id spaces violate
+    val nAnchors = x.count()
     val y = a.select(col("vec_id").as("vec_y"), col("embedding").as("emb_y"),
       col("nrm").as("nrm_y"), col("list_id").as("list_y"))
     val r = x.crossJoin(y)
@@ -160,7 +163,7 @@ object BlockingDiag {
       .agg(count(lit(1)).as("true_pairs"),
         sum(when(col("list_id") === col("list_y"), 1L).otherwise(0L))
           .as("same_cluster_pairs")).head()
-    Map("anchors" -> ((n + stride - 1) / stride),
+    Map("anchors" -> nAnchors,
       "true_pairs" -> r.getAs[Number](0).longValue(),
       "same_cluster_pairs" -> Option(r.get(1))
         .map(_.asInstanceOf[Number].longValue()).getOrElse(0L))
@@ -245,15 +248,21 @@ object BlockingDiag {
           // past ~30k vectors the full N² ground truth stops being a
           // quick local check — switch to the sampled-anchor estimate
           // (anchors×N dots) so decade recall is still a measurement
-          for (theta <- Seq(0.4, 0.9)) {
+          // 0.7 = the cliff-watch row: recall degrades smoothly from
+          // ~96% (θ=0.9) toward ~41% (θ=0.4); a future retuning of the
+          // dedup threshold must re-read this row before moving below
+          // the near-identical regime (see semanticAssigned's envelope
+          // note)
+          for (theta <- Seq(0.4, 0.7, 0.9)) {
             val r = semanticRecallSampled(spark, d, theta, 2000L)
             println(s"""{"dir":"$d","family":"vec_semantic_recall_sampled","theta":$theta,""" +
               s""""anchors":${r("anchors")},"true_pairs":${r("true_pairs")},"same_cluster_pairs":${r("same_cluster_pairs")}}""")
           }
         else
           // 0.4 = the operator's gate threshold (BandedSimThreshold
-          // note); 0.9 = the production near-identical pruning regime
-          for (theta <- Seq(0.4, 0.9)) {
+          // note); 0.7 = the cliff watch; 0.9 = the production
+          // near-identical pruning regime
+          for (theta <- Seq(0.4, 0.7, 0.9)) {
             val r = semanticRecall(spark, d, theta)
             println(s"""{"dir":"$d","family":"vec_semantic_recall","theta":$theta,""" +
               s""""true_pairs":${r("true_pairs")},"same_cluster_pairs":${r("same_cluster_pairs")}}""")

@@ -51,7 +51,7 @@ object RelayThroughput {
     // sweepable for the throughput-vs-trigger-granularity curve
     val mfpt = sys.env.getOrElse("SPARK_GRAFT_RELAY_MFPT", "32").toInt
     val cfg = graft.streaming.CdcRelay.RelayConfig(
-      in, s"$root/out", s"$root/chk", maxFilesPerTrigger = mfpt)
+      in, s"$root/out", s"$root/chk", maxFilesPerTrigger = Some(mfpt))
     val t0 = System.nanoTime()
     graft.streaming.CdcRelay.start(spark, cfg).awaitTermination()
     val secs = (System.nanoTime() - t0) / 1e9

@@ -18,6 +18,72 @@ class AnnStreamSpec extends AnyFunSuite {
     StructField("q_id", LongType),
     StructField("q_embedding", ArrayType(DoubleType))))
 
+  test("indexed serving: recall@10 vs the exact answer is pinned") {
+    // The cell-confined path (default nprobe=8 against the trained
+    // k=16-cell quantizer on this fixture) scores ~half the corpus per
+    // query; this pins its recall@10 against an INDEPENDENT in-memory
+    // exact top-10 (same left-associated dots, same HALF_UP rounding,
+    // same (sim DESC, vec_id) tiebreak), so a quantizer regression
+    // can't silently walk the serving quality off a cliff.
+    val root = Files.createTempDirectory("ann-idx").toString
+    val in = s"$root/in"; new java.io.File(in).mkdirs()
+    val qids = Seq(0L, 9L, 17L, 25L, 33L, 41L, 49L, 57L)
+    graft.Tables.embeddings(spark, sf)
+      .filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("q_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("q_embedding"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$in/_stage")
+    val part = new java.io.File(s"$in/_stage").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    Files.move(part.toPath, new java.io.File(s"$in/q.parquet").toPath)
+
+    val queries = spark.readStream.schema(querySchema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val q = graft.streaming.AnnStream.start(
+      spark, queries, sf, s"$root/out", s"$root/chk", k = 10)
+    try q.processAllAvailable() finally q.stop()
+
+    // independent exact leg
+    val corpus = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val nrm = corpus.map { case (id, e) => id -> math.sqrt(dot(e, e)) }.toMap
+    val byId = corpus.toMap
+    val exact = qids.map { qid =>
+      val qe = byId(qid); val qn = nrm(qid)
+      qid -> corpus.map { case (id, e) =>
+        (r6(dot(e, qe) / (nrm(id) * qn)), id)
+      }.sortBy { case (s, id) => (-s, id) }.take(10).map(_._2).toSet
+    }.toMap
+
+    val got = spark.read.parquet(s"$root/out")
+      .select("q_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = qids.map(qid => (exact(qid) & got(qid)).size / 10.0)
+    // Measured on this fixture: per-query 0.6-1.0, mean 0.81 at
+    // nprobe=8 over k=16 trained cells. The fixture corpus is
+    // near-UNIFORM random vectors — the WORST case for cell
+    // confinement (similarities are flat, the true top-10 scatters
+    // across cells; ~half the corpus is probed and recall tracks the
+    // probed fraction plus self-cell bias). Real serving corpora have
+    // the cluster structure the quantizer exploits — the θ≥0.9
+    // operating point measures 96% (SCALING.md §semantic recall). The
+    // floors pin this worst case so a quantizer regression still
+    // trips them.
+    assert(recalls.forall(_ >= 0.5),
+      s"per-query recall@10: ${qids.zip(recalls).mkString(", ")}")
+    assert(recalls.sum / recalls.size >= 0.7,
+      s"mean recall@10 ${recalls.sum / recalls.size}")
+    // the query itself always survives confinement (its own cell)
+    got.foreach { case (qid, ids) => assert(ids.contains(qid), s"q$qid") }
+  }
+
   test("streamed queries get the batch top-k answers per micro-batch") {
     val root = Files.createTempDirectory("ann-stream").toString
     val in = s"$root/in"; new java.io.File(in).mkdirs()

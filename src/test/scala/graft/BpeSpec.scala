@@ -99,6 +99,59 @@ class BpeSpec extends AnyFunSuite {
     assert(leaked.isEmpty, s"train leaked persisted RDDs: $leaked")
   }
 
+  test("PUA preconditions are enforced loudly") {
+    // k past the BMP private-use area is rejected before any work
+    val ok = spark.createDataFrame(Seq(("ab", 1L))).toDF("word", "freq")
+    val e1 = intercept[IllegalArgumentException] { Bpe.train(spark, ok, 6401) }
+    assert(e1.getMessage.contains("6400"))
+    // corpus text already containing a PUA char collides with markers —
+    // rejected after one vocabulary-bounded scan, not silently merged
+    val pua = spark.createDataFrame(
+      Seq(("ab", 2L), ("c" + 0xE005.toChar + "d", 1L))).toDF("word", "freq")
+    val e2 = intercept[IllegalArgumentException] { Bpe.train(spark, pua, 2) }
+    assert(e2.getMessage.contains("private-use"))
+  }
+
+  test("bpeEncode emits the in-memory per-doc token count and head ids") {
+    // independent leg: train raw merges in memory (same loop as the
+    // apply test), encode each doc by per-word chained replace, map
+    // symbols to ids (code point; marker U+E000+j -> 256+j)
+    val words = wordsDf.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    var vocab = words
+    var raw = Vector.empty[String]
+    for (r <- 0 until 8) {
+      val counts = scala.collection.mutable.Map[String, Long]()
+      for ((w, f) <- vocab if w.length >= 2; i <- 0 until w.length - 1) {
+        val p = w.substring(i, i + 2)
+        counts(p) = counts.getOrElse(p, 0L) + f
+      }
+      val (mp, _) = counts.toSeq.minBy { case (p, n) => (-n, p) }
+      vocab = vocab.map { case (w, f) =>
+        w.replace(mp, (0xE000 + r).toChar.toString) -> f
+      }
+      raw = raw :+ mp
+    }
+    def encodeWord(w0: String): String =
+      raw.zipWithIndex.foldLeft(w0) { case (w, (mp, r)) =>
+        w.replace(mp, (0xE000 + r).toChar.toString)
+      }
+    def idOf(c: Char): Int =
+      if (c >= 0xE000) c.toInt - 0xE000 + 256 else c.toInt
+    val expected = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        val syms = r.getString(1).split(" ").filter(_.nonEmpty)
+          .map(encodeWord).mkString("")
+        (r.getLong(0), syms.length.toLong,
+          syms.take(16).map(c => idOf(c).toString).mkString(","))
+      }.sortBy(_._1).toSeq
+    val got = graft.operators.TextQueries.bpeEncode(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got == expected,
+      s"first diff: ${got.zip(expected).find(p => p._1 != p._2)}")
+  }
+
   test("bpeApply matches an in-memory application of the trained merges") {
     // train in memory, keeping RAW (marker-bearing) pairs — apply
     // needs them in rank order, not the decoded surface forms

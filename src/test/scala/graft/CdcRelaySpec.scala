@@ -72,7 +72,7 @@ class CdcRelaySpec extends AnyFunSuite {
   test("maxFilesPerTrigger paces the relay into multiple micro-batches") {
     val root = Files.createTempDirectory("relay3").toString
     val in = s"$root/in"; new java.io.File(in).mkdirs()
-    val cfg = RelayConfig(in, s"$root/out", s"$root/chk", maxFilesPerTrigger = 1)
+    val cfg = RelayConfig(in, s"$root/out", s"$root/chk", maxFilesPerTrigger = Some(1))
     val base = 1700000000000000L
     (0 until 3).foreach { i =>
       writeEvents(in, s"b$i.parquet",
@@ -84,6 +84,34 @@ class CdcRelaySpec extends AnyFunSuite {
     val commits = new java.io.File(s"$root/chk/commits").listFiles()
       .count(f => f.getName.forall(_.isDigit))
     assert(commits >= 3, s"expected >=3 epochs, got $commits")
+  }
+
+  test("live profile bounds per-epoch admission to the latency cap") {
+    // the latency story's structural half (the measured half lives in
+    // RelayLatencyProbe / SCALING.md §Relay latency): a live relay left
+    // at the unset default must admit at most LiveMaxFilesPerTrigger
+    // files per micro-batch, so one slow epoch can never grow into a
+    // drain-sized (256-file) batch that holds later events hostage
+    val root = Files.createTempDirectory("relay-live").toString
+    val in = s"$root/in"; new java.io.File(in).mkdirs()
+    val cfg = RelayConfig(in, s"$root/out", s"$root/chk",
+      idleIntervalMs = 50L) // fast pacing: the test bounds FILES, not time
+    val base = 1700000000000000L
+    (0 until 20).foreach { i =>
+      writeEvents(in, f"b$i%02d.parquet",
+        Seq((i.toLong, base + i * 1000000L, 1L, "view")))
+    }
+    graft.Stage.orderStagedFiles(in) // admission order = event-time order
+    val q = CdcRelay.startContinuous(spark, cfg)
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.read.parquet(cfg.outputDir).count() == 20)
+    val batches = q.recentProgress.toSeq.filter(_.numInputRows > 0)
+    // one event per file ⇒ numInputRows counts admitted files
+    assert(batches.nonEmpty &&
+      batches.forall(_.numInputRows <= RelayConfig.LiveMaxFilesPerTrigger),
+      s"per-batch admissions: ${batches.map(_.numInputRows).mkString(",")}")
+    assert(batches.size >=
+      math.ceil(20.0 / RelayConfig.LiveMaxFilesPerTrigger).toInt)
   }
 
   test("crash between sink write and commit: replay + msg-id dedup = exactly once") {
@@ -189,7 +217,7 @@ class CdcRelaySpec extends AnyFunSuite {
     // fail the not-created assertion spuriously
     val never = s"${Files.createTempDirectory("relay-bad")}/never"
     val bad = RelayConfig("", s"$never/out", s"$never/chk",
-      subjectMode = "fast", maxFilesPerTrigger = 0)
+      subjectMode = "fast", maxFilesPerTrigger = Some(0))
     val e = intercept[IllegalArgumentException](CdcRelay.start(spark, bad))
     Seq("inputDir", "subjectMode", "maxFilesPerTrigger").foreach { f =>
       assert(e.getMessage.contains(f), e.getMessage)
@@ -205,7 +233,7 @@ class CdcRelaySpec extends AnyFunSuite {
     val root = Files.createTempDirectory("relay8").toString
     val in = s"$root/in"; new java.io.File(in).mkdirs()
     val cfg = RelayConfig(in, s"$root/out", s"$root/chk",
-      maxFilesPerTrigger = 16, idleIntervalMs = 1000,
+      maxFilesPerTrigger = Some(16), idleIntervalMs = 1000,
       maxFilesPerSecond = Some(1.0))
     assert(cfg.effectiveMaxFilesPerTrigger == 1)
     val base = 1700000000000000L

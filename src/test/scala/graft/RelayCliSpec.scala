@@ -29,7 +29,7 @@ class RelayCliSpec extends AnyFunSuite {
     val c = p.config
     assert(c.clusterId == "42" && c.subjectMode == "single")
     assert(c.singleSubject == "tb.custom" && c.dedupeWindow == "5 minutes")
-    assert(c.maxFilesPerTrigger == 7 && c.idleIntervalMs == 250)
+    assert(c.maxFilesPerTrigger.contains(7) && c.idleIntervalMs == 250)
     assert(c.maxFilesPerSecond.contains(40.0))
     assert(c.timestampLast.contains(1700000001500000000L))
     assert(c.singleWriterLease && p.drain)
@@ -43,10 +43,12 @@ class RelayCliSpec extends AnyFunSuite {
     assert(!base("--provision=false").config.provision)
     assert(base("--provision=true").config.provision)
     assert(base().config.provision) // default stays true
-    // the default batch cap is the TUNED drain setting (SCALING.md
-    // §Relay measured curve), not an arbitrary small trigger — the
-    // committed bench artifact runs this default
-    assert(base().config.maxFilesPerTrigger == 256)
+    // the cap default is UNSET (profile-appropriate): batch `start`
+    // resolves it to the TUNED drain setting (SCALING.md §Relay
+    // measured curve), which the committed bench artifact runs
+    assert(base().config.maxFilesPerTrigger.isEmpty)
+    assert(base().config.effectiveMaxFilesPerTrigger ==
+      graft.streaming.CdcRelay.RelayConfig.DrainMaxFilesPerTrigger)
     assert(base("--single-writer-lease=true").config.singleWriterLease)
     assert(base("--drain=true").drain && !base().drain)
     val bad = intercept[IllegalArgumentException] { base("--drain=maybe") }

@@ -23,7 +23,9 @@ class RelayConfigSpec extends AnyFunSuite {
     assert(CdcFunctions.subjectForScala(cfg.subjectMode, cfg.subjectPrefix,
       cfg.singleSubject, 7L, "single_phase") == "tigerbeetle.cdc.7.single_phase")
     // no rate ceiling -> the configured batch cap stands
-    assert(cfg.effectiveMaxFilesPerTrigger == cfg.maxFilesPerTrigger)
+    // unset default resolves to the drain profile
+    assert(cfg.maxFilesPerTrigger.isEmpty &&
+      cfg.effectiveMaxFilesPerTrigger == RelayConfig.DrainMaxFilesPerTrigger)
   }
 
   test("explicit single mode routes every event to the constant subject") {
@@ -69,7 +71,7 @@ class RelayConfigSpec extends AnyFunSuite {
     // validator, runner.go:338-386)
     val bad = RelayConfig("", "", "/chk",
       subjectMode = "warp", dedupeWindow = "soon",
-      maxFilesPerTrigger = 0, idleIntervalMs = 0,
+      maxFilesPerTrigger = Some(0), idleIntervalMs = 0,
       maxFilesPerSecond = Some(0.0))
     val errs = bad.validate
     assert(errs.size >= 6, errs.mkString("; "))
@@ -96,15 +98,15 @@ class RelayConfigSpec extends AnyFunSuite {
 
   test("rate ceiling shrinks the per-trigger cap, flooring at one file") {
     // 2.5 files/sec at a 1s trigger -> 2 files per trigger
-    val capped = base.copy(maxFilesPerTrigger = 16,
+    val capped = base.copy(maxFilesPerTrigger = Some(16),
       idleIntervalMs = 1000, maxFilesPerSecond = Some(2.5))
     assert(capped.effectiveMaxFilesPerTrigger == 2)
     // a cap larger than the configured batch max never raises it
-    val loose = base.copy(maxFilesPerTrigger = 4,
+    val loose = base.copy(maxFilesPerTrigger = Some(4),
       idleIntervalMs = 1000, maxFilesPerSecond = Some(100.0))
     assert(loose.effectiveMaxFilesPerTrigger == 4)
     // sub-one-file intervals floor at 1 (shorten the interval instead)
-    val tight = base.copy(maxFilesPerTrigger = 16,
+    val tight = base.copy(maxFilesPerTrigger = Some(16),
       idleIntervalMs = 200, maxFilesPerSecond = Some(1.0))
     assert(tight.effectiveMaxFilesPerTrigger == 1)
   }
@@ -113,11 +115,15 @@ class RelayConfigSpec extends AnyFunSuite {
     // a live relay left at the drain-tuned default (256 files ≈ 1M
     // events/trigger) gets the reference's latency-oriented batching
     // analog (config.go:40 event-count-max = 4096 events)
-    assert(RelayConfig.liveProfile(base).maxFilesPerTrigger ==
-      RelayConfig.LiveMaxFilesPerTrigger)
-    // an explicit non-default cap is the operator's choice — kept
-    val explicit = base.copy(maxFilesPerTrigger = 64)
-    assert(RelayConfig.liveProfile(explicit).maxFilesPerTrigger == 64)
+    assert(RelayConfig.liveProfile(base).maxFilesPerTrigger
+      .contains(RelayConfig.LiveMaxFilesPerTrigger))
+    // an explicit cap is the operator's choice — kept
+    val explicit = base.copy(maxFilesPerTrigger = Some(64))
+    assert(RelayConfig.liveProfile(explicit).maxFilesPerTrigger.contains(64))
+    // the Int-era footgun: an explicit 256 used to be indistinguishable
+    // from the unset drain default and silently became 8 — now kept
+    val explicit256 = base.copy(maxFilesPerTrigger = Some(256))
+    assert(RelayConfig.liveProfile(explicit256).maxFilesPerTrigger.contains(256))
     // nothing else about the config changes
     assert(RelayConfig.liveProfile(base).copy(
       maxFilesPerTrigger = base.maxFilesPerTrigger) == base)

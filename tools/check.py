@@ -3,7 +3,7 @@
 outputs against the DuckDB oracle SQL and diff. Usage:
   python3 tools/check.py <sfDir> <outDir> [query ...]
 (Verify must have been run first to populate outDir.)"""
-import json, sys, math
+import json, os, sys, math
 import duckdb
 
 sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
@@ -14,6 +14,15 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 con = duckdb.connect()
+# Stress knobs (mirror the driver's memory-pressured checker): cap the
+# allocator / thread fan-out, e.g. DUCKDB_MEMORY_LIMIT=2GB DUCKDB_THREADS=4.
+# The r12 gate lost vec_ivf_ann / vec_semantic_dedup to allocator OOMs that
+# only reproduce under pressure — run heavy-oracle edits under a cap before
+# calling them done.
+if os.environ.get("DUCKDB_MEMORY_LIMIT"):
+    con.sql(f"SET memory_limit='{os.environ['DUCKDB_MEMORY_LIMIT']}'")
+if os.environ.get("DUCKDB_THREADS"):
+    con.sql(f"SET threads={int(os.environ['DUCKDB_THREADS'])}")
 for t in TABLES:
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
 
