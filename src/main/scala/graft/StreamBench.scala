@@ -77,11 +77,24 @@ object StreamBench {
       * rows_per_sec is comparable across foreachBatch and state-store
       * streams.
       */
-    def measure(name: String, rows: => Long)(build: () => StreamingQuery)(
+    // excludeBuild: for streams whose start() performs a ONE-TIME index
+    // build (ann_serve trains the coarse quantizer and materializes the
+    // assigned corpus before batch 1), the build is deploy-time cost,
+    // not serving cost — charging it to rows/sec would make the rate a
+    // function of how few queries the bench happens to stream. The
+    // build time is printed separately instead of silently dropped.
+    def measure(name: String, rows: => Long, excludeBuild: Boolean = false)(
+        build: () => StreamingQuery)(
         stateRows: StreamingQuery => Long): Unit =
       if (wanted(name)) try {
-        val t0 = System.nanoTime()
+        val tBuild = System.nanoTime()
         val q = build()
+        val t0 = if (excludeBuild) {
+          System.err.println(String.format(java.util.Locale.ROOT,
+            "[bench] %s index build %.1f s (excluded from rate)",
+            name, ((System.nanoTime() - tBuild) / 1e9).asInstanceOf[AnyRef]))
+          System.nanoTime()
+        } else tBuild
         val (secs, st) =
           try {
             q.processAllAvailable()
@@ -181,9 +194,22 @@ object StreamBench {
         s"$root/media_out", s"$root/media_chk")
     }(storeStateRows) // stateless map stream: no store, sink = product
 
-    // ANN serving: a small query stream against the full corpus index —
-    // rows/sec here is QUERIES served per second, not ingest throughput
-    lazy val qs = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 64)
+    // ANN serving: a query stream against the full corpus index —
+    // rows/sec here is QUERIES served per second, not ingest
+    // throughput. The default 64-query load keeps the committed
+    // artifact comparable across rounds; at that load BOTH serving
+    // paths are per-micro-batch-overhead-bound (~1 s scheduling +
+    // sink + commit per batch), so the cell-confined index's compute
+    // advantage only becomes visible at production batch sizes —
+    // SPARK_GRAFT_ANN_QUERIES raises the load and
+    // SPARK_GRAFT_ANN_NPROBE=0 selects the brute path for the A/B
+    // (SCALING.md §ANN serving crossover).
+    lazy val annQueries = sys.env.get("SPARK_GRAFT_ANN_QUERIES")
+      .map(_.toInt).getOrElse(64)
+    lazy val annNprobe = sys.env.get("SPARK_GRAFT_ANN_NPROBE")
+      .map(_.toInt).getOrElse(AnnStream.DefaultNprobe)
+    lazy val qs = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") < annQueries)
       .select(col("vec_id").as("q_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))")
           .as("q_embedding"))
@@ -193,11 +219,11 @@ object StreamBench {
       spark.read.parquet(s"$root/queries").schema
     }
 
-    measure("ann_serve", nQ) { () =>
+    measure("ann_serve", nQ, excludeBuild = true) { () =>
       AnnStream.start(spark,
         spark.readStream.schema(qSchema)
           .option("maxFilesPerTrigger", 1).parquet(s"$root/queries"),
-        sfDir, s"$root/ann_out", s"$root/ann_chk")
+        sfDir, s"$root/ann_out", s"$root/ann_chk", nprobe = annNprobe)
     }(_ => spark.read.parquet(s"$root/ann_out").count())
 
     Stage.deleteRecursively(new java.io.File(root))

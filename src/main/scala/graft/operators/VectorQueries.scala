@@ -573,6 +573,16 @@ object VectorQueries {
     * Exposed so the serving tier ([[graft.streaming.AnnStream]]) can
     * probe a query's nearest cells against the same trained quantizer
     * the batch dedup/mining operators use, instead of re-deriving it.
+    *
+    * OPERATING ENVELOPE (cell-confinement recall, measured at the 200k
+    * decade via sampled anchors — SCALING.md §Semantic recall):
+    * same-cluster recall of true ≥θ-cosine pairs is **96% at θ=0.9**
+    * (the near-identical dedup regime this quantizer serves), **85% at
+    * θ=0.7** (the cliff-watch row), and falls to **41% at θ=0.4** —
+    * fine for near-duplicate pruning, WRONG for loose similarity
+    * joins. Anyone retuning [[SemanticDupThreshold]] (or reusing the
+    * cells for a looser join) below ~0.7 must re-read those rows
+    * first; the banded LSH family is the loose-θ scale path.
     */
   private[graft] def semanticModel(s: SparkSession, d: String)
       : (Seq[(Long, Array[Double])], DataFrame) = {

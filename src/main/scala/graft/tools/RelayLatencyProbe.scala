@@ -73,6 +73,19 @@ object RelayLatencyProbe {
     def num(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.1f", v)
 
+    // Uncounted warm relay: absorb stream-engine + codegen + sink
+    // startup once, so the first measured profile isn't charged for it
+    // (first probe version ran live first and "measured" drain 20%
+    // faster purely from run order).
+    locally {
+      val in = s"$root/warm/in"; new java.io.File(in).mkdirs()
+      staged.take(3).foreach { f =>
+        Files.copy(f.toPath, Paths.get(in, f.getName)): Unit
+      }
+      CdcRelay.start(spark, RelayConfig(in, s"$root/warm/out",
+        s"$root/warm/chk")).awaitTermination()
+    }
+
     for (profile <- Seq("live", "drain")) {
       val in = s"$root/$profile/in"; new java.io.File(in).mkdirs()
       val base = RelayConfig(in, s"$root/$profile/out",
