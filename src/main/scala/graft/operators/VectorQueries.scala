@@ -2065,7 +2065,91 @@ object VectorQueries {
        |ORDER BY a.label""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // Charter: embedding covariance audit — the anisotropy/whitening
+  // measurement a vector pipeline runs before committing an index or a
+  // PCA/whitening transform (anisotropic embeddings degrade cosine
+  // retrieval; the covariance's diagonal spread and off-diagonal mass
+  // are the go/no-go numbers, and its eigen-spectrum is the whitening
+  // transform itself — derivable driver-side from this exact output).
+  //
+  // Shape: ONE corpus pass. Each row contributes its micro-unit
+  // (×1e6, exact BIGINT) component vector and the flattened upper
+  // triangle of its outer product (64·65/2 = 2080 longs); both fold
+  // through the mergeable array_sum_agg, so the aggregate is map-side
+  // combined and order-independent at any parallelism, and exactly ONE
+  // bounded row (2080+64 longs — the KMeans collect contract) reaches
+  // the driver, which derives each covariance cell with the same IEEE
+  // expression the oracle evaluates. The in-lambda products are
+  // interpreted (higher-order fn), acceptable for a once-per-rebuild
+  // audit — the pass is still single-scan with no shuffle beyond the
+  // 1-row aggregate. Exactness bound: micro² products sum in BIGINT
+  // safely to ~5×10⁵ rows at |x|≤4 (ANSI mode throws loudly past it);
+  // the 100 TB form swaps the pair sums to DECIMAL(38,0) partials in
+  // the same one-pass shape.
+  // -------------------------------------------------------------------
+  def covariance(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d).withColumn("v", expr(
+      "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT))"))
+    // element_at (1-based), not v[i] (Spark subscripts are 0-based)
+    val tri = expr(
+      s"flatten(transform(sequence(1, $Dim), i -> " +
+        s"transform(sequence(i, $Dim), j -> element_at(v, i) * element_at(v, j))))")
+    val row = e.select(col("v"), tri.as("xx"))
+      .agg(count(lit(1)).as("n"),
+        call_function("array_sum_agg", col("v")).as("sx"),
+        call_function("array_sum_agg", col("xx")).as("sxx"))
+      .collect()(0)
+    val n = row.getLong(0)
+    val sx = row.getSeq[Long](1)
+    val sxx = row.getSeq[Long](2)
+    val nD = n.toDouble
+    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val out = Seq.newBuilder[(Int, Int, Long, Long, Double)]
+    var p = 0
+    var i = 1
+    while (i <= Dim) {
+      var j = i
+      while (j <= Dim) {
+        val sxy = sxx(p)
+        // identical op order to the oracle's expression
+        val cov = (sxy.toDouble / 1e12 -
+          (sx(i - 1).toDouble / 1e6) * (sx(j - 1).toDouble / 1e6) / nD) / nD
+        out += ((i, j, n, sxy, r6(cov)))
+        p += 1; j += 1
+      }
+      i += 1
+    }
+    s.createDataFrame(out.result())
+      .toDF("i", "j", "n_vectors", "sxy_micro2", "cov")
+      .orderBy("i", "j")
+  }
+
+  val covarianceSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |x AS (
+       |  SELECT vec_id, CAST(i AS INT) AS i, v[i] AS xi
+       |  FROM e, unnest(range(1, ${Dim + 1})) AS t(i)),
+       |p AS (
+       |  SELECT a.i AS i, b.i AS j, CAST(sum(a.xi * b.xi) AS BIGINT) AS sxy
+       |  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+       |  GROUP BY 1, 2),
+       |s AS (SELECT i, CAST(sum(xi) AS BIGINT) AS sx FROM x GROUP BY i),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings)
+       |SELECT p.i AS i, p.j AS j, n.n AS n_vectors, p.sxy AS sxy_micro2,
+       |  round((CAST(p.sxy AS DOUBLE) / 1e12 -
+       |    (CAST(sa.sx AS DOUBLE) / 1e6) * (CAST(sb.sx AS DOUBLE) / 1e6)
+       |      / CAST(n.n AS DOUBLE)) / CAST(n.n AS DOUBLE), 6) AS cov
+       |FROM p JOIN s sa ON sa.i = p.i JOIN s sb ON sb.i = p.j, n
+       |ORDER BY i, j""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vec_covariance" -> (covariance _),
     "vec_centroid_drift" -> (centroidDrift _),
     "vec_random_projection" -> (randomProjection _),
     "vec_mips" -> (mips _),
@@ -2097,6 +2181,7 @@ object VectorQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "vec_covariance" -> covarianceSql,
     "vec_centroid_drift" -> centroidDriftSql,
     "vec_random_projection" -> randomProjectionSql,
     "vec_mips" -> mipsSql,

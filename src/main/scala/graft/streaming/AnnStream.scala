@@ -52,6 +52,48 @@ object AnnStream {
     */
   val DefaultNprobe: Int = 8
 
+  /** The per-batch answer plan, factored out of foreachBatch so its
+    * shape is statically assertable (PlanQualitySpec-style): `corpus`
+    * is (vec_id, label, e, nrm, list_id), `centsDf` the trained
+    * (cid, c_emb) table (ignored when nprobe = 0), `batch` the
+    * (q_id, q_embedding) query micro-batch. Every join broadcasts the
+    * tiny side (probes / queries); the corpus side never shuffles —
+    * the only exchange is the per-query top-k rank over candidate
+    * rows (≤ nprobe · cell-size per query).
+    */
+  private[graft] def answer(corpus: DataFrame, centsDf: DataFrame,
+      batch: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val indexed = nprobe > 0
+    val q = batch.select(col("q_id"),
+      col("q_embedding").as("qe"),
+      sqrt(call_function("array_dot", col("q_embedding"),
+        col("q_embedding"))).as("q_nrm"))
+    val cand =
+      if (indexed) {
+        // rank the cells per query (q × k tiny cross), keep nprobe,
+        // then confine the scan to those cells' members
+        val wp = org.apache.spark.sql.expressions.Window
+          .partitionBy("q_id").orderBy(col("pd").desc, col("cid"))
+        val probes = q.crossJoin(broadcast(centsDf))
+          .withColumn("pd",
+            round(call_function("array_dot", col("qe"), col("c_emb")), 6))
+          .withColumn("pr", row_number().over(wp))
+          .filter(col("pr") <= nprobe)
+          .select(col("q_id"), col("qe"), col("q_nrm"),
+            col("cid").as("probe_list"))
+        corpus.join(broadcast(probes),
+          col("list_id") === col("probe_list"))
+      } else corpus.crossJoin(broadcast(q))
+    val scored = cand
+      .select(col("q_id"), col("vec_id"), col("label"),
+        round(call_function("array_dot", col("e"), col("qe")) /
+          (col("nrm") * col("q_nrm")), 6).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
   /** Start the retrieval stream: `queries` is a streaming frame with
     * (q_id LONG, q_embedding ARRAY<DOUBLE>); the corpus is read from
     * `sfDir` once. Top-`k` per query by rounded cosine with vec_id
@@ -99,34 +141,7 @@ object AnnStream {
     val query = try queries.writeStream
       .option("checkpointLocation", chkDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val q = batch.select(col("q_id"),
-          col("q_embedding").as("qe"),
-          sqrt(call_function("array_dot", col("q_embedding"),
-            col("q_embedding"))).as("q_nrm"))
-        val cand =
-          if (indexed) {
-            // rank the cells per query (q × k tiny cross), keep nprobe,
-            // then confine the scan to those cells' members
-            val wp = org.apache.spark.sql.expressions.Window
-              .partitionBy("q_id").orderBy(col("pd").desc, col("cid"))
-            val probes = q.crossJoin(broadcast(centsDf))
-              .withColumn("pd",
-                round(call_function("array_dot", col("qe"), col("c_emb")), 6))
-              .withColumn("pr", row_number().over(wp))
-              .filter(col("pr") <= nprobe)
-              .select(col("q_id"), col("qe"), col("q_nrm"),
-                col("cid").as("probe_list"))
-            corpus.join(broadcast(probes),
-              col("list_id") === col("probe_list"))
-          } else corpus.crossJoin(broadcast(q))
-        val scored = cand
-          .select(col("q_id"), col("vec_id"), col("label"),
-            round(call_function("array_dot", col("e"), col("qe")) /
-              (col("nrm") * col("q_nrm")), 6).as("sim"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
-        scored.withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= k)
+        answer(corpus, centsDf, batch, k, nprobe)
           .withColumn("batch_id", lit(batchId))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")

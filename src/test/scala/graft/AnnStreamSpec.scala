@@ -84,6 +84,32 @@ class AnnStreamSpec extends AnyFunSuite {
     got.foreach { case (qid, ids) => assert(ids.contains(qid), s"q$qid") }
   }
 
+  test("indexed per-batch plan: broadcast joins only, corpus never shuffles") {
+    // the serving plan at 100 TB: the corpus side of both joins must be
+    // probed by a BROADCAST of the tiny side (centroids / probes) — a
+    // SortMergeJoin or CartesianProduct here would shuffle the corpus
+    // every micro-batch
+    val (cents, a) =
+      graft.operators.VectorQueries.semanticModel(spark, sf)
+    val corpus = a
+      .join(graft.Tables.embeddings(spark, sf).select("vec_id", "label"),
+        Seq("vec_id"))
+      .withColumn("e", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .select(col("vec_id"), col("label"), col("e"), col("nrm"), col("list_id"))
+    val centsDf = spark.createDataFrame(
+      cents.map { case (cid, c) => (cid, c.toSeq) }).toDF("cid", "c_emb")
+    val batch = graft.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < 4)
+      .select(col("vec_id").as("q_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("q_embedding"))
+    val plan = graft.streaming.AnnStream
+      .answer(corpus, centsDf, batch, 10, 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("streamed queries get the batch top-k answers per micro-batch") {
     val root = Files.createTempDirectory("ann-stream").toString
     val in = s"$root/in"; new java.io.File(in).mkdirs()

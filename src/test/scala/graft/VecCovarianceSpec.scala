@@ -1,0 +1,91 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Pins vec_covariance against an independent in-memory covariance
+  * over the same micro-unit quantization, and asserts the spectral
+  * invariants a whitening consumer relies on: the matrix is PSD (all
+  * Jacobi eigenvalues ≥ −ε) and its trace equals the summed per-dim
+  * variance.
+  */
+class VecCovarianceSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+  private val Dim = 64
+
+  private def fullMatrix(): (Long, Array[Array[Double]]) = {
+    val rows = graft.operators.VectorQueries.covariance(spark, sf).collect()
+    val m = Array.ofDim[Double](Dim, Dim)
+    var n = 0L
+    rows.foreach { r =>
+      val (i, j) = (r.getInt(0) - 1, r.getInt(1) - 1)
+      val c = r.getDouble(4)
+      m(i)(j) = c; m(j)(i) = c
+      n = r.getLong(2)
+    }
+    (n, m)
+  }
+
+  test("matches an independent in-memory covariance on the fixture") {
+    val vs = graft.Tables.embeddings(spark, sf)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray
+        .map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong))
+    val n = vs.length.toLong
+    val sx = Array.fill(Dim)(0L)
+    val sxy = Array.ofDim[Long](Dim, Dim)
+    vs.foreach { v =>
+      var i = 0
+      while (i < Dim) {
+        sx(i) += v(i)
+        var j = i
+        while (j < Dim) { sxy(i)(j) += v(i) * v(j); j += 1 }
+        i += 1
+      }
+    }
+    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val got = graft.operators.VectorQueries.covariance(spark, sf).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), (r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    assert(got.size == Dim * (Dim + 1) / 2)
+    for (i <- 1 to Dim; j <- i to Dim) {
+      val exp = r6((sxy(i - 1)(j - 1).toDouble / 1e12 -
+        (sx(i - 1).toDouble / 1e6) * (sx(j - 1).toDouble / 1e6) / n.toDouble)
+        / n.toDouble)
+      val (gn, gsxy, gcov) = got((i, j))
+      assert(gn == n && gsxy == sxy(i - 1)(j - 1) && gcov == exp,
+        s"cell ($i,$j): got ($gn,$gsxy,$gcov) expected ($n,${sxy(i - 1)(j - 1)},$exp)")
+    }
+  }
+
+  test("the covariance matrix is PSD and trace equals summed variance") {
+    val (_, m0) = fullMatrix()
+    val trace = (0 until Dim).map(i => m0(i)(i)).sum
+    // cyclic Jacobi on a copy — plenty for a 64×64 symmetric matrix
+    val m = m0.map(_.clone())
+    for (_ <- 0 until 12; p <- 0 until Dim; q <- p + 1 until Dim
+         if math.abs(m(p)(q)) > 1e-12) {
+      val theta = 0.5 * math.atan2(2 * m(p)(q), m(q)(q) - m(p)(p))
+      val (c, s) = (math.cos(theta), math.sin(theta))
+      for (k <- 0 until Dim) {
+        val (a, b) = (m(p)(k), m(q)(k))
+        m(p)(k) = c * a - s * b; m(q)(k) = s * a + c * b
+      }
+      for (k <- 0 until Dim) {
+        val (a, b) = (m(k)(p), m(k)(q))
+        m(k)(p) = c * a - s * b; m(k)(q) = s * a + c * b
+      }
+    }
+    val eigs = (0 until Dim).map(i => m(i)(i))
+    // PSD up to the 1e-6 rounding of the published cells
+    assert(eigs.forall(_ >= -1e-4), s"negative eigenvalue: ${eigs.min}")
+    assert(math.abs(eigs.sum - trace) < 1e-6 * math.max(1.0, math.abs(trace)),
+      s"trace ${trace} != eigenvalue sum ${eigs.sum}")
+    // the spectrum is non-degenerate on the fixture (a whitening
+    // transform exists): top eigenvalue strictly positive
+    assert(eigs.max > 0)
+  }
+}
