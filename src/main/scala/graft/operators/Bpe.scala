@@ -135,6 +135,11 @@ object Bpe {
       }
     }
     vocabRdd.unpersist(blocking = false)
-    merges.map(m => m.copy(decoded = decode(m.pair, merges)))
+    // merge m's raw pair can only contain markers of STRICTLY lower
+    // ranks, so decoding against the prefix merges.take(rank-1) makes
+    // that invariant structural instead of a comment (passing the full
+    // list is equivalent — the extra entries' markers never occur —
+    // but reads as if it weren't)
+    merges.map(m => m.copy(decoded = decode(m.pair, merges.take(m.rank - 1))))
   }
 }
