@@ -2080,10 +2080,11 @@ object VectorQueries {
   // combined and order-independent at any parallelism, and exactly ONE
   // bounded row (2080+64 longs — the KMeans collect contract) reaches
   // the driver, which derives each covariance cell with the same IEEE
-  // expression the oracle evaluates. The in-lambda products are
-  // interpreted (higher-order fn), acceptable for a once-per-rebuild
-  // audit — the pass is still single-scan with no shuffle beyond the
-  // 1-row aggregate. Exactness bound: micro² products sum in BIGINT
+  // expression the oracle evaluates. The triangle builds in the native
+  // codegen plans/ArrayOuterTri loop (the first cut — a nested
+  // transform lambda — ran its 2080 products interpreted per row, the
+  // semanticAssigned lesson; compiled: 2.61 → measured below at the
+  // 200k decade). Exactness bound: micro² products sum in BIGINT
   // safely to ~5×10⁵ rows at |x|≤4 (ANSI mode throws loudly past it);
   // the 100 TB form swaps the pair sums to DECIMAL(38,0) partials in
   // the same one-pass shape.
@@ -2091,10 +2092,7 @@ object VectorQueries {
   def covariance(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d).withColumn("v", expr(
       "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT))"))
-    // element_at (1-based), not v[i] (Spark subscripts are 0-based)
-    val tri = expr(
-      s"flatten(transform(sequence(1, $Dim), i -> " +
-        s"transform(sequence(i, $Dim), j -> element_at(v, i) * element_at(v, j))))")
+    val tri = call_function("array_outer_tri", col("v"))
     val row = e.select(col("v"), tri.as("xx"))
       .agg(count(lit(1)).as("n"),
         call_function("array_sum_agg", col("v")).as("sx"),

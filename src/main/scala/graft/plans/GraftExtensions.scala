@@ -56,6 +56,9 @@ object GraftExtensions {
     ("array_dot",
       new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
       two("array_dot", ArrayDot)),
+    ("array_outer_tri",
+      new ExpressionInfo(classOf[ArrayOuterTri].getName, "array_outer_tri"),
+      one("array_outer_tri", ArrayOuterTri)),
     ("portable_u64_json",
       new ExpressionInfo(classOf[PortableU64Json].getName, "portable_u64_json"),
       one("portable_u64_json", PortableU64Json)),

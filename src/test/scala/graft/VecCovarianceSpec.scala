@@ -61,6 +61,38 @@ class VecCovarianceSpec extends AnyFunSuite {
     }
   }
 
+  test("array_outer_tri: codegen == interpreted == plain Scala; loud edges") {
+    graft.plans.GraftExtensions.register(spark)
+    val in = Array(2L, -3L, 5L)
+    val expected = (for (i <- in.indices; j <- i until in.length)
+      yield in(i) * in(j)).toSeq
+    // codegen'd path (whole-stage projection)
+    val got = spark.range(1)
+      .select(call_function("array_outer_tri",
+        expr("array(2L, -3L, 5L)")).as("t"))
+      .collect()(0).getSeq[Long](0).toSeq
+    assert(got == expected)
+    // interpreted path (Expression.eval)
+    val e = graft.plans.ArrayOuterTri(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(in),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType)))
+    val interp = e.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray().toSeq
+    assert(interp == expected)
+    // micro-unit overflow is LOUD, not a silently wrong covariance
+    intercept[Exception] {
+      spark.range(1).select(call_function("array_outer_tri",
+        expr("array(4000000000000L, 4000000000000L)"))).collect()
+    }
+    // null element propagates to a null result
+    val n = spark.range(1).select(call_function("array_outer_tri",
+      expr("array(1L, CAST(NULL AS BIGINT))"))).collect()(0)
+    assert(n.isNullAt(0))
+  }
+
   test("the covariance matrix is PSD and trace equals summed variance") {
     val (_, m0) = fullMatrix()
     val trace = (0 until Dim).map(i => m0(i)(i)).sum
