@@ -3567,6 +3567,78 @@ object TextQueries {
   }
 
   // -------------------------------------------------------------------
+  // Charter: the tokenizer VOCAB export — the artifact a data loader
+  // ships alongside text_bpe_encode's id sequences: one row per vocab
+  // entry (every base character surviving in the fully-merged corpus
+  // plus the K trained merges), with the same id scheme as the encoder
+  // (code point for base chars, 256+j for merge j), each merge's
+  // decoded surface form, and the token's corpus frequency AFTER all
+  // merges apply. One scan: chained whole-text replace → strip spaces
+  // → compiled char_ngrams(…,1) explode → one hash agg on a ≤(distinct
+  // chars + K)-key space. The merge-form mapping is a ≤K-literal CASE,
+  // plan-side.
+  // -------------------------------------------------------------------
+  def bpeVocab(s: SparkSession, d: String): DataFrame = {
+    val words = documents(s, d).select(explode(toks).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val merges = Bpe.train(s, words, BpeTrainMerges)
+    val applied = merges.foldLeft(col("text")) { (acc, m) =>
+      call_function("replace", acc, lit(m.pair), lit(Bpe.marker(m.rank - 1)))
+    }
+    val form = merges.foldLeft(col("c")) { (acc, m) =>
+      when(col("c") === lit(Bpe.marker(m.rank - 1)), lit(m.decoded))
+        .otherwise(acc)
+    }
+    documents(s, d)
+      .select(call_function("replace", applied, lit(" "), lit("")).as("syms"))
+      .select(explode(
+        call_function("char_ngrams", col("syms"), lit(1), lit(false))).as("c"))
+      .groupBy("c").agg(count(lit(1)).as("n_occurrences"))
+      .select(
+        when(ascii(col("c")) >= 0xE000, ascii(col("c")) - 0xE000 + 256)
+          .otherwise(ascii(col("c"))).as("token_id"),
+        form.as("form"),
+        when(ascii(col("c")) >= 0xE000, lit("merge")).otherwise(lit("base"))
+          .as("kind"),
+        col("n_occurrences"))
+      .orderBy("token_id")
+  }
+
+  /** GENERATED from [[BpeTrainMerges]] (shared [[bpeChainSql]] chain);
+    * merge surface forms decode exactly like [[bpeTrainSql]]'s.
+    */
+  val bpeVocabSql: String = {
+    val k = BpeTrainMerges
+    def appliedText: String = (1 to k).foldLeft("text") { (acc, j) =>
+      s"replace($acc, (SELECT mp FROM t$j), ${bpeChrSql(j - 1)})"
+    }
+    def decoded(r: Int): String =
+      ((r - 2) to 0 by -1).foldLeft("mp") { (acc, j) =>
+        s"replace($acc, ${bpeChrSql(j)}, (SELECT mp FROM t${j + 1}))"
+      }
+    val mRows = (1 to k).map(r =>
+      s"SELECT ${bpeChrSql(r - 1)} AS c, ${decoded(r)} AS form FROM t$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH ${bpeChainSql(k)},
+       |m AS ($mRows),
+       |g AS (
+       |  SELECT c, CAST(count(*) AS BIGINT) AS n_occurrences FROM (
+       |    SELECT unnest(string_split_regex(
+       |      replace($appliedText, ' ', ''), '')) AS c
+       |    FROM documents)
+       |  WHERE c <> '' GROUP BY c)
+       |SELECT
+       |  CAST(CASE WHEN ascii(g.c) >= 57344 THEN ascii(g.c) - 57344 + 256
+       |       ELSE ascii(g.c) END AS INT) AS token_id,
+       |  coalesce(m.form, g.c) AS form,
+       |  CASE WHEN ascii(g.c) >= 57344 THEN 'merge' ELSE 'base' END AS kind,
+       |  g.n_occurrences AS n_occurrences
+       |FROM g LEFT JOIN m ON g.c = m.c
+       |ORDER BY token_id""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // Charter: data-loader length bucketing — assign each document to the
   // smallest power-of-two token-length bucket and report per-bucket doc
   // count, token mass, and the padding waste a pad-to-bucket batcher
@@ -4061,6 +4133,7 @@ object TextQueries {
     "dedup_agreement" -> (dedupAgreement _),
     "text_bpe_apply" -> (bpeApply _),
     "text_bpe_encode" -> (bpeEncode _),
+    "text_bpe_vocab" -> (bpeVocab _),
     "train_packing" -> (trainPacking _),
     "train_curriculum" -> (trainCurriculum _),
     "text_heavy_hitters" -> (heavyHitters _),
@@ -4129,6 +4202,7 @@ object TextQueries {
     "dedup_agreement" -> dedupAgreementSql,
     "text_bpe_apply" -> bpeApplySql,
     "text_bpe_encode" -> bpeEncodeSql,
+    "text_bpe_vocab" -> bpeVocabSql,
     "train_packing" -> trainPackingSql,
     "train_curriculum" -> trainCurriculumSql,
     "text_heavy_hitters" -> heavyHittersSql,

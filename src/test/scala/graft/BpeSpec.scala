@@ -152,6 +152,47 @@ class BpeSpec extends AnyFunSuite {
       s"first diff: ${got.zip(expected).find(p => p._1 != p._2)}")
   }
 
+  test("bpeVocab matches an in-memory vocab export") {
+    val words = wordsDf.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    var vocab = words
+    var raw = Vector.empty[String]
+    for (r <- 0 until 8) {
+      val counts = scala.collection.mutable.Map[String, Long]()
+      for ((w, f) <- vocab if w.length >= 2; i <- 0 until w.length - 1) {
+        val p = w.substring(i, i + 2)
+        counts(p) = counts.getOrElse(p, 0L) + f
+      }
+      val (mp, _) = counts.toSeq.minBy { case (p, n) => (-n, p) }
+      vocab = vocab.map { case (w, f) =>
+        w.replace(mp, (0xE000 + r).toChar.toString) -> f
+      }
+      raw = raw :+ mp
+    }
+    def decode(s0: String): String =
+      (raw.size - 1 to 0 by -1).foldLeft(s0) { (acc, r) =>
+        acc.replace((0xE000 + r).toChar.toString, raw(r))
+      }
+    val freq = scala.collection.mutable.Map[Char, Long]()
+    graft.Tables.documents(spark, sf).select("text").collect().foreach { r =>
+      val syms = raw.zipWithIndex.foldLeft(r.getString(0)) {
+        case (t, (mp, j)) => t.replace(mp, (0xE000 + j).toChar.toString)
+      }.replace(" ", "")
+      syms.foreach(c => freq(c) = freq.getOrElse(c, 0L) + 1)
+    }
+    val expected = freq.toSeq.map { case (c, n) =>
+      val id = if (c >= 0xE000) c.toInt - 0xE000 + 256 else c.toInt
+      val form = if (c >= 0xE000) decode(c.toString) else c.toString
+      val kind = if (c >= 0xE000) "merge" else "base"
+      (id, form, kind, n)
+    }.sortBy(_._1)
+    val got = graft.operators.TextQueries.bpeVocab(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(got == expected,
+      s"first diff: ${got.zip(expected).find(p => p._1 != p._2)}")
+  }
+
   test("bpeApply matches an in-memory application of the trained merges") {
     // train in memory, keeping RAW (marker-bearing) pairs — apply
     // needs them in rank order, not the decoded surface forms
