@@ -237,13 +237,22 @@ object Bench {
     // end-of-run state rows (state-store rows for the
     // flatMapGroupsWithState / watermark-dedup streams; external-store
     // rows for the foreachBatch ones). SPARK_GRAFT_STREAMING=0 skips.
-    val streaming: Map[String, (Double, Long)] =
+    val streaming: Map[String, StreamBench.StreamStat] =
       if (sys.env.get("SPARK_GRAFT_STREAMING").contains("0")) Map.empty
       else StreamBench.run(spark, sfDir)
+    // same honesty contract as the batch block: the published rate is a
+    // median over reps, and the per-stream spread + a noise flag ride
+    // along so a single-shot swing can't masquerade as a regression
+    val streamNoiseExceeded = streaming.values.exists(s =>
+      !s.spread.isNaN && s.spread > 1.5)
     val streamingJson = streaming.toSeq.sortBy(_._1).map {
-      case (n, (rps, st)) =>
-        "\"" + n + "\":{\"rows_per_sec\":" + num(rps, 1) +
-          ",\"state_rows\":" + st + "}"
+      case (n, s) =>
+        "\"" + n + "\":{\"rows_per_sec\":" + num(s.rowsPerSec, 1) +
+          ",\"state_rows\":" + s.stateRows +
+          ",\"reps\":" + s.reps +
+          ",\"rps_min\":" + num(s.rpsMin, 1) +
+          ",\"rps_max\":" + num(s.rpsMax, 1) +
+          ",\"spread\":" + num(s.spread, 3) + "}"
     }.mkString("{", ",", "}")
     // A query that threw is present in "queries" (its wall time is still
     // real) but ALSO keyed in "errors" — consumers must treat such a
@@ -259,7 +268,7 @@ object Bench {
       jsonStr(k) + ":" + jsonStr(v)
     }.mkString("{", ",", "}")
     val spillJson = s"""{"mem_bytes":${memSpilled.get},"disk_bytes":${diskSpilled.get},"max_heap_mb":${Runtime.getRuntime.maxMemory() / (1 << 20)}}"""
-    val detail = s"""{"queries":$qs,"queries_min":$qsMin,"errors":$errorsJson,"reps":$reps,"noise":$noiseJson,"streaming":$streamingJson,"spill":$spillJson,"sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size},"total_all":${num(totalAll, 6)},"events_per_sec":${num(relayEps, 1)},"relay_events":$relayedEvents,"relay_staged":$stagedEvents}"""
+    val detail = s"""{"queries":$qs,"queries_min":$qsMin,"errors":$errorsJson,"reps":$reps,"noise":$noiseJson,"streaming":$streamingJson,"stream_noise_exceeded":$streamNoiseExceeded,"spill":$spillJson,"sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size},"total_all":${num(totalAll, 6)},"events_per_sec":${num(relayEps, 1)},"relay_events":$relayedEvents,"relay_staged":$stagedEvents}"""
     println(detail)
     try {
       // cwd-relative default so the build isn't coupled to one machine's
@@ -288,8 +297,8 @@ object Bench {
     // either way.
     val headlineQs = jsonMap(results.filter(kv => headline.contains(kv._1)), 3)
     val streamRps = jsonMap(
-      streaming.map { case (n, (rps, _)) => n -> rps }, 1)
-    println(s"""{"metric":"headline_total_15q","value":${num(total, 6)},"unit":"sec","sf":"$sfDir","n_headline":${headline.size - missingHeadline.size},"n_queries":${results.size},"n_errors":${errors.size},"reps":$reps,"noise":${num(ctlSpread, 4)},"noise_exceeded":$noiseExceeded,"total_all":${num(totalAll, 3)},"events_per_sec":${num(relayEps, 1)},"stream_rows_per_sec":$streamRps,"queries":$headlineQs}""")
+      streaming.map { case (n, s) => n -> s.rowsPerSec }, 1)
+    println(s"""{"metric":"headline_total_15q","value":${num(total, 6)},"unit":"sec","sf":"$sfDir","n_headline":${headline.size - missingHeadline.size},"n_queries":${results.size},"n_errors":${errors.size},"reps":$reps,"noise":${num(ctlSpread, 4)},"noise_exceeded":$noiseExceeded,"total_all":${num(totalAll, 3)},"events_per_sec":${num(relayEps, 1)},"stream_rows_per_sec":$streamRps,"stream_noise_exceeded":$streamNoiseExceeded,"queries":$headlineQs}""")
     spark.stop()
   }
 }

@@ -66,7 +66,14 @@ object Bpe {
     * and no word form may already contain a BMP PUA char, because such
     * a char collides with a marker and breaks the injectivity and
     * decode invariants (a corpus with PUA text must remap those chars
-    * before training).
+    * before training). For the PUA guard to be COMPLETE, callers must
+    * pass the UNFILTERED word-form table: a length-≥2 pre-filter would
+    * let a single-char PUA word through the guard yet still collide in
+    * the whole-text replaces the encode/vocab/apply queries perform
+    * (the corpus tokenizer is a space split, so the unfiltered word set
+    * covers every non-space text character). Pair extraction filters
+    * length ≥ 2 internally each round, so training semantics don't
+    * depend on the caller's filter.
     */
   def train(s: SparkSession, words: DataFrame, k: Int): Seq[Merge] = {
     require(k <= 6400,

@@ -659,8 +659,8 @@ object RelationalQueries {
 
   val approxQuantileSql: String =
     """SELECT event_type,
-      |  round(quantile_cont(value, 0.5), 6) AS p50,
-      |  round(quantile_cont(value, 0.9), 6) AS p90,
+      |  round(quantile_cont(value, 0.5), 6) + 0.0 AS p50,
+      |  round(quantile_cont(value, 0.9), 6) + 0.0 AS p90,
       |  count(*) AS n, TRUE AS within_tol
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
@@ -876,7 +876,7 @@ object RelationalQueries {
       |  FROM seq WHERE prev_type IS NOT NULL GROUP BY prev_type, next_type)
       |SELECT prev_type, next_type, n,
       |  round(CAST(n AS DOUBLE) /
-      |    CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE), 6) AS prob
+      |    CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE), 6) + 0.0 AS prob
       |FROM tr ORDER BY prev_type, next_type""".stripMargin
 
   // -------------------------------------------------------------------
@@ -1543,9 +1543,9 @@ object RelationalQueries {
 
   val quantilesSql: String =
     """SELECT event_type,
-      |  round(quantile_cont(value, 0.5), 6) AS p50,
-      |  round(quantile_cont(value, 0.9), 6) AS p90,
-      |  round(quantile_cont(value, 0.99), 6) AS p99,
+      |  round(quantile_cont(value, 0.5), 6) + 0.0 AS p50,
+      |  round(quantile_cont(value, 0.9), 6) + 0.0 AS p90,
+      |  round(quantile_cont(value, 0.99), 6) + 0.0 AS p99,
       |  min(value) AS v_min, max(value) AS v_max
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
@@ -1581,7 +1581,7 @@ object RelationalQueries {
       |  round(
       |    CAST(n * sxy - sx * sy AS DOUBLE) /
       |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
-      |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS corr_qty_price
+      |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) + 0.0 AS corr_qty_price
       |FROM (
       |  SELECT l_returnflag, count(*) AS n,
       |    sum(CAST(CAST(round(l_quantity * 100) AS BIGINT) AS HUGEINT)) AS sx,
@@ -1788,7 +1788,7 @@ object RelationalQueries {
       |sizes AS (SELECT cohort, count(*) AS cohort_size FROM m
       |          WHERE wk = cohort GROUP BY cohort)
       |SELECT cohort, week_offset, cohort_size, n_active,
-      |  round(CAST(n_active AS DOUBLE) / cohort_size, 6) AS retention
+      |  round(CAST(n_active AS DOUBLE) / cohort_size, 6) + 0.0 AS retention
       |FROM (
       |  SELECT cohort,
       |    CAST(date_diff('day', CAST(cohort AS DATE), CAST(wk AS DATE))
@@ -1853,7 +1853,7 @@ object RelationalQueries {
       |  SELECT count(*) AS n_hot_keys FROM c, tot
       |  WHERE cnt * n_keys > n_rows * 2)
       |SELECT n_keys, n_rows, max_key_rows,
-      |  round(CAST(top10_rows AS DOUBLE) / n_rows, 6) AS top10_share,
+      |  round(CAST(top10_rows AS DOUBLE) / n_rows, 6) + 0.0 AS top10_share,
       |  n_hot_keys
       |FROM tot, t10, hot""".stripMargin
 

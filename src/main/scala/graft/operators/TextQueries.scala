@@ -487,9 +487,9 @@ object TextQueries {
        |    CAST(floor(($jd) * 1000000) AS BIGINT) AS exact_micro
        |  FROM pairs)
        |SELECT bucket, count(*) AS n_pairs,
-       |  round(CAST(CAST(sum(est_micro) AS BIGINT) AS DOUBLE) / 1000000.0 / count(*), 6) AS avg_est,
-       |  round(CAST(CAST(sum(exact_micro) AS BIGINT) AS DOUBLE) / 1000000.0 / count(*), 6) AS avg_exact,
-       |  round(CAST(CAST(sum(abs(est_micro - exact_micro)) AS BIGINT) AS DOUBLE) / 1000000.0 / count(*), 6) AS mean_abs_err
+       |  round(CAST(CAST(sum(est_micro) AS BIGINT) AS DOUBLE) / 1000000.0 / count(*), 6) + 0.0 AS avg_est,
+       |  round(CAST(CAST(sum(exact_micro) AS BIGINT) AS DOUBLE) / 1000000.0 / count(*), 6) + 0.0 AS avg_exact,
+       |  round(CAST(CAST(sum(abs(est_micro - exact_micro)) AS BIGINT) AS DOUBLE) / 1000000.0 / count(*), 6) + 0.0 AS mean_abs_err
        |FROM m GROUP BY bucket ORDER BY bucket""".stripMargin
   }
 
@@ -1040,7 +1040,7 @@ object TextQueries {
       |n AS (SELECT count(*) AS n_docs FROM documents)
       |SELECT doc_id, rn, term, tf, df, score FROM (
       |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
-      |    round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS score,
+      |    round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) + 0.0 AS score,
       |    CAST(row_number() OVER (PARTITION BY tf.doc_id
       |      ORDER BY round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) DESC,
       |               tf.term) AS INTEGER) AS rn
@@ -1558,7 +1558,7 @@ object TextQueries {
        |  WHERE split = 'train'
        |  GROUP BY doc_id)
        |SELECT doc_id, n_passages, n_test_hits, n_val_hits,
-       |  round(CAST(n_test_hits + n_val_hits AS DOUBLE) / n_passages, 6)
+       |  round(CAST(n_test_hits + n_val_hits AS DOUBLE) / n_passages, 6) + 0.0
        |    AS leak_ratio
        |FROM hits JOIN counts USING (doc_id)
        |ORDER BY doc_id""".stripMargin
@@ -2495,9 +2495,9 @@ object TextQueries {
       |t1000 AS (SELECT CAST(sum(n) AS BIGINT) AS top1000_n FROM
       |  (SELECT n FROM c ORDER BY n DESC, term LIMIT 1000))
       |SELECT vocab_size, total_tokens,
-      |  round(CAST(top10_n AS DOUBLE) / total_tokens, 6) AS top10_mass,
-      |  round(CAST(top100_n AS DOUBLE) / total_tokens, 6) AS top100_mass,
-      |  round(CAST(top1000_n AS DOUBLE) / total_tokens, 6) AS top1000_mass
+      |  round(CAST(top10_n AS DOUBLE) / total_tokens, 6) + 0.0 AS top10_mass,
+      |  round(CAST(top100_n AS DOUBLE) / total_tokens, 6) + 0.0 AS top100_mass,
+      |  round(CAST(top1000_n AS DOUBLE) / total_tokens, 6) + 0.0 AS top1000_mass
       |FROM tot, t10, t100, t1000""".stripMargin
 
   // -------------------------------------------------------------------
@@ -2550,9 +2550,9 @@ object TextQueries {
        |  FROM perdoc GROUP BY source, lang)
        |SELECT source, lang, n_docs,
        |  round(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER
-       |    (PARTITION BY source), 6) AS share,
+       |    (PARTITION BY source), 6) + 0.0 AS share,
        |  n_pred_en,
-       |  round(CAST(n_pred_en AS DOUBLE) / n_docs, 6) AS pred_en_rate
+       |  round(CAST(n_pred_en AS DOUBLE) / n_docs, 6) + 0.0 AS pred_en_rate
        |FROM cells ORDER BY source, lang""".stripMargin
 
   // -------------------------------------------------------------------
@@ -2603,7 +2603,7 @@ object TextQueries {
       |  FROM documents),
       |pri AS (
       |  SELECT r.source, r.doc_id,
-      |    round((rk - 0.5) / capped_weight, 6) AS priority
+      |    round((rk - 0.5) / capped_weight, 6) + 0.0 AS priority
       |  FROM ranked r JOIN wts ON wts.wsrc = r.source
       |  ORDER BY priority, r.source, r.doc_id LIMIT 50)
       |SELECT CAST(row_number() OVER (ORDER BY priority, source, doc_id)
@@ -2678,11 +2678,11 @@ object TextQueries {
        |  FROM (SELECT text_md5, count(*) AS cnt FROM flagged
        |        GROUP BY text_md5))
        |SELECT n_docs, n_sources, n_langs, total_tokens,
-       |  round(CAST(total_tokens AS DOUBLE) / n_docs, 6) AS avg_doc_tokens,
+       |  round(CAST(total_tokens AS DOUBLE) / n_docs, 6) + 0.0 AS avg_doc_tokens,
        |  n_dup_docs,
-       |  round(CAST(n_dup_docs AS DOUBLE) / n_docs, 6) AS dup_rate,
+       |  round(CAST(n_dup_docs AS DOUBLE) / n_docs, 6) + 0.0 AS dup_rate,
        |  n_pass,
-       |  round(CAST(n_pass AS DOUBLE) / n_docs, 6) AS pass_rate
+       |  round(CAST(n_pass AS DOUBLE) / n_docs, 6) + 0.0 AS pass_rate
        |FROM tot, dup""".stripMargin
 
   // -------------------------------------------------------------------
@@ -2745,9 +2745,9 @@ object TextQueries {
        |  ta.n AS n_a, tb.n AS n_b,
        |  coalesce(c.n_common, 0) AS n_common,
        |  round(CAST(coalesce(c.n_common, 0) AS DOUBLE)
-       |    / (ta.n + tb.n - coalesce(c.n_common, 0)), 6) AS jaccard,
+       |    / (ta.n + tb.n - coalesce(c.n_common, 0)), 6) + 0.0 AS jaccard,
        |  round(CAST(coalesce(c.n_common, 0) AS DOUBLE)
-       |    / least(ta.n, tb.n), 6) AS containment
+       |    / least(ta.n, tb.n), 6) + 0.0 AS containment
        |FROM tot ta JOIN tot tb ON ta.source < tb.source
        |LEFT JOIN common c ON c.src_a = ta.source AND c.src_b = tb.source
        |ORDER BY src_a, src_b""".stripMargin
@@ -2801,8 +2801,8 @@ object TextQueries {
        |r AS (SELECT * FROM (
        |    SELECT c, row_number() OVER (ORDER BY c DESC, term) AS rk FROM c)
        |  WHERE rk <= $ZipfTopK),
-       |xy AS (SELECT round(ln(CAST(rk AS DOUBLE)), 6) AS x,
-       |              round(ln(CAST(c AS DOUBLE)), 6) AS y FROM r),
+       |xy AS (SELECT round(ln(CAST(rk AS DOUBLE)), 6) + 0.0 AS x,
+       |              round(ln(CAST(c AS DOUBLE)), 6) + 0.0 AS y FROM r),
        |sums AS (SELECT count(*) AS n_terms,
        |  CAST(sum(CAST(x AS DECIMAL(27,6))) AS DOUBLE) AS sx,
        |  CAST(sum(CAST(y AS DECIMAL(27,6))) AS DOUBLE) AS sy,
@@ -2811,10 +2811,10 @@ object TextQueries {
        |  FROM xy)
        |SELECT n_terms,
        |  round((CAST(n_terms AS DOUBLE) * sxy - sx * sy)
-       |    / (CAST(n_terms AS DOUBLE) * sxx - sx * sx), 6) AS slope,
+       |    / (CAST(n_terms AS DOUBLE) * sxx - sx * sx), 6) + 0.0 AS slope,
        |  round((sy - (CAST(n_terms AS DOUBLE) * sxy - sx * sy)
        |    / (CAST(n_terms AS DOUBLE) * sxx - sx * sx) * sx)
-       |    / CAST(n_terms AS DOUBLE), 6) AS intercept
+       |    / CAST(n_terms AS DOUBLE), 6) + 0.0 AS intercept
        |FROM sums""".stripMargin
 
   // -------------------------------------------------------------------
@@ -2882,7 +2882,7 @@ object TextQueries {
        |  CAST(coalesce(p.nw, 0) AS BIGINT) AS n_windows,
        |  CAST(coalesce(p.dw, 0) AS BIGINT) AS dup_windows,
        |  round(CAST(coalesce(p.dw, 0) AS DOUBLE)
-       |    / greatest(coalesce(p.nw, 0), 1), 6) AS dup_ratio
+       |    / greatest(coalesce(p.nw, 0), 1), 6) + 0.0 AS dup_ratio
        |FROM documents d LEFT JOIN per p USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
   }
@@ -2938,9 +2938,9 @@ object TextQueries {
       |      AS BIGINT) AS f25
       |  FROM src, tot),
       |sums AS (SELECT sum(f50) AS s50, sum(f25) AS s25 FROM base)
-      |SELECT source, n_docs, n_tokens, round(p, 6) AS p_natural,
-      |  round(CAST(f50 AS DOUBLE) / s50, 6) AS w_alpha50,
-      |  round(CAST(f25 AS DOUBLE) / s25, 6) AS w_alpha25,
+      |SELECT source, n_docs, n_tokens, round(p, 6) + 0.0 AS p_natural,
+      |  round(CAST(f50 AS DOUBLE) / s50, 6) + 0.0 AS w_alpha50,
+      |  round(CAST(f25 AS DOUBLE) / s25, 6) + 0.0 AS w_alpha25,
       |  CAST(round(CAST(f50 AS DOUBLE) / s50 * 1e4, 0) AS BIGINT)
       |    AS docs_per_10k_a50
       |FROM base, sums ORDER BY source""".stripMargin
@@ -3026,7 +3026,7 @@ object TextQueries {
        |ns AS (SELECT count(*) AS k FROM src)
        |SELECT source, n_docs, n_tokens,
        |  CAST($EpochPlanBudget // k AS BIGINT) AS budget_tokens,
-       |  round(CAST($EpochPlanBudget // k AS DOUBLE) / n_tokens, 6)
+       |  round(CAST($EpochPlanBudget // k AS DOUBLE) / n_tokens, 6) + 0.0
        |    AS epochs,
        |  (CAST($EpochPlanBudget // k AS DOUBLE) / n_tokens > 1.0)
        |    AS oversampled
@@ -3073,7 +3073,7 @@ object TextQueries {
        |  FROM assigned GROUP BY source, split)
        |SELECT source, split, n_docs, n_tokens,
        |  round(CAST(n_tokens AS DOUBLE) /
-       |    sum(n_tokens) OVER (PARTITION BY source), 6) AS tok_share
+       |    sum(n_tokens) OVER (PARTITION BY source), 6) + 0.0 AS tok_share
        |FROM agg ORDER BY source, split""".stripMargin
   }
 
@@ -3121,9 +3121,9 @@ object TextQueries {
        |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS td,
        |        CAST(sum(sum_chars) AS BIGINT) AS tc FROM agg)
        |SELECT shard, n_docs, sum_chars, n_sources,
-       |  round(CAST(n_docs AS DOUBLE) * $Shards / CAST(td AS DOUBLE), 6)
+       |  round(CAST(n_docs AS DOUBLE) * $Shards / CAST(td AS DOUBLE), 6) + 0.0
        |    AS doc_load_factor,
-       |  round(CAST(sum_chars AS DOUBLE) * $Shards / CAST(tc AS DOUBLE), 6)
+       |  round(CAST(sum_chars AS DOUBLE) * $Shards / CAST(tc AS DOUBLE), 6) + 0.0
        |    AS char_load_factor
        |FROM agg, tot ORDER BY shard""".stripMargin
   }
@@ -3169,7 +3169,7 @@ object TextQueries {
        |  SELECT doc_id, weight, key,
        |    row_number() OVER (ORDER BY key DESC, doc_id) AS rank
        |  FROM keyed)
-       |SELECT rank, doc_id, weight, round(key, 6) AS sample_key
+       |SELECT rank, doc_id, weight, round(key, 6) + 0.0 AS sample_key
        |FROM top WHERE rank <= $WsK ORDER BY rank""".stripMargin
   }
 
@@ -3346,7 +3346,6 @@ object TextQueries {
 
   def bpeTrain(s: SparkSession, d: String): DataFrame = {
     val words = documents(s, d).select(explode(toks).as("word"))
-      .filter(length(col("word")) >= 2)
       .groupBy("word").agg(count(lit(1)).as("freq"))
     val merges = Bpe.train(s, words, BpeTrainMerges)
     s.createDataFrame(merges.map(m => (m.rank.toLong, m.decoded, m.count)))
@@ -3425,7 +3424,6 @@ object TextQueries {
   // -------------------------------------------------------------------
   def bpeApply(s: SparkSession, d: String): DataFrame = {
     val words = documents(s, d).select(explode(toks).as("word"))
-      .filter(length(col("word")) >= 2)
       .groupBy("word").agg(count(lit(1)).as("freq"))
     val merges = Bpe.train(s, words, BpeTrainMerges)
     var compressed: Column = col("w")
@@ -3474,7 +3472,7 @@ object TextQueries {
       s"SELECT CAST($r AS BIGINT) AS merge_rank, " +
         s"CAST(s$r AS BIGINT) AS total_tokens, " +
         s"CAST(s0 - s$r AS BIGINT) AS tokens_saved, " +
-        s"round(CAST(s$r AS DOUBLE) / s0, 6) AS compression FROM tot")
+        s"round(CAST(s$r AS DOUBLE) / s0, 6) + 0.0 AS compression FROM tot")
       .mkString("\nUNION ALL ")
     s"""WITH ${bpeChainSql(k)},
        |corpus AS MATERIALIZED (
@@ -3496,15 +3494,20 @@ object TextQueries {
   // sequence). Trains the registry's K=8 merges (the same Bpe.train
   // loop), then one corpus scan emits per doc: the token count after
   // all K merges and the first-16 token ids as a joined string (the
-  // driver compare is scalar-only). Token ids follow the real-BPE
-  // convention: a base character is its own code point, merge j
-  // (marker U+E000+j) is id 256+j. No shuffle except the final order.
+  // driver compare is scalar-only). Token ids: a base character is its
+  // own code point; merge j (marker U+E000+j) is id 0x110000+j — ABOVE
+  // every Unicode code point, so merge ids can never collide with base
+  // chars (the first cut's 256+j collided with U+0100..U+0107, real
+  // Polish/Croatian letters). The marker test gates on the EXACT range
+  // [U+E000, U+E000+K), not `>= U+E000`: corpus PUA chars are excluded
+  // by Bpe.train's guard, but base chars at U+F900+ (CJK compatibility
+  // ideographs) are legal corpus text and must classify as base. No
+  // shuffle except the final order.
   // -------------------------------------------------------------------
   private val BpeEncodeHeadIds = 16
 
   def bpeEncode(s: SparkSession, d: String): DataFrame = {
     val words = documents(s, d).select(explode(toks).as("word"))
-      .filter(length(col("word")) >= 2)
       .groupBy("word").agg(count(lit(1)).as("freq"))
     val merges = Bpe.train(s, words, BpeTrainMerges)
     // whole-text chained replace = per-word greedy BPE (no pair ever
@@ -3513,10 +3516,11 @@ object TextQueries {
     val applied = merges.foldLeft(col("text")) { (acc, m) =>
       call_function("replace", acc, lit(m.pair), lit(Bpe.marker(m.rank - 1)))
     }
-    // symbol → token id: markers (≥ U+E000) are vocab entries 256+j;
-    // anything else is its code point
+    // symbol → token id: markers (exactly U+E000..U+E000+K-1) are vocab
+    // entries 0x110000+j; anything else is its code point
     val idOf = (c: Column) =>
-      when(ascii(c) >= 0xE000, ascii(c) - 0xE000 + 256).otherwise(ascii(c))
+      when(ascii(c).between(0xE000, 0xE000 + BpeTrainMerges - 1),
+        ascii(c) - 0xE000 + 0x110000).otherwise(ascii(c))
     documents(s, d)
       .select(col("doc_id"),
         call_function("replace", applied, lit(" "), lit("")).as("syms"))
@@ -3536,7 +3540,8 @@ object TextQueries {
 
   /** GENERATED from [[BpeTrainMerges]] like [[bpeApplySql]] (shared
     * [[bpeChainSql]] chain); ids mirror the Spark mapping — code point
-    * for base chars, 256+j for marker U+E000+j.
+    * for base chars, 0x110000+j for marker U+E000+j, the marker test
+    * gated on the exact K-marker range.
     */
   val bpeEncodeSql: String = {
     val k = BpeTrainMerges
@@ -3544,8 +3549,8 @@ object TextQueries {
       s"replace($acc, (SELECT mp FROM t$j), ${bpeChrSql(j - 1)})"
     }
     def idOf(c: String) =
-      s"CASE WHEN ascii($c) >= 57344 " +
-        s"THEN CAST(ascii($c) - 57344 + 256 AS VARCHAR) " +
+      s"CASE WHEN ascii($c) BETWEEN 57344 AND ${57344 + k - 1} " +
+        s"THEN CAST(ascii($c) - 57344 + 1114112 AS VARCHAR) " +
         s"ELSE CAST(ascii($c) AS VARCHAR) END"
     val sym = s"substring(head, CAST(i AS INT), 1)"
     // merges apply to the WHOLE text (subqueries are not allowed inside
@@ -3580,7 +3585,6 @@ object TextQueries {
   // -------------------------------------------------------------------
   def bpeVocab(s: SparkSession, d: String): DataFrame = {
     val words = documents(s, d).select(explode(toks).as("word"))
-      .filter(length(col("word")) >= 2)
       .groupBy("word").agg(count(lit(1)).as("freq"))
     val merges = Bpe.train(s, words, BpeTrainMerges)
     val applied = merges.foldLeft(col("text")) { (acc, m) =>
@@ -3596,10 +3600,14 @@ object TextQueries {
         call_function("char_ngrams", col("syms"), lit(1), lit(false))).as("c"))
       .groupBy("c").agg(count(lit(1)).as("n_occurrences"))
       .select(
-        when(ascii(col("c")) >= 0xE000, ascii(col("c")) - 0xE000 + 256)
+        // same id scheme as bpeEncode: exact-range marker gate, merge
+        // ids above the Unicode code space (collision-free, invertible)
+        when(ascii(col("c")).between(0xE000, 0xE000 + BpeTrainMerges - 1),
+          ascii(col("c")) - 0xE000 + 0x110000)
           .otherwise(ascii(col("c"))).as("token_id"),
         form.as("form"),
-        when(ascii(col("c")) >= 0xE000, lit("merge")).otherwise(lit("base"))
+        when(ascii(col("c")).between(0xE000, 0xE000 + BpeTrainMerges - 1),
+          lit("merge")).otherwise(lit("base"))
           .as("kind"),
         col("n_occurrences"))
       .orderBy("token_id")
@@ -3629,10 +3637,12 @@ object TextQueries {
        |    FROM documents)
        |  WHERE c <> '' GROUP BY c)
        |SELECT
-       |  CAST(CASE WHEN ascii(g.c) >= 57344 THEN ascii(g.c) - 57344 + 256
+       |  CAST(CASE WHEN ascii(g.c) BETWEEN 57344 AND ${57344 + k - 1}
+       |       THEN ascii(g.c) - 57344 + 1114112
        |       ELSE ascii(g.c) END AS INT) AS token_id,
        |  coalesce(m.form, g.c) AS form,
-       |  CASE WHEN ascii(g.c) >= 57344 THEN 'merge' ELSE 'base' END AS kind,
+       |  CASE WHEN ascii(g.c) BETWEEN 57344 AND ${57344 + k - 1}
+       |       THEN 'merge' ELSE 'base' END AS kind,
        |  g.n_occurrences AS n_occurrences
        |FROM g LEFT JOIN m ON g.c = m.c
        |ORDER BY token_id""".stripMargin
@@ -3673,7 +3683,7 @@ object TextQueries {
       |SELECT bucket, count(*) AS n_docs,
       |  CAST(sum(nt) AS BIGINT) AS sum_tokens,
       |  CAST(sum(bucket - nt) AS BIGINT) AS pad_waste,
-      |  round(CAST(sum(bucket - nt) AS DOUBLE) / sum(bucket), 6)
+      |  round(CAST(sum(bucket - nt) AS DOUBLE) / sum(bucket), 6) + 0.0
       |    AS waste_ratio
       |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
 
@@ -3798,7 +3808,7 @@ object TextQueries {
        |sc AS (
        |  SELECT query_id, doc_id,
        |    round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-       |      * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6)
+       |      * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) + 0.0
        |      AS score
        |  FROM tf JOIN df USING (term), stats GROUP BY query_id, doc_id)
        |SELECT query_id, rank, doc_id, score FROM (
@@ -3861,7 +3871,7 @@ object TextQueries {
       |SELECT string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2,
       |  c_xy, u1.c AS c_x, u2.c AS c_y,
       |  round(ln(c_xy) + 2.0 * ln(n_uni) - ln(u1.c) - ln(u2.c)
-      |    - ln(n_big), 6) AS pmi
+      |    - ln(n_big), 6) + 0.0 AS pmi
       |FROM big
       |JOIN uni u1 ON string_split(bg, ' ')[1] = u1.w
       |JOIN uni u2 ON string_split(bg, ' ')[2] = u2.w, tot
@@ -3935,7 +3945,7 @@ object TextQueries {
       |  GROUP BY doc_id, ch)
       |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars_counted,
       |  count(*) AS n_distinct_chars,
-      |  round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy
+      |  round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) + 0.0 AS entropy
       |FROM cc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------------------
@@ -3998,7 +4008,7 @@ object TextQueries {
       |      + (1.0 - (len - nalpha - ndigit - nspace) / len) * 0.3
       |      + (CASE WHEN (len - nspace) / (nspace + 1.0) >= 3
       |               AND (len - nspace) / (nspace + 1.0) <= 10
-      |              THEN 0.1 ELSE 0.0 END), 3) AS q
+      |              THEN 0.1 ELSE 0.0 END), 3) + 0.0 AS q
       |  FROM (
       |    SELECT source, text,
       |      CAST(length(text) AS DOUBLE) AS len,
@@ -4019,7 +4029,7 @@ object TextQueries {
       |  CAST(sum(CASE WHEN q >= median_q THEN 1 ELSE 0 END) AS BIGINT)
       |    AS n_kept,
       |  round(CAST(sum(CASE WHEN q >= median_q THEN 1 ELSE 0 END) AS DOUBLE)
-      |    / count(*), 6) AS kept_ratio,
+      |    / count(*), 6) + 0.0 AS kept_ratio,
       |  CAST(sum(CASE WHEN q >= median_q THEN n_toks ELSE 0 END) AS BIGINT)
       |    AS kept_tokens,
       |  max(median_q) AS median_q
@@ -4083,7 +4093,7 @@ object TextQueries {
        |SELECT doc_a, doc_b, a.len AS len_a, b.len AS len_b,
        |  CAST(levenshtein(a.p, b.p) AS INT) AS edit_dist,
        |  round(CAST(levenshtein(a.p, b.p) AS DOUBLE) /
-       |    greatest(least(a.len, 200), least(b.len, 200), 1), 6)
+       |    greatest(least(a.len, 200), least(b.len, 200), 1), 6) + 0.0
        |    AS norm_dist,
        |  round(CAST(levenshtein(a.p, b.p) AS DOUBLE) /
        |    greatest(least(a.len, 200), least(b.len, 200), 1), 6) <= 0.2

@@ -89,7 +89,7 @@ object VectorQueries {
   private def norm(c: String): Column = sqrt(dot(c, c))
 
   private def cosineSql(a: String, b: String): String =
-    s"round((${dotSql(a, b)}) / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})), 6)"
+    s"round((${dotSql(a, b)}) / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})), 6) + 0.0"
 
   /** Deterministic pseudo-random hyperplanes shared by Spark and the
     * oracle: component (j,i) = (md5-hash mod 2001 - 1000), used as the
@@ -146,7 +146,7 @@ object VectorQueries {
   }
 
   val knnBruteForceSql: String = {
-    val cos = s"round((${dotSql("a.embedding", "q.q_embedding")}) / (a.nrm * q.q_nrm), 6)"
+    val cos = s"round((${dotSql("a.embedding", "q.q_embedding")}) / (a.nrm * q.q_nrm), 6) + 0.0"
     s"""WITH be AS (SELECT vec_id, label, embedding,
        |            sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings),
        |q AS (SELECT embedding AS q_embedding, nrm AS q_nrm FROM be WHERE vec_id = 0)
@@ -225,7 +225,7 @@ object VectorQueries {
   }
 
   val hardNegativesSql: String = {
-    val cos = s"round((${dotSql("a.embedding", "q.q_embedding")}) / (a.nrm * q.q_nrm), 6)"
+    val cos = s"round((${dotSql("a.embedding", "q.q_embedding")}) / (a.nrm * q.q_nrm), 6) + 0.0"
     s"""WITH be AS (SELECT vec_id, label, embedding,
        |            sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings),
        |q AS (SELECT vec_id AS q_id, label AS q_label,
@@ -243,13 +243,13 @@ object VectorQueries {
        |      ORDER BY sim DESC, vec_id) AS INTEGER) AS rn
        |  FROM scored WHERE label <> q_label)
        |SELECT n.q_id, n.rn, n.vec_id AS neg_id, n.label AS neg_label,
-       |  n.sim, p.pos_sim, round(p.pos_sim - n.sim, 6) AS margin
+       |  n.sim, p.pos_sim, round(p.pos_sim - n.sim, 6) + 0.0 AS margin
        |FROM negs n LEFT JOIN pos p ON n.q_id = p.q_id
        |WHERE n.rn <= 5 ORDER BY n.q_id, n.rn""".stripMargin
   }
 
   val knnMultiSql: String = {
-    val cos = s"round((${dotSql("a.embedding", "q.q_embedding")}) / (a.nrm * q.q_nrm), 6)"
+    val cos = s"round((${dotSql("a.embedding", "q.q_embedding")}) / (a.nrm * q.q_nrm), 6) + 0.0"
     s"""WITH be AS (SELECT vec_id, label, embedding,
        |            sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings),
        |q AS (SELECT vec_id AS q_id, embedding AS q_embedding, nrm AS q_nrm
@@ -298,7 +298,7 @@ object VectorQueries {
   }
 
   val lshAnnSql: String = {
-    val cos = s"round((${dotSql("a.embedding", "q.q_embedding")}) / (a.nrm * q.q_nrm), 6)"
+    val cos = s"round((${dotSql("a.embedding", "q.q_embedding")}) / (a.nrm * q.q_nrm), 6) + 0.0"
     s"""WITH be AS (SELECT vec_id, label, embedding, ($bucketSql) AS bucket,
        |            sqrt(${dotSql("embedding", "embedding")}) AS nrm
        |            FROM embeddings),
@@ -332,7 +332,7 @@ object VectorQueries {
   }
 
   val cosineNeardupSql: String = {
-    val cos = s"round((${dotSql("a.emb_a", "b.emb_b")}) / (a.norm_a * b.norm_b), 6)"
+    val cos = s"round((${dotSql("a.emb_a", "b.emb_b")}) / (a.norm_a * b.norm_b), 6) + 0.0"
     s"""WITH be AS (SELECT vec_id, embedding, ($bucketSql) AS bucket,
        |            sqrt(${dotSql("embedding", "embedding")}) AS nrm
        |            FROM embeddings),
@@ -427,7 +427,7 @@ object VectorQueries {
   }
 
   val cosineNeardupBandedSql: String = {
-    val cos = s"round((${dotSql("a.emb_a", "b.emb_b")}) / (a.norm_a * b.norm_b), 6)"
+    val cos = s"round((${dotSql("a.emb_a", "b.emb_b")}) / (a.norm_a * b.norm_b), 6) + 0.0"
     val slimArms = (0 until BandCount).map { k =>
       s"""SELECT vec_id, $k AS band,
          |  (${bandBucketFullSql(k)}) % CAST(pow(2, p.planes) AS BIGINT) AS bkt
@@ -782,7 +782,7 @@ object VectorQueries {
   }
 
   val semanticDedupSql: String = {
-    val cos = s"round((${dotSql("x.embedding", "y.emb_y")}) / (x.nrm * y.nrm_y), 6)"
+    val cos = s"round((${dotSql("x.embedding", "y.emb_y")}) / (x.nrm * y.nrm_y), 6) + 0.0"
     // assigned is consumed three times (x, y, the final left join) —
     // MATERIALIZED, or DuckDB re-runs the whole unrolled quantizer
     // chain once per consumer (the r12 checker-OOM failure mode).
@@ -848,7 +848,7 @@ object VectorQueries {
   }
 
   val hardNegativesAnnSql: String = {
-    val cos = s"round((${dotSql("a.embedding", "q.q_embedding")}) / (a.nrm * q.q_nrm), 6)"
+    val cos = s"round((${dotSql("a.embedding", "q.q_embedding")}) / (a.nrm * q.q_nrm), 6) + 0.0"
     // al (assigned + label) is consumed twice (anchors, scored), so it
     // is the materialization point; `assigned` itself has exactly one
     // consumer (al) and inlines into that one materialization.
@@ -873,7 +873,7 @@ object VectorQueries {
        |      ORDER BY sim DESC, vec_id) AS INTEGER) AS rn
        |  FROM scored WHERE label <> q_label)
        |SELECT n.q_id, n.rn, n.vec_id AS neg_id, n.label AS neg_label,
-       |  n.sim, p.pos_sim, round(p.pos_sim - n.sim, 6) AS margin
+       |  n.sim, p.pos_sim, round(p.pos_sim - n.sim, 6) + 0.0 AS margin
        |FROM negs n LEFT JOIN pos p ON n.q_id = p.q_id
        |WHERE n.rn <= 5 ORDER BY n.q_id, n.rn""".stripMargin
   }
@@ -946,7 +946,7 @@ object VectorQueries {
 
   val ivfAnnSql: String = {
     val cos = s"round((${dotSql("e.embedding", "q.q_embedding")}) " +
-      s"/ (sqrt(${dotSql("e.embedding", "e.embedding")}) * q.q_nrm), 6)"
+      s"/ (sqrt(${dotSql("e.embedding", "e.embedding")}) * q.q_nrm), 6) + 0.0"
     // The r12 driver checker OOM'd on this oracle: `assigned` (the full
     // cross-join + ranking chain carrying embedding+nrm per row) was a
     // PLAIN CTE consumed twice (q, main select), so DuckDB inlined and
@@ -1004,14 +1004,14 @@ object VectorQueries {
   }
 
   val ivfMultiprobeSql: String = {
-    val cos = s"round((${dotSql("a.embedding", "q.q_embedding")}) / (a.nrm * q.q_nrm), 6)"
+    val cos = s"round((${dotSql("a.embedding", "q.q_embedding")}) / (a.nrm * q.q_nrm), 6) + 0.0"
     s"""WITH assigned AS ($ivfAssignedSql),
        |q AS (SELECT embedding AS q_embedding, nrm AS q_nrm
        |      FROM assigned WHERE vec_id = 0),
        |probes AS (
        |  SELECT cid AS probe_list FROM (
        |    SELECT c.cid,
-       |      round(${dotSql("c.c_emb", "q.q_embedding")}, 6) AS pd
+       |      round(${dotSql("c.c_emb", "q.q_embedding")}, 6) + 0.0 AS pd
        |    FROM (SELECT vec_id AS cid, embedding AS c_emb FROM embeddings
        |          WHERE vec_id < $IvfSeeds) c, q)
        |  ORDER BY pd DESC, cid LIMIT $IvfNprobe)
@@ -1047,7 +1047,7 @@ object VectorQueries {
   }
 
   val annRecallSql: String = {
-    val cos = s"round((${dotSql("a.embedding", "q.q_embedding")}) / (a.nrm * q.q_nrm), 6)"
+    val cos = s"round((${dotSql("a.embedding", "q.q_embedding")}) / (a.nrm * q.q_nrm), 6) + 0.0"
     s"""WITH be AS (SELECT vec_id, label, embedding, ($bucketSql) AS bucket,
        |            sqrt(${dotSql("embedding", "embedding")}) AS nrm
        |            FROM embeddings),
@@ -1095,10 +1095,10 @@ object VectorQueries {
       .orderBy("vec_id")
 
   val quantizeSql: String =
-    """SELECT vec_id, round(mx, 6) AS scale,
+    """SELECT vec_id, round(mx, 6) + 0.0 AS scale,
       |  CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT) AS q_l1,
       |  round(list_max(list_transform(range(1, 65),
-      |    i -> abs(q[i] * mx / 127.0 - e[i]))), 6) AS max_err,
+      |    i -> abs(q[i] * mx / 127.0 - e[i]))), 6) + 0.0 AS max_err,
       |  array_to_string(q, ',') AS quant
       |FROM (
       |  SELECT vec_id, e, mx,
@@ -1230,10 +1230,10 @@ object VectorQueries {
 
   val productQuantizeSql: String =
     """SELECT vec_id, CAST(sub + 1 AS INTEGER) AS sub_id,
-      |  round(mx, 6) AS scale,
+      |  round(mx, 6) + 0.0 AS scale,
       |  CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT) AS q_l1,
       |  round(list_max(list_transform(range(1, 9),
-      |    i -> abs(q[i] * mx / 127.0 - sv[i]))), 6) AS max_err,
+      |    i -> abs(q[i] * mx / 127.0 - sv[i]))), 6) + 0.0 AS max_err,
       |  array_to_string(q, ',') AS codes
       |FROM (
       |  SELECT vec_id, sub, sv, mx,
@@ -1322,9 +1322,9 @@ object VectorQueries {
        |  SELECT vec_id, label, e,
        |    $mxDefs
        |  FROM base WHERE vec_id > 0)
-       |SELECT vec_id, label, round($adc, 6) AS adc_dot,
-       |  round($exact, 6) AS exact_dot,
-       |  round(abs(($adc) - ($exact)), 6) AS adc_err
+       |SELECT vec_id, label, round($adc, 6) + 0.0 AS adc_dot,
+       |  round($exact, 6) + 0.0 AS exact_dot,
+       |  round(abs(($adc) - ($exact)), 6) + 0.0 AS adc_err
        |FROM c CROSS JOIN q
        |ORDER BY adc_dot DESC, vec_id LIMIT 10""".stripMargin
   }
@@ -1387,11 +1387,11 @@ object VectorQueries {
        |    $mxDefs
        |  FROM base WHERE vec_id > 0),
        |shortlist AS (
-       |  SELECT vec_id, round($adc, 6) AS adc_dot, e, qe
+       |  SELECT vec_id, round($adc, 6) + 0.0 AS adc_dot, e, qe
        |  FROM c CROSS JOIN q
        |  ORDER BY adc_dot DESC, vec_id LIMIT $RerankShortlist),
        |rescored AS (
-       |  SELECT vec_id, adc_dot, round($exact, 6) AS exact_dot
+       |  SELECT vec_id, adc_dot, round($exact, 6) + 0.0 AS exact_dot
        |  FROM shortlist),
        |ranked AS (
        |  SELECT vec_id, adc_dot, exact_dot,
@@ -1446,7 +1446,7 @@ object VectorQueries {
        |probes AS (
        |  SELECT cid AS probe_list FROM (
        |    SELECT a.vec_id AS cid,
-       |      round(${dotSql("a.embedding", "q.q_embedding")}, 6) AS pd
+       |      round(${dotSql("a.embedding", "q.q_embedding")}, 6) + 0.0 AS pd
        |    FROM assigned a, q WHERE a.vec_id < $IvfSeeds)
        |  ORDER BY pd DESC, cid LIMIT $IvfNprobe),
        |c AS (
@@ -1454,7 +1454,7 @@ object VectorQueries {
        |    $subScalesSql
        |  FROM assigned a JOIN probes ON a.list_id = probes.probe_list
        |  WHERE a.vec_id > 0)
-       |SELECT vec_id, label, list_id, round($adcScoreSql, 6) AS adc_dot
+       |SELECT vec_id, label, list_id, round($adcScoreSql, 6) + 0.0 AS adc_dot
        |FROM c CROSS JOIN q
        |ORDER BY adc_dot DESC, vec_id LIMIT 10""".stripMargin
   }
@@ -1617,7 +1617,7 @@ object VectorQueries {
   }
 
   val knnEvalSql: String = {
-    val cos = s"round((${dotSql("a.embedding", "q.q_embedding")}) / (a.nrm * q.q_nrm), 6)"
+    val cos = s"round((${dotSql("a.embedding", "q.q_embedding")}) / (a.nrm * q.q_nrm), 6) + 0.0"
     s"""WITH be AS (SELECT vec_id, label, embedding,
        |            sqrt(${dotSql("embedding", "embedding")}) AS nrm
        |            FROM embeddings),
@@ -1643,7 +1643,7 @@ object VectorQueries {
        |  CAST(sum(CASE WHEN label = true_label THEN 1 ELSE 0 END)
        |    AS BIGINT) AS n_correct,
        |  round(CAST(sum(CASE WHEN label = true_label THEN 1 ELSE 0 END)
-       |    AS DOUBLE) / count(*), 6) AS knn_accuracy
+       |    AS DOUBLE) / count(*), 6) + 0.0 AS knn_accuracy
        |FROM pred""".stripMargin
   }
 
@@ -1684,8 +1684,8 @@ object VectorQueries {
   }
 
   val recallCurveSql: String = {
-    val cos = s"round((${dotSql("a.embedding", "q.q_embedding")}) / (a.nrm * q.q_nrm), 6)"
-    val cosIvf = s"round((${dotSql("a.embedding", "qi.q_embedding")}) / (a.nrm * qi.q_nrm), 6)"
+    val cos = s"round((${dotSql("a.embedding", "q.q_embedding")}) / (a.nrm * q.q_nrm), 6) + 0.0"
+    val cosIvf = s"round((${dotSql("a.embedding", "qi.q_embedding")}) / (a.nrm * qi.q_nrm), 6) + 0.0"
     s"""WITH be AS (SELECT vec_id, label, embedding, ($bucketSql) AS bucket,
        |            sqrt(${dotSql("embedding", "embedding")}) AS nrm
        |            FROM embeddings),
@@ -1725,7 +1725,7 @@ object VectorQueries {
        |  WHERE rk_ann <= k AND rk_exact <= k GROUP BY index_name, k)
        |SELECT g.index_name AS index_name, g.k AS k,
        |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
-       |  round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / g.k, 6) AS recall
+       |  round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / g.k, 6) + 0.0 AS recall
        |FROM grid g LEFT JOIN hits h
        |  ON h.index_name = g.index_name AND h.k = g.k
        |ORDER BY g.index_name, g.k""".stripMargin
@@ -1801,7 +1801,7 @@ object VectorQueries {
        |  WHERE l.dim < $Dim GROUP BY l.dim),
        |grid AS (SELECT unnest([${TruncDims.mkString(", ")}]) AS dim)
        |SELECT g.dim AS dim, CAST(coalesce(h.n, 0) AS BIGINT) AS n_hit,
-       |  round(CAST(coalesce(h.n, 0) AS DOUBLE) / 10, 6) AS recall_at_10
+       |  round(CAST(coalesce(h.n, 0) AS DOUBLE) / 10, 6) + 0.0 AS recall_at_10
        |FROM grid g LEFT JOIN hits h ON h.dim = g.dim
        |ORDER BY g.dim""".stripMargin
   }
@@ -1996,9 +1996,9 @@ object VectorQueries {
     s"""WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
        |m AS (SELECT max(${dotSql("a.embedding", "a.embedding")}) AS m2
        |      FROM embeddings a WHERE a.vec_id > 0)
-       |SELECT a.vec_id AS vec_id, round($dAq, 6) AS ip,
-       |  round(sqrt(m.m2 - ($dAa)), 6) AS aug_comp,
-       |  round(m.m2 + ($dQq) - 2.0 * ($dAq), 6) AS aug_dist2
+       |SELECT a.vec_id AS vec_id, round($dAq, 6) + 0.0 AS ip,
+       |  round(sqrt(m.m2 - ($dAa)), 6) + 0.0 AS aug_comp,
+       |  round(m.m2 + ($dQq) - 2.0 * ($dAq), 6) + 0.0 AS aug_dist2
        |FROM embeddings a, q, m
        |WHERE a.vec_id > 0
        |ORDER BY ip DESC, vec_id LIMIT 10""".stripMargin
@@ -2059,8 +2059,8 @@ object VectorQueries {
        |    ${sums("sb")}
        |  FROM embeddings WHERE vec_id % 2 <> 0 GROUP BY label)
        |SELECT a.label AS label, a.na AS na, b.nb AS nb,
-       |  round(sqrt($l2), 6) AS drift_l2,
-       |  round($mx, 6) AS max_dim_drift
+       |  round(sqrt($l2), 6) + 0.0 AS drift_l2,
+       |  round($mx, 6) + 0.0 AS max_dim_drift
        |FROM a JOIN b ON a.label = b.label
        |ORDER BY a.label""".stripMargin
   }
@@ -2076,18 +2076,23 @@ object VectorQueries {
   // Shape: ONE corpus pass. Each row contributes its micro-unit
   // (×1e6, exact BIGINT) component vector and the flattened upper
   // triangle of its outer product (64·65/2 = 2080 longs); both fold
-  // through the mergeable array_sum_agg, so the aggregate is map-side
+  // through the mergeable array_sum_agg_dec, so the aggregate is map-side
   // combined and order-independent at any parallelism, and exactly ONE
-  // bounded row (2080+64 longs — the KMeans collect contract) reaches
+  // bounded row (2080+64 decimals — the KMeans collect contract) reaches
   // the driver, which derives each covariance cell with the same IEEE
   // expression the oracle evaluates. The triangle builds in the native
   // codegen plans/ArrayOuterTri loop (the first cut — a nested
   // transform lambda — ran its 2080 products interpreted per row, the
   // semanticAssigned lesson; compiled: 2.61 → measured below at the
-  // 200k decade). Exactness bound: micro² products sum in BIGINT
-  // safely to ~5×10⁵ rows at |x|≤4 (ANSI mode throws loudly past it);
-  // the 100 TB form swaps the pair sums to DECIMAL(38,0) partials in
-  // the same one-pass shape.
+  // 200k decade). Exactness at ANY scale: the per-row products are
+  // int64 (multiplyExact — |micro| ≤ ~3×10⁹ before a single product
+  // could wrap, far beyond unit-ish embeddings), and the pair/component
+  // SUMS fold through array_sum_agg_dec's int128 buffers, emitted as
+  // DECIMAL(38,0) — a 100 TB corpus (~10¹² rows × ≤1.6×10¹³ per-row
+  // product ≈ 10²⁵) sits 13 orders of magnitude inside the envelope.
+  // (The first cut summed in int64, which capped out at ~2.7×10⁷ rows
+  // on this corpus; decimal is now the only path — no silent wraps, no
+  // row-count auto-switch to get wrong.)
   // -------------------------------------------------------------------
   def covariance(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d).withColumn("v", expr(
@@ -2095,33 +2100,44 @@ object VectorQueries {
     val tri = call_function("array_outer_tri", col("v"))
     val row = e.select(col("v"), tri.as("xx"))
       .agg(count(lit(1)).as("n"),
-        call_function("array_sum_agg", col("v")).as("sx"),
-        call_function("array_sum_agg", col("xx")).as("sxx"))
+        call_function("array_sum_agg_dec", col("v")).as("sx"),
+        call_function("array_sum_agg_dec", col("xx")).as("sxx"))
       .collect()(0)
     val n = row.getLong(0)
-    val sx = row.getSeq[Long](1)
-    val sxx = row.getSeq[Long](2)
+    val sx = row.getSeq[java.math.BigDecimal](1)
+    val sxx = row.getSeq[java.math.BigDecimal](2)
     val nD = n.toDouble
     def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-    val out = Seq.newBuilder[(Int, Int, Long, Long, Double)]
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row](Dim * (Dim + 1) / 2)
     var p = 0
     var i = 1
     while (i <= Dim) {
       var j = i
       while (j <= Dim) {
         val sxy = sxx(p)
-        // identical op order to the oracle's expression
-        val cov = (sxy.toDouble / 1e12 -
-          (sx(i - 1).toDouble / 1e6) * (sx(j - 1).toDouble / 1e6) / nD) / nD
-        out += ((i, j, n, sxy, r6(cov)))
+        // identical op order to the oracle's expression (BigDecimal →
+        // double is round-to-nearest, same as DuckDB's DECIMAL cast)
+        val cov = (sxy.doubleValue() / 1e12 -
+          (sx(i - 1).doubleValue() / 1e6) * (sx(j - 1).doubleValue() / 1e6)
+            / nD) / nD
+        out.add(org.apache.spark.sql.Row(i, j, n, sxy, r6(cov)))
         p += 1; j += 1
       }
       i += 1
     }
-    s.createDataFrame(out.result())
-      .toDF("i", "j", "n_vectors", "sxy_micro2", "cov")
-      .orderBy("i", "j")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("i",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("j",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_vectors",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("sxy_micro2",
+        org.apache.spark.sql.types.DecimalType(38, 0), nullable = false),
+      org.apache.spark.sql.types.StructField("cov",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+    s.createDataFrame(out, schema).orderBy("i", "j")
   }
 
   val covarianceSql: String =
@@ -2134,7 +2150,8 @@ object VectorQueries {
        |  SELECT vec_id, CAST(i AS INT) AS i, v[i] AS xi
        |  FROM e, unnest(range(1, ${Dim + 1})) AS t(i)),
        |p AS (
-       |  SELECT a.i AS i, b.i AS j, CAST(sum(a.xi * b.xi) AS BIGINT) AS sxy
+       |  SELECT a.i AS i, b.i AS j,
+       |    CAST(sum(a.xi * b.xi) AS DECIMAL(38,0)) AS sxy
        |  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
        |  GROUP BY 1, 2),
        |s AS (SELECT i, CAST(sum(xi) AS BIGINT) AS sx FROM x GROUP BY i),
@@ -2142,7 +2159,7 @@ object VectorQueries {
        |SELECT p.i AS i, p.j AS j, n.n AS n_vectors, p.sxy AS sxy_micro2,
        |  round((CAST(p.sxy AS DOUBLE) / 1e12 -
        |    (CAST(sa.sx AS DOUBLE) / 1e6) * (CAST(sb.sx AS DOUBLE) / 1e6)
-       |      / CAST(n.n AS DOUBLE)) / CAST(n.n AS DOUBLE), 6) AS cov
+       |      / CAST(n.n AS DOUBLE)) / CAST(n.n AS DOUBLE), 6) + 0.0 AS cov
        |FROM p JOIN s sa ON sa.i = p.i JOIN s sb ON sb.i = p.j, n
        |ORDER BY i, j""".stripMargin
 

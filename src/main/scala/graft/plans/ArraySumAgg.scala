@@ -25,6 +25,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * to the first array seen — a later length mismatch raises, matching
   * the fixed-dimension contract of the vector corpus (and array_dot's
   * dimension-drift check).
+  *
+  * Sums accumulate through `Math.addExact` in BOTH update and merge:
+  * a silent int64 wraparound here would be a silently-wrong centroid
+  * (the first cut's plain `+=` wrapped — exactly the failure mode the
+  * exact-integer design exists to prevent). Callers whose sums can
+  * legitimately exceed int64 (covariance pair sums at corpus scale)
+  * use [[ArraySumAggDec]], the int128/DECIMAL(38,0) twin.
   */
 case class ArraySumAgg(
     child: Expression,
@@ -56,7 +63,7 @@ case class ArraySumAgg(
       else buffer
     var i = 0
     while (i < n) {
-      if (!arr.isNullAt(i)) b(i) += arr.getLong(i)
+      if (!arr.isNullAt(i)) b(i) = Math.addExact(b(i), arr.getLong(i))
       i += 1
     }
     b
@@ -69,7 +76,7 @@ case class ArraySumAgg(
       s"array_sum_agg: dimension mismatch (${buffer.length} vs ${other.length})")
     var i = 0
     while (i < buffer.length) {
-      buffer(i) += other(i)
+      buffer(i) = Math.addExact(buffer(i), other(i))
       i += 1
     }
     buffer

@@ -97,7 +97,12 @@ object GraftExtensions {
     // ArraySumAgg: kills the 64× posexplode row inflation)
     ("array_sum_agg",
       new ExpressionInfo(classOf[ArraySumAgg].getName, "array_sum_agg"),
-      one("array_sum_agg", e => ArraySumAgg(e)))
+      one("array_sum_agg", e => ArraySumAgg(e))),
+    // the int128/DECIMAL(38,0) twin for sums past the int64 envelope
+    // (covariance pair sums at corpus scale)
+    ("array_sum_agg_dec",
+      new ExpressionInfo(classOf[ArraySumAggDec].getName, "array_sum_agg_dec"),
+      one("array_sum_agg_dec", e => ArraySumAggDec(e)))
   )
 
   /** Idempotently register the functions on a live session. */

@@ -163,7 +163,15 @@ object BlockingDiag {
       .agg(count(lit(1)).as("true_pairs"),
         sum(when(col("list_id") === col("list_y"), 1L).otherwise(0L))
           .as("same_cluster_pairs")).head()
+    // self-describing sampling frame: the stride ACTUALLY applied, the
+    // corpus size it sampled from, and the realized coverage fraction
+    // (ppm — anchors/corpus, which ceil(n/stride) would over-promise on
+    // sparse/offset id spaces), so a decade recall row can be read
+    // without reproducing the probe's arithmetic
     Map("anchors" -> nAnchors,
+      "stride" -> stride,
+      "corpus_rows" -> n,
+      "coverage_ppm" -> (if (n > 0) nAnchors * 1000000L / n else 0L),
       "true_pairs" -> r.getAs[Number](0).longValue(),
       "same_cluster_pairs" -> Option(r.get(1))
         .map(_.asInstanceOf[Number].longValue()).getOrElse(0L))
@@ -256,7 +264,8 @@ object BlockingDiag {
           for (theta <- Seq(0.4, 0.7, 0.9)) {
             val r = semanticRecallSampled(spark, d, theta, 2000L)
             println(s"""{"dir":"$d","family":"vec_semantic_recall_sampled","theta":$theta,""" +
-              s""""anchors":${r("anchors")},"true_pairs":${r("true_pairs")},"same_cluster_pairs":${r("same_cluster_pairs")}}""")
+              s""""anchors":${r("anchors")},"stride":${r("stride")},"corpus_rows":${r("corpus_rows")},"coverage_ppm":${r("coverage_ppm")},""" +
+              s""""true_pairs":${r("true_pairs")},"same_cluster_pairs":${r("same_cluster_pairs")}}""")
           }
         else
           // 0.4 = the operator's gate threshold (BandedSimThreshold

@@ -34,9 +34,15 @@ import graft.streaming.CdcRelay.RelayConfig
   */
 object RelayLatencyProbe {
 
+  /** Standard nearest-rank percentile: ceil(p·n)−1 (0-indexed). The
+    * first cut used `(p·n).toInt`, which indexes one PAST the rank
+    * (p50 of 40 samples read the 21st value) and biased small-sample
+    * p95/p99 high.
+    */
   private def pct(sorted: Seq[Long], p: Double): Long =
     if (sorted.isEmpty) 0L
-    else sorted(math.min(sorted.size - 1, (p * sorted.size).toInt))
+    else sorted(math.max(0, math.min(sorted.size - 1,
+      math.ceil(p * sorted.size).toInt - 1)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

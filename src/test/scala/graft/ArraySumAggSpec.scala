@@ -82,4 +82,78 @@ class ArraySumAggSpec extends AnyFunSuite {
       .collect().head
     assert(row.isNullAt(0))
   }
+
+  test("int64 overflow is LOUD, not a silently wrong centroid") {
+    // the first cut's plain `+=` wrapped here; addExact throws in both
+    // update (many rows, one partition) and merge (cross-partition)
+    val big = Long.MaxValue / 2 + 1
+    val e = intercept[Exception] {
+      spark.range(4).repartition(4)
+        .selectExpr(s"array(${big}L) AS a")
+        .selectExpr("array_sum_agg(a)").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.toLowerCase.contains("overflow")), e.getMessage)
+  }
+
+  test("array_sum_agg_dec agrees with array_sum_agg inside the int64 range") {
+    import spark.implicits._
+    val rows = (1 to 500).map { i =>
+      (s"g${i % 5}", Array((i * 37 % 101 - 50).toLong, i.toLong, -i.toLong))
+    }
+    val df = rows.toDF("k", "arr").repartition(8)
+    val viaLong = df.groupBy("k")
+      .agg(call_function("array_sum_agg", col("arr")).as("s"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+    val viaDec = df.groupBy("k")
+      .agg(call_function("array_sum_agg_dec", col("arr")).as("s"))
+      .collect().map(r => r.getString(0) ->
+        r.getSeq[java.math.BigDecimal](1).map(_.longValueExact()).toSeq).toMap
+    assert(viaDec == viaLong)
+    assert(viaDec.nonEmpty)
+  }
+
+  test("array_sum_agg_dec: null/dimension/empty semantics mirror the int64 twin") {
+    // null elements skipped, like SQL sum
+    val df = spark.sql(
+      "SELECT array_sum_agg_dec(a) AS sums FROM VALUES (array(1L, NULL, 3L)), (array(2L, 5L, NULL)) t(a)")
+    assert(df.collect().head.getSeq[java.math.BigDecimal](0)
+      .map(_.longValueExact()) == Seq(3L, 5L, 3L))
+    // dimension drift raises
+    val e = intercept[Exception] {
+      spark.sql(
+        "SELECT array_sum_agg_dec(a) FROM VALUES (array(1L, 2L)), (array(3L)) t(a)")
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("dimension mismatch")), e.getMessage)
+    // empty relation yields NULL
+    val row = spark.sql(
+      "SELECT array_sum_agg_dec(a) AS sums FROM (SELECT array(1L) AS a WHERE 1 = 0)")
+      .collect().head
+    assert(row.isNullAt(0))
+  }
+
+  test("array_sum_agg_dec int128 carries: randomized agreement with BigInt") {
+    // extreme-magnitude mixed-sign inputs exercise low-word carries in
+    // BOTH update and cross-partition merge; the reference leg is plain
+    // BigInt, deliberately not the buffer's carry arithmetic
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    def draw(): Long = rnd.nextInt(6) match {
+      case 0 => Long.MaxValue - rnd.nextInt(1000)
+      case 1 => Long.MinValue + rnd.nextInt(1000)
+      case 2 => rnd.nextLong() >> rnd.nextInt(40)
+      case _ => rnd.nextLong()
+    }
+    val rows = Seq.fill(400)(Array(draw(), draw(), draw(), draw()))
+    val expected = (0 until 4).map(i => rows.map(a => BigInt(a(i))).sum)
+    val got = rows.map(Tuple1(_)).toDF("a").repartition(16)
+      .agg(call_function("array_sum_agg_dec", col("a")).as("s"))
+      .collect().head.getSeq[java.math.BigDecimal](0)
+      .map(d => BigInt(d.toBigIntegerExact)).toSeq
+    assert(got == expected)
+  }
 }

@@ -115,7 +115,9 @@ class BpeSpec extends AnyFunSuite {
   test("bpeEncode emits the in-memory per-doc token count and head ids") {
     // independent leg: train raw merges in memory (same loop as the
     // apply test), encode each doc by per-word chained replace, map
-    // symbols to ids (code point; marker U+E000+j -> 256+j)
+    // symbols to ids (code point; marker U+E000+j -> 0x110000+j, above
+    // every Unicode code point so merge ids never collide with base
+    // chars; the gate is the EXACT K-marker range, not >= U+E000)
     val words = wordsDf.collect()
       .map(r => r.getString(0) -> r.getLong(1)).toSeq
     var vocab = words
@@ -137,7 +139,8 @@ class BpeSpec extends AnyFunSuite {
         w.replace(mp, (0xE000 + r).toChar.toString)
       }
     def idOf(c: Char): Int =
-      if (c >= 0xE000) c.toInt - 0xE000 + 256 else c.toInt
+      if (c >= 0xE000 && c < 0xE000 + 8) c.toInt - 0xE000 + 0x110000
+      else c.toInt
     val expected = graft.Tables.documents(spark, sf)
       .select(col("doc_id"), col("text")).collect()
       .map { r =>
@@ -181,9 +184,10 @@ class BpeSpec extends AnyFunSuite {
       syms.foreach(c => freq(c) = freq.getOrElse(c, 0L) + 1)
     }
     val expected = freq.toSeq.map { case (c, n) =>
-      val id = if (c >= 0xE000) c.toInt - 0xE000 + 256 else c.toInt
-      val form = if (c >= 0xE000) decode(c.toString) else c.toString
-      val kind = if (c >= 0xE000) "merge" else "base"
+      val isMarker = c >= 0xE000 && c < 0xE000 + 8
+      val id = if (isMarker) c.toInt - 0xE000 + 0x110000 else c.toInt
+      val form = if (isMarker) decode(c.toString) else c.toString
+      val kind = if (isMarker) "merge" else "base"
       (id, form, kind, n)
     }.sortBy(_._1)
     val got = graft.operators.TextQueries.bpeVocab(spark, sf).collect()

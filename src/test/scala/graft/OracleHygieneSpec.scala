@@ -86,6 +86,61 @@ class OracleHygieneSpec extends AnyFunSuite {
     }
   }
 
+  test("every double round() feeding an output alias is sign-of-zero-normalized") {
+    // DuckDB's round(DOUBLE, n) keeps the IEEE sign bit, while Spark's
+    // round / Java BigDecimal normalize -0.0 to +0.0 — and the driver's
+    // hash is bit-sensitive. A tiny negative value that rounds to zero
+    // therefore ships as the oracle's -0.0 vs the engine's +0.0: the
+    // exact one-cell failure that made vec_covariance r13's only red
+    // row. The structural rule: every oracle round(...) that directly
+    // feeds an output alias must be followed by `+ 0.0` (IEEE:
+    // -0.0 + 0.0 = +0.0; identity on everything else, including NaN
+    // and NULL). Integer-cast rounds (CAST(round(x) AS BIGINT)) have
+    // no signed zero and are exempt.
+    val typeKw = Set("BIGINT", "INT", "INTEGER", "HUGEINT", "DOUBLE",
+      "DECIMAL", "VARCHAR", "SMALLINT", "TINYINT", "UBIGINT", "FLOAT",
+      "REAL", "DATE", "TIMESTAMP", "BOOLEAN")
+    val asAlias = "^\\s*AS\\s+(\\w+)".r
+    val normalized = "^\\s*\\+\\s*0\\.0\\s*AS\\s+\\w+".r
+    def violations(sql: String): Seq[String] = {
+      val low = sql.toLowerCase
+      val out = Seq.newBuilder[String]
+      var i = 0
+      var k = low.indexOf("round(", i)
+      while (k >= 0) {
+        val partOfIdent = k > 0 && {
+          val c = low.charAt(k - 1)
+          c.isLetterOrDigit || c == '_' || c == '.'
+        }
+        // balanced-paren scan from round's '('
+        var d = 0
+        var j = k + 5
+        while (j < sql.length && { sql.charAt(j) match {
+          case '(' => d += 1; true
+          case ')' => d -= 1; d != 0
+          case _ => true
+        }}) j += 1
+        if (!partOfIdent && j < sql.length) {
+          val after = sql.substring(j + 1)
+          asAlias.findFirstMatchIn(after).foreach { m =>
+            val alias = m.group(1).toUpperCase
+            if (!typeKw(alias) && normalized.findFirstIn(after).isEmpty)
+              out += s"${sql.slice(k, j + 1).replace('\n', ' ').take(60)} AS ${m.group(1)}"
+          }
+        }
+        i = j + 1
+        k = if (i < low.length) low.indexOf("round(", i) else -1
+      }
+      out.result()
+    }
+    val bad = SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap {
+      case (name, sql) => violations(sql).map(v => s"$name: $v")
+    }
+    assert(bad.isEmpty,
+      s"un-normalized double round() feeding an output alias (append " +
+        s"`+ 0.0`):\n${bad.mkString("\n")}")
+  }
+
   test("every registered query has either an oracle or a documented gap") {
     // queries without oracleSql get a weaker rows-only driver check;
     // keep that set explicit so an accidentally-dropped oracle is loud

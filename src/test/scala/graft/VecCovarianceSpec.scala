@@ -29,27 +29,30 @@ class VecCovarianceSpec extends AnyFunSuite {
   }
 
   test("matches an independent in-memory covariance on the fixture") {
+    // the independent leg accumulates in BigInt — deliberately NOT the
+    // same int128 arithmetic as array_sum_agg_dec, so a carry bug in
+    // the aggregate can't cancel out here
     val vs = graft.Tables.embeddings(spark, sf)
       .select("embedding").collect()
       .map(_.getSeq[Float](0).toArray
         .map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong))
     val n = vs.length.toLong
-    val sx = Array.fill(Dim)(0L)
-    val sxy = Array.ofDim[Long](Dim, Dim)
+    val sx = Array.fill(Dim)(BigInt(0))
+    val sxy = Array.fill(Dim, Dim)(BigInt(0))
     vs.foreach { v =>
       var i = 0
       while (i < Dim) {
         sx(i) += v(i)
         var j = i
-        while (j < Dim) { sxy(i)(j) += v(i) * v(j); j += 1 }
+        while (j < Dim) { sxy(i)(j) += BigInt(v(i)) * v(j); j += 1 }
         i += 1
       }
     }
     def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
     val got = graft.operators.VectorQueries.covariance(spark, sf).collect()
-      .map(r => ((r.getInt(0), r.getInt(1)), (r.getLong(2), r.getLong(3),
-        r.getDouble(4)))).toMap
+      .map(r => ((r.getInt(0), r.getInt(1)), (r.getLong(2),
+        BigInt(r.getDecimal(3).toBigIntegerExact), r.getDouble(4)))).toMap
     assert(got.size == Dim * (Dim + 1) / 2)
     for (i <- 1 to Dim; j <- i to Dim) {
       val exp = r6((sxy(i - 1)(j - 1).toDouble / 1e12 -
@@ -59,6 +62,39 @@ class VecCovarianceSpec extends AnyFunSuite {
       assert(gn == n && gsxy == sxy(i - 1)(j - 1) && gcov == exp,
         s"cell ($i,$j): got ($gn,$gsxy,$gcov) expected ($n,${sxy(i - 1)(j - 1)},$exp)")
     }
+  }
+
+  test("pair sums past the int64 envelope: exact, no wrap, no throw") {
+    // Drives the EXACT covariance aggregation shape (array_outer_tri →
+    // array_sum_agg_dec) with per-row products near Long.Max, so the
+    // SUM exceeds int64 within a handful of rows — the regime where the
+    // first-cut int64 path refused to run (and a wrapping path would be
+    // silently wrong). 3e9 micro ≈ a |x|≈3000 component; each product
+    // 9e18 ≈ Long.Max, 40 rows ≈ 3.6e20 ≫ Long.Max.
+    graft.plans.GraftExtensions.register(spark)
+    val rows = 40
+    val v = 3000000000L // 3e9: v*v = 9e18 < Long.Max = 9.223e18
+    val df = spark.range(rows).selectExpr(
+      s"array(${v}L, ${-v}L, ${v}L) AS v")
+    val out = df
+      .selectExpr("v", "array_outer_tri(v) AS xx")
+      .selectExpr(
+        "count(1) AS n",
+        "array_sum_agg_dec(v) AS sx",
+        "array_sum_agg_dec(xx) AS sxx")
+      .collect()(0)
+    assert(out.getLong(0) == rows)
+    val expectedSx = Seq(BigInt(v) * rows, BigInt(-v) * rows, BigInt(v) * rows)
+    val gotSx = out.getSeq[java.math.BigDecimal](1)
+      .map(d => BigInt(d.toBigIntegerExact))
+    assert(gotSx == expectedSx)
+    val one = Seq(BigInt(v) * v, BigInt(v) * -v, BigInt(v) * v,
+      BigInt(-v) * -v, BigInt(-v) * v, BigInt(v) * v)
+    val gotSxx = out.getSeq[java.math.BigDecimal](2)
+      .map(d => BigInt(d.toBigIntegerExact))
+    assert(gotSxx == one.map(_ * rows))
+    // every element is outside int64 — the sum genuinely crossed over
+    assert(gotSxx.forall(_.abs > BigInt(Long.MaxValue)))
   }
 
   test("array_outer_tri: codegen == interpreted == plain Scala; loud edges") {

@@ -31,6 +31,12 @@ oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 def norm(v):
     if isinstance(v, float):
         if math.isnan(v): return "NaN"
+        # the driver's hash is BIT-sensitive: -0.0 != +0.0 there (DuckDB
+        # round() keeps the IEEE sign bit; Spark round / Java BigDecimal
+        # normalize it away). Distinguish zero signs here too, or this
+        # stand-in passes what the driver fails (the r13 vec_covariance
+        # red row shipped through exactly this blind spot).
+        if v == 0.0 and math.copysign(1.0, v) < 0: return "-0.0"
         return v
     return v
 
