@@ -2163,7 +2163,101 @@ object VectorQueries {
        |FROM p JOIN s sa ON sa.i = p.i JOIN s sb ON sb.i = p.j, n
        |ORDER BY i, j""".stripMargin
 
+  // -------------------------------------------------------------------
+  // Charter: embedding standardization / outlier audit — the per-vector
+  // z-score report a pipeline runs right after the covariance audit:
+  // which vectors sit how far outside the per-dimension distribution
+  // (embedding-space outliers are deduplication false-negatives and
+  // retrieval poison; the n_outlier_dims>0 rows are the review queue,
+  // and the per-dim mean/std used here IS the diagonal whitening
+  // transform the covariance comment promises).
+  //
+  // Shape: TWO corpus passes, both shuffle-free on the corpus. Pass 1
+  // folds each row's micro vector and its element squares through
+  // array_sum_agg_dec (map-side combined, int128-exact at any scale;
+  // exactly ONE 129-value row reaches the driver — the KMeans
+  // contract). The driver derives per-dim mean/std and bakes them back
+  // as 64-literal arrays, so pass 2 is a pure codegen'd projection:
+  // zip_with → |z| quantized to integer micro-units, then array_max /
+  // integer aggregate PER ROW — no float reduction whose order could
+  // differ between engines, no exchange except the output orderBy.
+  // z-quantization (not the z doubles) is what keeps the per-vector
+  // SUM deterministic: integer sums are associative, float sums are
+  // not.
+  // -------------------------------------------------------------------
+  def standardize(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d).withColumn("v", expr(
+      "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT))"))
+    val st = e.agg(
+        count(lit(1)).as("n"),
+        call_function("array_sum_agg_dec", col("v")).as("sx"),
+        call_function("array_sum_agg_dec",
+          expr("transform(v, x -> x * x)")).as("sq"))
+      .collect()(0)
+    val nD = st.getLong(0).toDouble
+    val sx = st.getSeq[java.math.BigDecimal](1)
+    val sq = st.getSeq[java.math.BigDecimal](2)
+    // identical IEEE derivation to the oracle's st CTE: mu = sx/n,
+    // sd = sqrt(sq/n - mu*mu), all through correctly-rounded
+    // decimal→double casts
+    val mus = (0 until Dim).map(i => sx(i).doubleValue() / nD)
+    val sds = (0 until Dim).map { i =>
+      val mu = mus(i)
+      math.sqrt(sq(i).doubleValue() / nD - mu * mu)
+    }
+    val muArr = array(mus.map(lit): _*)
+    val sdArr = array(sds.map(lit): _*)
+    // a zero-variance dim is z=0 by convention in BOTH engines (the
+    // synthetic corpus has none; real corpora have constant pad dims)
+    val z = zip_with(
+      zip_with(col("v"), muArr, (x, m) => x.cast("double") - m),
+      sdArr, (a, sd) => when(sd === 0.0, lit(0.0)).otherwise(a / sd))
+    val azq = transform(z,
+      zc => floor(abs(zc) * lit(1e6) + lit(0.5)).cast("long"))
+    e.select(col("vec_id"), azq.as("azq"))
+      .select(col("vec_id"),
+        array_max(col("azq")).as("max_abs_z_micro"),
+        aggregate(col("azq"), lit(0L), (acc, x) => acc + x)
+          .as("sum_abs_z_micro"),
+        size(filter(col("azq"), _ > lit(3000000L))).cast("bigint")
+          .as("n_outlier_dims"))
+      .orderBy("vec_id")
+  }
+
+  val standardizeSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |x AS MATERIALIZED (
+       |  SELECT vec_id, CAST(i AS INT) AS i, v[i] AS xi
+       |  FROM e, unnest(range(1, ${Dim + 1})) AS t(i)),
+       |s AS (
+       |  SELECT i, CAST(sum(xi) AS DECIMAL(38,0)) AS sx,
+       |    CAST(sum(xi * xi) AS DECIMAL(38,0)) AS sq
+       |  FROM x GROUP BY i),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+       |st AS (
+       |  SELECT i, mu, sqrt(msq - mu * mu) AS sd FROM (
+       |    SELECT i, CAST(sx AS DOUBLE) / CAST(n.n AS DOUBLE) AS mu,
+       |           CAST(sq AS DOUBLE) / CAST(n.n AS DOUBLE) AS msq
+       |    FROM s, n)),
+       |z AS (
+       |  SELECT x.vec_id,
+       |    CAST(floor(abs(CASE WHEN st.sd = 0 THEN 0.0
+       |      ELSE (CAST(x.xi AS DOUBLE) - st.mu) / st.sd END) * 1e6 + 0.5)
+       |      AS BIGINT) AS azq
+       |  FROM x JOIN st ON st.i = x.i)
+       |SELECT vec_id,
+       |  max(azq) AS max_abs_z_micro,
+       |  CAST(sum(azq) AS BIGINT) AS sum_abs_z_micro,
+       |  CAST(sum(CASE WHEN azq > 3000000 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_outlier_dims
+       |FROM z GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vec_standardize" -> (standardize _),
     "vec_covariance" -> (covariance _),
     "vec_centroid_drift" -> (centroidDrift _),
     "vec_random_projection" -> (randomProjection _),
@@ -2196,6 +2290,7 @@ object VectorQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "vec_standardize" -> standardizeSql,
     "vec_covariance" -> covarianceSql,
     "vec_centroid_drift" -> centroidDriftSql,
     "vec_random_projection" -> randomProjectionSql,
