@@ -2017,7 +2017,93 @@ object RelationalQueries {
       |FROM ev JOIN st USING (event_type)
       |GROUP BY ev.event_type ORDER BY ev.event_type""".stripMargin
 
+  // -------------------------------------------------------------------
+  // Charter: WINDOWED ordered-stage funnel (the windowFunnel analytic;
+  // rel_funnel above is the unwindowed count-only form): of the users
+  // who 'view', how many go on to 'click' and then 'purchase', where
+  // stage k must be STRICTLY after stage k-1 and within FunnelWindow of
+  // the user's FIRST stage-1 event (first-touch semantics: every stage
+  // timestamp is the earliest qualifying event). Output: one row per
+  // stage with the surviving
+  // user count and the exact summed stage-to-stage conversion lag in
+  // integer microseconds (sum+count = the mean lag, without a float
+  // reduction whose order could differ between engines).
+  //
+  // Shape: stage k is one type-filtered scan (the equality predicate
+  // pushes to the parquet reader, so each pass reads ~1/5 of the
+  // corpus) joined to the ≤|users| stage-(k-1) table on user_id and
+  // min-aggregated. After the first groupBy everything is
+  // hash-partitioned on user_id, so the chain co-partitions under AQE;
+  // each min() is map-side combined; no windows, no per-user state, no
+  // collect. K stages = K passes — at 100 TB that beats any
+  // sort-the-whole-corpus-per-user window formulation, and per-user
+  // event skew never concentrates (the per-user row after stage 1 is
+  // ONE row regardless of activity).
+  // -------------------------------------------------------------------
+  private val FunnelWindow = "INTERVAL 7 DAYS"
+
+  def funnelWindowed(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("user_id"), col("ts"), col("event_type"))
+    def stageScan(t: String) = ev.filter(col("event_type") === t)
+    val s1 = stageScan("view")
+      .groupBy("user_id").agg(min(col("ts")).as("t1"))
+    val s2 = stageScan("click")
+      .join(s1, "user_id")
+      .filter(col("ts") > col("t1") &&
+        col("ts") <= col("t1") + expr(FunnelWindow))
+      .groupBy("user_id")
+      .agg(min(col("ts")).as("t2"), min(col("t1")).as("t1"))
+    val s3 = stageScan("purchase")
+      .join(s2, "user_id")
+      .filter(col("ts") > col("t2") &&
+        col("ts") <= col("t1") + expr(FunnelWindow))
+      .groupBy("user_id")
+      .agg(min(col("ts")).as("t3"), min(col("t2")).as("t2"))
+    val r1 = s1.agg(count(lit(1)).as("n_users"))
+      .select(lit("1_view").as("stage"), col("n_users"),
+        lit(0L).as("sum_lag_us"))
+    val r2 = s2.agg(count(lit(1)).as("n_users"),
+        coalesce(sum(unix_micros(col("t2")) - unix_micros(col("t1"))),
+          lit(0L)).as("sum_lag_us"))
+      .select(lit("2_click").as("stage"), col("n_users"), col("sum_lag_us"))
+    val r3 = s3.agg(count(lit(1)).as("n_users"),
+        coalesce(sum(unix_micros(col("t3")) - unix_micros(col("t2"))),
+          lit(0L)).as("sum_lag_us"))
+      .select(lit("3_purchase").as("stage"), col("n_users"),
+        col("sum_lag_us"))
+    r1.unionAll(r2).unionAll(r3).orderBy("stage")
+  }
+
+  val funnelWindowedSql: String =
+    """WITH s1 AS MATERIALIZED (
+      |  SELECT user_id, min(ts) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |s2 AS MATERIALIZED (
+      |  SELECT e.user_id, min(e.ts) AS t2, min(s1.t1) AS t1
+      |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > s1.t1
+      |    AND e.ts <= s1.t1 + INTERVAL 7 DAY
+      |  GROUP BY e.user_id),
+      |s3 AS (
+      |  SELECT e.user_id, min(e.ts) AS t3, min(s2.t2) AS t2
+      |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      |    AND e.ts <= s2.t1 + INTERVAL 7 DAY
+      |  GROUP BY e.user_id)
+      |SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS n_users,
+      |  CAST(0 AS BIGINT) AS sum_lag_us FROM s1
+      |UNION ALL
+      |SELECT '2_click', CAST(count(*) AS BIGINT),
+      |  CAST(coalesce(sum(epoch_us(t2) - epoch_us(t1)), 0) AS BIGINT)
+      |FROM s2
+      |UNION ALL
+      |SELECT '3_purchase', CAST(count(*) AS BIGINT),
+      |  CAST(coalesce(sum(epoch_us(t3) - epoch_us(t2)), 0) AS BIGINT)
+      |FROM s3
+      |ORDER BY stage""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_funnel_windowed" -> (funnelWindowed _),
     "rel_anomaly_zscore" -> (anomalyZscore _),
     "rel_gap_fill" -> (gapFill _),
     "rel_markov" -> (markovTransitions _),
@@ -2078,6 +2164,7 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "rel_funnel_windowed" -> funnelWindowedSql,
     "rel_anomaly_zscore" -> anomalyZscoreSql,
     "rel_gap_fill" -> gapFillSql,
     "rel_markov" -> markovTransitionsSql,

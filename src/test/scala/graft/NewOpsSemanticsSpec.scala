@@ -481,4 +481,46 @@ class NewOpsSemanticsSpec extends AnyFunSuite {
     assert(expected.nonEmpty)
     expected.foreach { case (a, b, _) => assert(a / 3 == b / 3) }
   }
+
+  // ---- rel_funnel_windowed ------------------------------------------
+
+  test("windowed funnel: strict ordering, window boundary, first-touch") {
+    // the sf0.01 gate certifies bulk values; this corpus hits the four
+    // boundary rules a bulk corpus may never isolate:
+    //   u1: a click TIED with the view must not convert (strict >), a
+    //       purchase BEFORE the first qualifying click must not count,
+    //       the earliest qualifying events win (first-touch lags)
+    //   u2: a click past view+7d is outside the window
+    //   u3: clicks/purchases without any view never enter the funnel
+    //   u4: a click exactly AT view+7d is inside (<= boundary); its
+    //       purchase at +7d+1h is outside
+    val dir = tmp("funnelw")
+    import spark.implicits._
+    val t0 = 1000000000000000000L // ns
+    val h = 3600L * 1000000000L   // 1 hour in ns
+    val d7 = 7L * 24L * h         // the FunnelWindow in ns
+    val rows = Seq(
+      (1L, t0, 10L, "view", 1.0),
+      (2L, t0, 10L, "click", 1.0),          // tie with view: excluded
+      (3L, t0 + h, 10L, "click", 1.0),      // t2 = +1h
+      (4L, t0 + h / 2, 10L, "purchase", 1.0), // before t2: excluded
+      (5L, t0 + 2 * h, 10L, "purchase", 1.0), // t3 = +2h
+      (6L, t0, 20L, "view", 1.0),
+      (7L, t0 + d7 + h, 20L, "click", 1.0), // outside window
+      (8L, t0 + h, 30L, "click", 1.0),      // no view: not in funnel
+      (9L, t0 + 2 * h, 30L, "purchase", 1.0),
+      (10L, t0, 40L, "view", 1.0),
+      (11L, t0 + d7, 40L, "click", 1.0),    // exactly at boundary: in
+      (12L, t0 + d7 + h, 40L, "purchase", 1.0)) // past boundary: out
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("rel_funnel_windowed")(spark, dir)
+      .collect().map(r => (r.getAs[String]("stage"),
+        r.getAs[Long]("n_users"), r.getAs[Long]("sum_lag_us"))).toSeq
+    val usH = 3600L * 1000000L
+    assert(got === Seq(
+      ("1_view", 3L, 0L),                       // u1, u2, u4
+      ("2_click", 2L, usH + 7L * 24L * usH),    // u1 (+1h), u4 (+7d)
+      ("3_purchase", 1L, usH)))                 // u1 only (+1h from t2)
+  }
 }
