@@ -428,4 +428,33 @@ class PlanQualitySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("windowed funnel pushes each stage's type filter into its scan " +
+    "and plans no window operator") {
+    val plan = physical(RelationalQueries.funnelWindowed(spark, sf))
+    // each stage is a pushed-down type-filtered scan, not a post-scan
+    // filter over the full corpus...
+    assert(plan.contains("EqualTo(event_type,view)") ||
+      plan.contains("EqualTo(event_type, view)"), plan)
+    assert(plan.contains("EqualTo(event_type,click)") ||
+      plan.contains("EqualTo(event_type, click)"), plan)
+    // ...and the per-user chaining is min-aggregates + joins — NO
+    // sort-the-corpus-per-user Window node anywhere
+    assert(!plan.contains("Window"), plan)
+    // the min() aggregates are map-side combined (partial before final)
+    assert("partial_min".r.findAllIn(plan).size >= 2, plan)
+  }
+
+  test("standardize scores with zero exchanges below the output sort") {
+    // pass 2 (the z-scoring projection) must be scan → project → sort:
+    // the per-dim stats are baked literals, so nothing shuffles except
+    // the deterministic output ordering
+    val plan = physical(VectorQueries.standardize(spark, sf))
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    // exactly the rangepartitioning exchange feeding the final sort
+    assert(exchanges == 1, s"expected 1 exchange (output sort), got " +
+      s"$exchanges:\n$plan")
+    assert(plan.contains("Exchange rangepartitioning"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
 }
