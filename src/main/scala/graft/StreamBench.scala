@@ -5,10 +5,10 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import graft.streaming._
 
-/** Stateful-stream throughput for the bench artifact: drives ALL nine
-  * non-relay streams (compaction, attribution, sessionize, incremental
-  * dedup, sketch, curation, decontaminate, media features, ANN
-  * serving) over
+/** Stateful-stream throughput for the bench artifact: drives ALL the
+  * non-relay streams (compaction, attribution, sessionize, funnel,
+  * incremental dedup, sketch, curation, decontaminate, media features,
+  * ANN serving at two loads) over
   * the sf tables staged as micro-batch files — several triggers each,
   * the same file-per-source-batch shape the relay bench uses — and
   * reports rows/sec plus end-of-run state rows. For ann_serve the rate
@@ -182,6 +182,17 @@ object StreamBench {
           .select(col("user_id"), col("ts")).as[SessionizeStream.Event])
         .writeStream.format("noop")
         .option("checkpointLocation", s"$root/sess_chk$rep")
+        .outputMode("append").start()
+    }(storeStateRows)
+
+    measure("funnel", nEv) { rep =>
+      FunnelStream.stages(
+        spark.readStream.schema(evSchema)
+          .option("maxFilesPerTrigger", 8).parquet(s"$root/events")
+          .select(col("user_id"), col("ts"), col("event_type"))
+          .as[FunnelStream.Event])
+        .writeStream.format("noop")
+        .option("checkpointLocation", s"$root/funnel_chk$rep")
         .outputMode("append").start()
     }(storeStateRows)
 
