@@ -243,8 +243,15 @@ object Bench {
     // same honesty contract as the batch block: the published rate is a
     // median over reps, and the per-stream spread + a noise flag ride
     // along so a single-shot swing can't masquerade as a regression
+    // the flag judges the TRIMMED spread (one outlier rep dropped per
+    // side at reps ≥ 5, raw spread below that): the noisy streams run 5
+    // reps precisely so a single cold-cache rep can't flag the sweep
     val streamNoiseExceeded = streaming.values.exists(s =>
-      !s.spread.isNaN && s.spread > 1.5)
+      !s.trimmedSpread.isNaN && s.trimmedSpread > 1.5)
+    // a 0-rows/sec rep makes spread NaN — emit null, never bare NaN,
+    // or the whole artifact stops parsing as JSON
+    def numOrNull(v: Double, decimals: Int): String =
+      if (v.isNaN || v.isInfinite) "null" else num(v, decimals)
     val streamingJson = streaming.toSeq.sortBy(_._1).map {
       case (n, s) =>
         "\"" + n + "\":{\"rows_per_sec\":" + num(s.rowsPerSec, 1) +
@@ -252,7 +259,8 @@ object Bench {
           ",\"reps\":" + s.reps +
           ",\"rps_min\":" + num(s.rpsMin, 1) +
           ",\"rps_max\":" + num(s.rpsMax, 1) +
-          ",\"spread\":" + num(s.spread, 3) + "}"
+          ",\"spread\":" + numOrNull(s.spread, 3) +
+          ",\"spread_trimmed\":" + numOrNull(s.trimmedSpread, 3) + "}"
     }.mkString("{", ",", "}")
     // A query that threw is present in "queries" (its wall time is still
     // real) but ALSO keyed in "errors" — consumers must treat such a

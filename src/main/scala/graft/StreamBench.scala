@@ -38,11 +38,27 @@ object StreamBench {
 
   /** Median rate over the reps, plus the honesty metadata: rep count,
     * min/max, and the max/min spread (1.0 = perfectly stable).
+    * `rates` keeps every counted rep so the noise flag can use the
+    * trimmed spread at reps ≥ 5 (see [[trimmedSpread]]).
     */
   final case class StreamStat(
       rowsPerSec: Double, stateRows: Long,
-      reps: Int, rpsMin: Double, rpsMax: Double) {
+      reps: Int, rpsMin: Double, rpsMax: Double,
+      rates: Seq[Double] = Nil) {
     def spread: Double = if (rpsMin > 0) rpsMax / rpsMin else Double.NaN
+    /** Spread with ONE outlier rep discarded from each end — only
+      * meaningful at reps ≥ 5 (3 surviving observations); below that it
+      * IS the raw spread. More reps widen the raw max/min ratio by
+      * construction (more draws from the same noise distribution), so
+      * the r14 remedy "run the noisy streams at 5 reps" needs the flag
+      * to judge the stable core, not the tails — a single cold-cache or
+      * GC-hit rep shouldn't read as an unstable stream.
+      */
+    def trimmedSpread: Double =
+      if (rates.size >= 5) {
+        val core = rates.sorted.slice(1, rates.size - 1)
+        if (core.head > 0) core.last / core.head else Double.NaN
+      } else spread
   }
 
   private def median(xs: Seq[Double]): Double = {
@@ -61,6 +77,14 @@ object StreamBench {
     def wanted(name: String): Boolean = onlyStreams.forall(_.contains(name))
     val repsWanted = sys.env.get("SPARK_GRAFT_STREAM_REPS")
       .map(_.toInt).getOrElse(3)
+    // the three streams whose r14 driver spreads exceeded 1.25 at
+    // reps=3 (media_features 1.44, decontaminate 1.37,
+    // incremental_dedup 1.36): they run 5 counted reps so the median is
+    // anchored and the noise flag can trim one outlier per side
+    val noisyStreams = Set("media_features", "decontaminate",
+      "incremental_dedup")
+    def repsFor(name: String): Int =
+      if (noisyStreams(name)) math.max(repsWanted, 5) else repsWanted
     val warmups = sys.env.get("SPARK_GRAFT_STREAM_WARMUP")
       .map(_.toInt).getOrElse(1)
     val out = scala.collection.mutable.Map[String, StreamStat]()
@@ -125,7 +149,7 @@ object StreamBench {
       if (wanted(name)) try {
         val rates = Seq.newBuilder[Double]
         var lastState = 0L
-        for (rep <- 0 until warmups + repsWanted) {
+        for (rep <- 0 until warmups + repsFor(name)) {
           val counted = rep >= warmups
           val tBuild = System.nanoTime()
           val q = build(rep)
@@ -150,7 +174,8 @@ object StreamBench {
             name, (rows / secs).asInstanceOf[AnyRef]))
         }
         val rs = rates.result()
-        out(name) = StreamStat(median(rs), lastState, rs.size, rs.min, rs.max)
+        out(name) = StreamStat(median(rs), lastState, rs.size, rs.min,
+          rs.max, rs)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] stream $name failed: ${e.getMessage}")
       }

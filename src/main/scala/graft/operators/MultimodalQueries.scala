@@ -296,7 +296,7 @@ object MultimodalQueries {
        |SELECT width, height, n_assets, sum_px,
        |  CAST(CAST(mw AS BIGINT) * mh * n_assets - sum_px AS BIGINT)
        |    AS pad_px_to_max,
-       |  round(CAST(n_assets AS DOUBLE) / na, 6) + 0.0 AS share
+       |  CASE WHEN round(CAST(n_assets AS DOUBLE) / na, 6) = 0 THEN 0.0 ELSE round(CAST(n_assets AS DOUBLE) / na, 6) END AS share
        |FROM agg, tot ORDER BY width, height""".stripMargin
 
   // -------------------------------------------------------------------
@@ -480,12 +480,13 @@ object MultimodalQueries {
        |  FROM assets, unnest(range(0, CAST(n_frames AS BIGINT))) AS t(w))
        |SELECT media_id, count(*) AS n_windows,
        |  CAST(sum(CASE WHEN k < $SilenceK THEN 1 ELSE 0 END) AS BIGINT) AS n_silent,
-       |  round(1.0 - CAST(sum(CASE WHEN k < $SilenceK THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) + 0.0 AS speech_ratio,
+       |  CASE WHEN round(1.0 - CAST(sum(CASE WHEN k < $SilenceK THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) = 0 THEN 0.0 ELSE round(1.0 - CAST(sum(CASE WHEN k < $SilenceK THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) END AS speech_ratio,
        |  CAST(min(CASE WHEN k >= $SilenceK THEN w END) AS INT) AS first_voice_w,
-       |  round(CAST(max(k) AS DOUBLE) / 4294967296.0, 6) + 0.0 AS peak_amp,
-       |  round(CAST(sum(k) AS DOUBLE) / count(*) / 4294967296.0, 6) + 0.0 AS mean_amp,
-       |  round(CAST(sum(CAST(k AS HUGEINT) * k) AS DOUBLE) / count(*)
-       |    / 1.8446744073709552e19, 6) + 0.0 AS mean_energy
+       |  CASE WHEN round(CAST(max(k) AS DOUBLE) / 4294967296.0, 6) = 0 THEN 0.0 ELSE round(CAST(max(k) AS DOUBLE) / 4294967296.0, 6) END AS peak_amp,
+       |  CASE WHEN round(CAST(sum(k) AS DOUBLE) / count(*) / 4294967296.0, 6) = 0 THEN 0.0 ELSE round(CAST(sum(k) AS DOUBLE) / count(*) / 4294967296.0, 6) END AS mean_amp,
+       |  CASE WHEN round(CAST(sum(CAST(k AS HUGEINT) * k) AS DOUBLE) / count(*)
+       |    / 1.8446744073709552e19, 6) = 0 THEN 0.0 ELSE round(CAST(sum(CAST(k AS HUGEINT) * k) AS DOUBLE) / count(*)
+       |    / 1.8446744073709552e19, 6) END AS mean_energy
        |FROM wins GROUP BY media_id ORDER BY media_id""".stripMargin
 
   // -------------------------------------------------------------------

@@ -659,8 +659,8 @@ object RelationalQueries {
 
   val approxQuantileSql: String =
     """SELECT event_type,
-      |  round(quantile_cont(value, 0.5), 6) + 0.0 AS p50,
-      |  round(quantile_cont(value, 0.9), 6) + 0.0 AS p90,
+      |  CASE WHEN round(quantile_cont(value, 0.5), 6) = 0 THEN 0.0 ELSE round(quantile_cont(value, 0.5), 6) END AS p50,
+      |  CASE WHEN round(quantile_cont(value, 0.9), 6) = 0 THEN 0.0 ELSE round(quantile_cont(value, 0.9), 6) END AS p90,
       |  count(*) AS n, TRUE AS within_tol
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
@@ -875,8 +875,9 @@ object RelationalQueries {
       |  SELECT prev_type, next_type, count(*) AS n
       |  FROM seq WHERE prev_type IS NOT NULL GROUP BY prev_type, next_type)
       |SELECT prev_type, next_type, n,
-      |  round(CAST(n AS DOUBLE) /
-      |    CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE), 6) + 0.0 AS prob
+      |  CASE WHEN round(CAST(n AS DOUBLE) /
+      |    CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE), 6) = 0 THEN 0.0 ELSE round(CAST(n AS DOUBLE) /
+      |    CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE), 6) END AS prob
       |FROM tr ORDER BY prev_type, next_type""".stripMargin
 
   // -------------------------------------------------------------------
@@ -1543,9 +1544,9 @@ object RelationalQueries {
 
   val quantilesSql: String =
     """SELECT event_type,
-      |  round(quantile_cont(value, 0.5), 6) + 0.0 AS p50,
-      |  round(quantile_cont(value, 0.9), 6) + 0.0 AS p90,
-      |  round(quantile_cont(value, 0.99), 6) + 0.0 AS p99,
+      |  CASE WHEN round(quantile_cont(value, 0.5), 6) = 0 THEN 0.0 ELSE round(quantile_cont(value, 0.5), 6) END AS p50,
+      |  CASE WHEN round(quantile_cont(value, 0.9), 6) = 0 THEN 0.0 ELSE round(quantile_cont(value, 0.9), 6) END AS p90,
+      |  CASE WHEN round(quantile_cont(value, 0.99), 6) = 0 THEN 0.0 ELSE round(quantile_cont(value, 0.99), 6) END AS p99,
       |  min(value) AS v_min, max(value) AS v_max
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
@@ -1578,10 +1579,13 @@ object RelationalQueries {
 
   val statsManualSql: String =
     """SELECT l_returnflag, n,
-      |  round(
+      |  CASE WHEN round(
       |    CAST(n * sxy - sx * sy AS DOUBLE) /
       |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
-      |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) + 0.0 AS corr_qty_price
+      |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) = 0 THEN 0.0 ELSE round(
+      |    CAST(n * sxy - sx * sy AS DOUBLE) /
+      |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+      |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) END AS corr_qty_price
       |FROM (
       |  SELECT l_returnflag, count(*) AS n,
       |    sum(CAST(CAST(round(l_quantity * 100) AS BIGINT) AS HUGEINT)) AS sx,
@@ -1788,7 +1792,7 @@ object RelationalQueries {
       |sizes AS (SELECT cohort, count(*) AS cohort_size FROM m
       |          WHERE wk = cohort GROUP BY cohort)
       |SELECT cohort, week_offset, cohort_size, n_active,
-      |  round(CAST(n_active AS DOUBLE) / cohort_size, 6) + 0.0 AS retention
+      |  CASE WHEN round(CAST(n_active AS DOUBLE) / cohort_size, 6) = 0 THEN 0.0 ELSE round(CAST(n_active AS DOUBLE) / cohort_size, 6) END AS retention
       |FROM (
       |  SELECT cohort,
       |    CAST(date_diff('day', CAST(cohort AS DATE), CAST(wk AS DATE))
@@ -1853,7 +1857,7 @@ object RelationalQueries {
       |  SELECT count(*) AS n_hot_keys FROM c, tot
       |  WHERE cnt * n_keys > n_rows * 2)
       |SELECT n_keys, n_rows, max_key_rows,
-      |  round(CAST(top10_rows AS DOUBLE) / n_rows, 6) + 0.0 AS top10_share,
+      |  CASE WHEN round(CAST(top10_rows AS DOUBLE) / n_rows, 6) = 0 THEN 0.0 ELSE round(CAST(top10_rows AS DOUBLE) / n_rows, 6) END AS top10_share,
       |  n_hot_keys
       |FROM tot, t10, hot""".stripMargin
 
@@ -2102,7 +2106,150 @@ object RelationalQueries {
       |FROM s3
       |ORDER BY stage""".stripMargin
 
+  // -------------------------------------------------------------------
+  // Charter: REPEAT-conversion funnel (windowFunnel with recurrence) —
+  // the batch twin of FunnelStream's multi-window behavior, closing the
+  // one semantics gap between the twins: `rel_funnel_windowed` reports
+  // first-touch only, while the stream re-opens a fresh funnel once a
+  // user's window seals. Window starts are the stream's greedy chain:
+  // cycle 1 opens at the user's first view; cycle k+1 opens at the
+  // first view STRICTLY after cycle k's start + FunnelWindow (windows
+  // are therefore disjoint, so each click/purchase converts in at most
+  // one cycle). Output: one row per (cycle, stage) with the surviving
+  // user count and the exact integer-µs stage-to-stage lag sum.
+  //
+  // Shape: the greedy chain is inherently sequential in k, so window
+  // starts iterate — frontier k is ≤|users| rows (user_id, k-th window
+  // start); each round is ONE pushed-down view scan joined to the
+  // frontier and min-aggregated, localCheckpoint'ed so the loop's plan
+  // stays flat (the dedup_clusters lesson: chained lineage leaks plan
+  // metadata). Round count is bounded by corpus time span / window —
+  // ~52/year at 7 days regardless of row count — with a loud refusal
+  // at MaxFunnelCycles rather than silent truncation. Stages 2/3 are
+  // then ONE type-filtered scan each joined to the ≤Σ|windows| table,
+  // exactly the rel_funnel_windowed shape per cycle: no corpus-wide
+  // window sort, no per-user state, skew never concentrates.
+  // -------------------------------------------------------------------
+  private val MaxFunnelCycles = 64
+
+  def funnelCycles(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("user_id"), col("ts"), col("event_type"))
+    def stageScan(t: String) = ev.filter(col("event_type") === t)
+    val views = stageScan("view")
+    val wins = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    var frontier = views.groupBy("user_id").agg(min(col("ts")).as("t1"))
+      .withColumn("cycle", lit(1))
+      .localCheckpoint()
+    var cycle = 1
+    while (!frontier.isEmpty && cycle <= MaxFunnelCycles) {
+      wins += frontier
+      cycle += 1
+      frontier = views
+        .join(frontier.select(col("user_id"), col("t1").as("w1")), "user_id")
+        .filter(col("ts") > col("w1") + expr(FunnelWindow))
+        .groupBy("user_id").agg(min(col("ts")).as("t1"))
+        .withColumn("cycle", lit(cycle))
+        .localCheckpoint()
+    }
+    if (!frontier.isEmpty)
+      throw new IllegalStateException(
+        s"rel_funnel_cycles: more than $MaxFunnelCycles funnel windows " +
+          "for at least one user — raise MaxFunnelCycles (the corpus " +
+          "spans more window-lengths than the loop budget)")
+    val allWins = wins.reduce(_ unionAll _)
+    val s2 = stageScan("click")
+      .join(allWins, "user_id")
+      .filter(col("ts") > col("t1") &&
+        col("ts") <= col("t1") + expr(FunnelWindow))
+      .groupBy("user_id", "cycle")
+      .agg(min(col("ts")).as("t2"), min(col("t1")).as("t1"))
+    val s3 = stageScan("purchase")
+      .join(s2, "user_id")
+      .filter(col("ts") > col("t2") &&
+        col("ts") <= col("t1") + expr(FunnelWindow))
+      .groupBy("user_id", "cycle")
+      .agg(min(col("ts")).as("t3"), min(col("t2")).as("t2"))
+    val r1 = allWins.groupBy("cycle").agg(count(lit(1)).as("n_users"))
+      .select(col("cycle"), lit("1_view").as("stage"), col("n_users"),
+        lit(0L).as("sum_lag_us"))
+    val r2 = s2.groupBy("cycle").agg(count(lit(1)).as("n_users"),
+        coalesce(sum(unix_micros(col("t2")) - unix_micros(col("t1"))),
+          lit(0L)).as("sum_lag_us"))
+      .select(col("cycle"), lit("2_click").as("stage"), col("n_users"),
+        col("sum_lag_us"))
+    val r3 = s3.groupBy("cycle").agg(count(lit(1)).as("n_users"),
+        coalesce(sum(unix_micros(col("t3")) - unix_micros(col("t2"))),
+          lit(0L)).as("sum_lag_us"))
+      .select(col("cycle"), lit("3_purchase").as("stage"), col("n_users"),
+        col("sum_lag_us"))
+    r1.unionAll(r2).unionAll(r3).orderBy("cycle", "stage")
+  }
+
+  /** The greedy window chain as a recursive CTE: the recursive member
+    * advances each (user, cycle) row to the first view strictly past
+    * the sealed window; stages 2/3 and the per-(cycle, stage) rollup
+    * are rel_funnel_windowed's shape with cycle in the key.
+    */
+  val funnelCyclesSql: String =
+    """WITH RECURSIVE v AS (
+      |  SELECT user_id, ts FROM events WHERE event_type = 'view'),
+      |w AS (
+      |  SELECT user_id, 1 AS cycle, min(ts) AS t1 FROM v GROUP BY user_id
+      |  UNION ALL
+      |  SELECT w.user_id, w.cycle + 1,
+      |    (SELECT min(v.ts) FROM v
+      |      WHERE v.user_id = w.user_id AND v.ts > w.t1 + INTERVAL 7 DAY) AS t1
+      |  FROM w
+      |  WHERE EXISTS (SELECT 1 FROM v
+      |      WHERE v.user_id = w.user_id AND v.ts > w.t1 + INTERVAL 7 DAY)),
+      |s2 AS (
+      |  SELECT e.user_id, w.cycle, min(e.ts) AS t2, min(w.t1) AS t1
+      |  FROM events e JOIN w ON e.user_id = w.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > w.t1
+      |    AND e.ts <= w.t1 + INTERVAL 7 DAY
+      |  GROUP BY e.user_id, w.cycle),
+      |s3 AS (
+      |  SELECT e.user_id, s2.cycle, min(e.ts) AS t3, min(s2.t2) AS t2
+      |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      |    AND e.ts <= s2.t1 + INTERVAL 7 DAY
+      |  GROUP BY e.user_id, s2.cycle)
+      |SELECT cycle, '1_view' AS stage, CAST(count(*) AS BIGINT) AS n_users,
+      |  CAST(0 AS BIGINT) AS sum_lag_us FROM w GROUP BY cycle
+      |UNION ALL
+      |SELECT cycle, '2_click', CAST(count(*) AS BIGINT),
+      |  CAST(coalesce(sum(epoch_us(t2) - epoch_us(t1)), 0) AS BIGINT)
+      |FROM s2 GROUP BY cycle
+      |UNION ALL
+      |SELECT cycle, '3_purchase', CAST(count(*) AS BIGINT),
+      |  CAST(coalesce(sum(epoch_us(t3) - epoch_us(t2)), 0) AS BIGINT)
+      |FROM s3 GROUP BY cycle
+      |ORDER BY cycle, stage""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Driver-adjudicated canary for the -0.0 folding theory (the r14
+  // vec_covariance red row): the engine emits a literal +0.0 DOUBLE; the
+  // oracle computes `round(-1e-9, 6) + 0.0` — the ONE expression whose
+  // value differs under an optimizer that rewrites `x + 0.0 -> x` (an
+  // identity everywhere except on -0.0, which the normalization exists
+  // to remove). Interpretation of the driver's verdict:
+  //   green canary  = the driver's DuckDB does NOT fold `+ 0.0`; any
+  //                   remaining vec_covariance red is NOT zero-sign;
+  //   red canary    = folding proven — and every real oracle is immune,
+  //                   because they all use the fold-proof CASE form
+  //                   (`CASE WHEN round(x) = 0 THEN 0.0 ELSE round(x)
+  //                   END`; CASE branches never arithmetic-simplify).
+  // This is the only oracle allowed to carry `+ 0.0` (OracleHygieneSpec
+  // bans the idiom everywhere else; tools/check.py allowlists it).
+  // -------------------------------------------------------------------
+  def diagZeroSign(s: SparkSession, d: String): DataFrame =
+    s.sql("SELECT CAST(0.0 AS DOUBLE) AS z")
+
+  val diagZeroSignSql: String = "SELECT round(-1e-9, 6) + 0.0 AS z"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "diag_zero_sign" -> (diagZeroSign _),
+    "rel_funnel_cycles" -> (funnelCycles _),
     "rel_funnel_windowed" -> (funnelWindowed _),
     "rel_anomaly_zscore" -> (anomalyZscore _),
     "rel_gap_fill" -> (gapFill _),
@@ -2164,6 +2311,8 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "diag_zero_sign" -> diagZeroSignSql,
+    "rel_funnel_cycles" -> funnelCyclesSql,
     "rel_funnel_windowed" -> funnelWindowedSql,
     "rel_anomaly_zscore" -> anomalyZscoreSql,
     "rel_gap_fill" -> gapFillSql,

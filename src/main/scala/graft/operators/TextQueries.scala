@@ -487,9 +487,9 @@ object TextQueries {
        |    CAST(floor(($jd) * 1000000) AS BIGINT) AS exact_micro
        |  FROM pairs)
        |SELECT bucket, count(*) AS n_pairs,
-       |  round(CAST(CAST(sum(est_micro) AS BIGINT) AS DOUBLE) / 1000000.0 / count(*), 6) + 0.0 AS avg_est,
-       |  round(CAST(CAST(sum(exact_micro) AS BIGINT) AS DOUBLE) / 1000000.0 / count(*), 6) + 0.0 AS avg_exact,
-       |  round(CAST(CAST(sum(abs(est_micro - exact_micro)) AS BIGINT) AS DOUBLE) / 1000000.0 / count(*), 6) + 0.0 AS mean_abs_err
+       |  CASE WHEN round(CAST(CAST(sum(est_micro) AS BIGINT) AS DOUBLE) / 1000000.0 / count(*), 6) = 0 THEN 0.0 ELSE round(CAST(CAST(sum(est_micro) AS BIGINT) AS DOUBLE) / 1000000.0 / count(*), 6) END AS avg_est,
+       |  CASE WHEN round(CAST(CAST(sum(exact_micro) AS BIGINT) AS DOUBLE) / 1000000.0 / count(*), 6) = 0 THEN 0.0 ELSE round(CAST(CAST(sum(exact_micro) AS BIGINT) AS DOUBLE) / 1000000.0 / count(*), 6) END AS avg_exact,
+       |  CASE WHEN round(CAST(CAST(sum(abs(est_micro - exact_micro)) AS BIGINT) AS DOUBLE) / 1000000.0 / count(*), 6) = 0 THEN 0.0 ELSE round(CAST(CAST(sum(abs(est_micro - exact_micro)) AS BIGINT) AS DOUBLE) / 1000000.0 / count(*), 6) END AS mean_abs_err
        |FROM m GROUP BY bucket ORDER BY bucket""".stripMargin
   }
 
@@ -1040,7 +1040,7 @@ object TextQueries {
       |n AS (SELECT count(*) AS n_docs FROM documents)
       |SELECT doc_id, rn, term, tf, df, score FROM (
       |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
-      |    round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) + 0.0 AS score,
+      |    CASE WHEN round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) = 0 THEN 0.0 ELSE round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) END AS score,
       |    CAST(row_number() OVER (PARTITION BY tf.doc_id
       |      ORDER BY round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) DESC,
       |               tf.term) AS INTEGER) AS rn
@@ -1558,7 +1558,7 @@ object TextQueries {
        |  WHERE split = 'train'
        |  GROUP BY doc_id)
        |SELECT doc_id, n_passages, n_test_hits, n_val_hits,
-       |  round(CAST(n_test_hits + n_val_hits AS DOUBLE) / n_passages, 6) + 0.0
+       |  CASE WHEN round(CAST(n_test_hits + n_val_hits AS DOUBLE) / n_passages, 6) = 0 THEN 0.0 ELSE round(CAST(n_test_hits + n_val_hits AS DOUBLE) / n_passages, 6) END
        |    AS leak_ratio
        |FROM hits JOIN counts USING (doc_id)
        |ORDER BY doc_id""".stripMargin
@@ -2495,9 +2495,9 @@ object TextQueries {
       |t1000 AS (SELECT CAST(sum(n) AS BIGINT) AS top1000_n FROM
       |  (SELECT n FROM c ORDER BY n DESC, term LIMIT 1000))
       |SELECT vocab_size, total_tokens,
-      |  round(CAST(top10_n AS DOUBLE) / total_tokens, 6) + 0.0 AS top10_mass,
-      |  round(CAST(top100_n AS DOUBLE) / total_tokens, 6) + 0.0 AS top100_mass,
-      |  round(CAST(top1000_n AS DOUBLE) / total_tokens, 6) + 0.0 AS top1000_mass
+      |  CASE WHEN round(CAST(top10_n AS DOUBLE) / total_tokens, 6) = 0 THEN 0.0 ELSE round(CAST(top10_n AS DOUBLE) / total_tokens, 6) END AS top10_mass,
+      |  CASE WHEN round(CAST(top100_n AS DOUBLE) / total_tokens, 6) = 0 THEN 0.0 ELSE round(CAST(top100_n AS DOUBLE) / total_tokens, 6) END AS top100_mass,
+      |  CASE WHEN round(CAST(top1000_n AS DOUBLE) / total_tokens, 6) = 0 THEN 0.0 ELSE round(CAST(top1000_n AS DOUBLE) / total_tokens, 6) END AS top1000_mass
       |FROM tot, t10, t100, t1000""".stripMargin
 
   // -------------------------------------------------------------------
@@ -2549,10 +2549,11 @@ object TextQueries {
        |      AS n_pred_en
        |  FROM perdoc GROUP BY source, lang)
        |SELECT source, lang, n_docs,
-       |  round(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER
-       |    (PARTITION BY source), 6) + 0.0 AS share,
+       |  CASE WHEN round(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER
+       |    (PARTITION BY source), 6) = 0 THEN 0.0 ELSE round(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER
+       |    (PARTITION BY source), 6) END AS share,
        |  n_pred_en,
-       |  round(CAST(n_pred_en AS DOUBLE) / n_docs, 6) + 0.0 AS pred_en_rate
+       |  CASE WHEN round(CAST(n_pred_en AS DOUBLE) / n_docs, 6) = 0 THEN 0.0 ELSE round(CAST(n_pred_en AS DOUBLE) / n_docs, 6) END AS pred_en_rate
        |FROM cells ORDER BY source, lang""".stripMargin
 
   // -------------------------------------------------------------------
@@ -2603,7 +2604,7 @@ object TextQueries {
       |  FROM documents),
       |pri AS (
       |  SELECT r.source, r.doc_id,
-      |    round((rk - 0.5) / capped_weight, 6) + 0.0 AS priority
+      |    CASE WHEN round((rk - 0.5) / capped_weight, 6) = 0 THEN 0.0 ELSE round((rk - 0.5) / capped_weight, 6) END AS priority
       |  FROM ranked r JOIN wts ON wts.wsrc = r.source
       |  ORDER BY priority, r.source, r.doc_id LIMIT 50)
       |SELECT CAST(row_number() OVER (ORDER BY priority, source, doc_id)
@@ -2678,11 +2679,11 @@ object TextQueries {
        |  FROM (SELECT text_md5, count(*) AS cnt FROM flagged
        |        GROUP BY text_md5))
        |SELECT n_docs, n_sources, n_langs, total_tokens,
-       |  round(CAST(total_tokens AS DOUBLE) / n_docs, 6) + 0.0 AS avg_doc_tokens,
+       |  CASE WHEN round(CAST(total_tokens AS DOUBLE) / n_docs, 6) = 0 THEN 0.0 ELSE round(CAST(total_tokens AS DOUBLE) / n_docs, 6) END AS avg_doc_tokens,
        |  n_dup_docs,
-       |  round(CAST(n_dup_docs AS DOUBLE) / n_docs, 6) + 0.0 AS dup_rate,
+       |  CASE WHEN round(CAST(n_dup_docs AS DOUBLE) / n_docs, 6) = 0 THEN 0.0 ELSE round(CAST(n_dup_docs AS DOUBLE) / n_docs, 6) END AS dup_rate,
        |  n_pass,
-       |  round(CAST(n_pass AS DOUBLE) / n_docs, 6) + 0.0 AS pass_rate
+       |  CASE WHEN round(CAST(n_pass AS DOUBLE) / n_docs, 6) = 0 THEN 0.0 ELSE round(CAST(n_pass AS DOUBLE) / n_docs, 6) END AS pass_rate
        |FROM tot, dup""".stripMargin
 
   // -------------------------------------------------------------------
@@ -2744,10 +2745,12 @@ object TextQueries {
        |SELECT ta.source AS src_a, tb.source AS src_b,
        |  ta.n AS n_a, tb.n AS n_b,
        |  coalesce(c.n_common, 0) AS n_common,
-       |  round(CAST(coalesce(c.n_common, 0) AS DOUBLE)
-       |    / (ta.n + tb.n - coalesce(c.n_common, 0)), 6) + 0.0 AS jaccard,
-       |  round(CAST(coalesce(c.n_common, 0) AS DOUBLE)
-       |    / least(ta.n, tb.n), 6) + 0.0 AS containment
+       |  CASE WHEN round(CAST(coalesce(c.n_common, 0) AS DOUBLE)
+       |    / (ta.n + tb.n - coalesce(c.n_common, 0)), 6) = 0 THEN 0.0 ELSE round(CAST(coalesce(c.n_common, 0) AS DOUBLE)
+       |    / (ta.n + tb.n - coalesce(c.n_common, 0)), 6) END AS jaccard,
+       |  CASE WHEN round(CAST(coalesce(c.n_common, 0) AS DOUBLE)
+       |    / least(ta.n, tb.n), 6) = 0 THEN 0.0 ELSE round(CAST(coalesce(c.n_common, 0) AS DOUBLE)
+       |    / least(ta.n, tb.n), 6) END AS containment
        |FROM tot ta JOIN tot tb ON ta.source < tb.source
        |LEFT JOIN common c ON c.src_a = ta.source AND c.src_b = tb.source
        |ORDER BY src_a, src_b""".stripMargin
@@ -2801,8 +2804,8 @@ object TextQueries {
        |r AS (SELECT * FROM (
        |    SELECT c, row_number() OVER (ORDER BY c DESC, term) AS rk FROM c)
        |  WHERE rk <= $ZipfTopK),
-       |xy AS (SELECT round(ln(CAST(rk AS DOUBLE)), 6) + 0.0 AS x,
-       |              round(ln(CAST(c AS DOUBLE)), 6) + 0.0 AS y FROM r),
+       |xy AS (SELECT CASE WHEN round(ln(CAST(rk AS DOUBLE)), 6) = 0 THEN 0.0 ELSE round(ln(CAST(rk AS DOUBLE)), 6) END AS x,
+       |              CASE WHEN round(ln(CAST(c AS DOUBLE)), 6) = 0 THEN 0.0 ELSE round(ln(CAST(c AS DOUBLE)), 6) END AS y FROM r),
        |sums AS (SELECT count(*) AS n_terms,
        |  CAST(sum(CAST(x AS DECIMAL(27,6))) AS DOUBLE) AS sx,
        |  CAST(sum(CAST(y AS DECIMAL(27,6))) AS DOUBLE) AS sy,
@@ -2810,11 +2813,14 @@ object TextQueries {
        |  CAST(sum(CAST(round(x * y, 10) AS DECIMAL(31,10))) AS DOUBLE) AS sxy
        |  FROM xy)
        |SELECT n_terms,
-       |  round((CAST(n_terms AS DOUBLE) * sxy - sx * sy)
-       |    / (CAST(n_terms AS DOUBLE) * sxx - sx * sx), 6) + 0.0 AS slope,
-       |  round((sy - (CAST(n_terms AS DOUBLE) * sxy - sx * sy)
+       |  CASE WHEN round((CAST(n_terms AS DOUBLE) * sxy - sx * sy)
+       |    / (CAST(n_terms AS DOUBLE) * sxx - sx * sx), 6) = 0 THEN 0.0 ELSE round((CAST(n_terms AS DOUBLE) * sxy - sx * sy)
+       |    / (CAST(n_terms AS DOUBLE) * sxx - sx * sx), 6) END AS slope,
+       |  CASE WHEN round((sy - (CAST(n_terms AS DOUBLE) * sxy - sx * sy)
        |    / (CAST(n_terms AS DOUBLE) * sxx - sx * sx) * sx)
-       |    / CAST(n_terms AS DOUBLE), 6) + 0.0 AS intercept
+       |    / CAST(n_terms AS DOUBLE), 6) = 0 THEN 0.0 ELSE round((sy - (CAST(n_terms AS DOUBLE) * sxy - sx * sy)
+       |    / (CAST(n_terms AS DOUBLE) * sxx - sx * sx) * sx)
+       |    / CAST(n_terms AS DOUBLE), 6) END AS intercept
        |FROM sums""".stripMargin
 
   // -------------------------------------------------------------------
@@ -2881,8 +2887,9 @@ object TextQueries {
        |SELECT d.doc_id,
        |  CAST(coalesce(p.nw, 0) AS BIGINT) AS n_windows,
        |  CAST(coalesce(p.dw, 0) AS BIGINT) AS dup_windows,
-       |  round(CAST(coalesce(p.dw, 0) AS DOUBLE)
-       |    / greatest(coalesce(p.nw, 0), 1), 6) + 0.0 AS dup_ratio
+       |  CASE WHEN round(CAST(coalesce(p.dw, 0) AS DOUBLE)
+       |    / greatest(coalesce(p.nw, 0), 1), 6) = 0 THEN 0.0 ELSE round(CAST(coalesce(p.dw, 0) AS DOUBLE)
+       |    / greatest(coalesce(p.nw, 0), 1), 6) END AS dup_ratio
        |FROM documents d LEFT JOIN per p USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
   }
@@ -2938,9 +2945,9 @@ object TextQueries {
       |      AS BIGINT) AS f25
       |  FROM src, tot),
       |sums AS (SELECT sum(f50) AS s50, sum(f25) AS s25 FROM base)
-      |SELECT source, n_docs, n_tokens, round(p, 6) + 0.0 AS p_natural,
-      |  round(CAST(f50 AS DOUBLE) / s50, 6) + 0.0 AS w_alpha50,
-      |  round(CAST(f25 AS DOUBLE) / s25, 6) + 0.0 AS w_alpha25,
+      |SELECT source, n_docs, n_tokens, CASE WHEN round(p, 6) = 0 THEN 0.0 ELSE round(p, 6) END AS p_natural,
+      |  CASE WHEN round(CAST(f50 AS DOUBLE) / s50, 6) = 0 THEN 0.0 ELSE round(CAST(f50 AS DOUBLE) / s50, 6) END AS w_alpha50,
+      |  CASE WHEN round(CAST(f25 AS DOUBLE) / s25, 6) = 0 THEN 0.0 ELSE round(CAST(f25 AS DOUBLE) / s25, 6) END AS w_alpha25,
       |  CAST(round(CAST(f50 AS DOUBLE) / s50 * 1e4, 0) AS BIGINT)
       |    AS docs_per_10k_a50
       |FROM base, sums ORDER BY source""".stripMargin
@@ -3026,7 +3033,7 @@ object TextQueries {
        |ns AS (SELECT count(*) AS k FROM src)
        |SELECT source, n_docs, n_tokens,
        |  CAST($EpochPlanBudget // k AS BIGINT) AS budget_tokens,
-       |  round(CAST($EpochPlanBudget // k AS DOUBLE) / n_tokens, 6) + 0.0
+       |  CASE WHEN round(CAST($EpochPlanBudget // k AS DOUBLE) / n_tokens, 6) = 0 THEN 0.0 ELSE round(CAST($EpochPlanBudget // k AS DOUBLE) / n_tokens, 6) END
        |    AS epochs,
        |  (CAST($EpochPlanBudget // k AS DOUBLE) / n_tokens > 1.0)
        |    AS oversampled
@@ -3072,8 +3079,9 @@ object TextQueries {
        |    CAST(sum(nt) AS BIGINT) AS n_tokens
        |  FROM assigned GROUP BY source, split)
        |SELECT source, split, n_docs, n_tokens,
-       |  round(CAST(n_tokens AS DOUBLE) /
-       |    sum(n_tokens) OVER (PARTITION BY source), 6) + 0.0 AS tok_share
+       |  CASE WHEN round(CAST(n_tokens AS DOUBLE) /
+       |    sum(n_tokens) OVER (PARTITION BY source), 6) = 0 THEN 0.0 ELSE round(CAST(n_tokens AS DOUBLE) /
+       |    sum(n_tokens) OVER (PARTITION BY source), 6) END AS tok_share
        |FROM agg ORDER BY source, split""".stripMargin
   }
 
@@ -3121,9 +3129,9 @@ object TextQueries {
        |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS td,
        |        CAST(sum(sum_chars) AS BIGINT) AS tc FROM agg)
        |SELECT shard, n_docs, sum_chars, n_sources,
-       |  round(CAST(n_docs AS DOUBLE) * $Shards / CAST(td AS DOUBLE), 6) + 0.0
+       |  CASE WHEN round(CAST(n_docs AS DOUBLE) * $Shards / CAST(td AS DOUBLE), 6) = 0 THEN 0.0 ELSE round(CAST(n_docs AS DOUBLE) * $Shards / CAST(td AS DOUBLE), 6) END
        |    AS doc_load_factor,
-       |  round(CAST(sum_chars AS DOUBLE) * $Shards / CAST(tc AS DOUBLE), 6) + 0.0
+       |  CASE WHEN round(CAST(sum_chars AS DOUBLE) * $Shards / CAST(tc AS DOUBLE), 6) = 0 THEN 0.0 ELSE round(CAST(sum_chars AS DOUBLE) * $Shards / CAST(tc AS DOUBLE), 6) END
        |    AS char_load_factor
        |FROM agg, tot ORDER BY shard""".stripMargin
   }
@@ -3169,7 +3177,7 @@ object TextQueries {
        |  SELECT doc_id, weight, key,
        |    row_number() OVER (ORDER BY key DESC, doc_id) AS rank
        |  FROM keyed)
-       |SELECT rank, doc_id, weight, round(key, 6) + 0.0 AS sample_key
+       |SELECT rank, doc_id, weight, CASE WHEN round(key, 6) = 0 THEN 0.0 ELSE round(key, 6) END AS sample_key
        |FROM top WHERE rank <= $WsK ORDER BY rank""".stripMargin
   }
 
@@ -3472,7 +3480,7 @@ object TextQueries {
       s"SELECT CAST($r AS BIGINT) AS merge_rank, " +
         s"CAST(s$r AS BIGINT) AS total_tokens, " +
         s"CAST(s0 - s$r AS BIGINT) AS tokens_saved, " +
-        s"round(CAST(s$r AS DOUBLE) / s0, 6) + 0.0 AS compression FROM tot")
+        s"CASE WHEN round(CAST(s$r AS DOUBLE) / s0, 6) = 0 THEN 0.0 ELSE round(CAST(s$r AS DOUBLE) / s0, 6) END AS compression FROM tot")
       .mkString("\nUNION ALL ")
     s"""WITH ${bpeChainSql(k)},
        |corpus AS MATERIALIZED (
@@ -3683,7 +3691,7 @@ object TextQueries {
       |SELECT bucket, count(*) AS n_docs,
       |  CAST(sum(nt) AS BIGINT) AS sum_tokens,
       |  CAST(sum(bucket - nt) AS BIGINT) AS pad_waste,
-      |  round(CAST(sum(bucket - nt) AS DOUBLE) / sum(bucket), 6) + 0.0
+      |  CASE WHEN round(CAST(sum(bucket - nt) AS DOUBLE) / sum(bucket), 6) = 0 THEN 0.0 ELSE round(CAST(sum(bucket - nt) AS DOUBLE) / sum(bucket), 6) END
       |    AS waste_ratio
       |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
 
@@ -3807,8 +3815,9 @@ object TextQueries {
        |       GROUP BY term),
        |sc AS (
        |  SELECT query_id, doc_id,
-       |    round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-       |      * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) + 0.0
+       |    CASE WHEN round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+       |      * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) = 0 THEN 0.0 ELSE round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+       |      * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) END
        |      AS score
        |  FROM tf JOIN df USING (term), stats GROUP BY query_id, doc_id)
        |SELECT query_id, rank, doc_id, score FROM (
@@ -3870,8 +3879,9 @@ object TextQueries {
       |               (SELECT CAST(sum(c) AS BIGINT) FROM uni) AS n_uni)
       |SELECT string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2,
       |  c_xy, u1.c AS c_x, u2.c AS c_y,
-      |  round(ln(c_xy) + 2.0 * ln(n_uni) - ln(u1.c) - ln(u2.c)
-      |    - ln(n_big), 6) + 0.0 AS pmi
+      |  CASE WHEN round(ln(c_xy) + 2.0 * ln(n_uni) - ln(u1.c) - ln(u2.c)
+      |    - ln(n_big), 6) = 0 THEN 0.0 ELSE round(ln(c_xy) + 2.0 * ln(n_uni) - ln(u1.c) - ln(u2.c)
+      |    - ln(n_big), 6) END AS pmi
       |FROM big
       |JOIN uni u1 ON string_split(bg, ' ')[1] = u1.w
       |JOIN uni u2 ON string_split(bg, ' ')[2] = u2.w, tot
@@ -3945,7 +3955,7 @@ object TextQueries {
       |  GROUP BY doc_id, ch)
       |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars_counted,
       |  count(*) AS n_distinct_chars,
-      |  round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) + 0.0 AS entropy
+      |  CASE WHEN round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) = 0 THEN 0.0 ELSE round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) END AS entropy
       |FROM cc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------------------
@@ -4004,11 +4014,15 @@ object TextQueries {
   val qualityGateSql: String =
     """WITH scored AS (
       |  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
-      |    round((nalpha / len) * 0.6
+      |    CASE WHEN round((nalpha / len) * 0.6
       |      + (1.0 - (len - nalpha - ndigit - nspace) / len) * 0.3
       |      + (CASE WHEN (len - nspace) / (nspace + 1.0) >= 3
       |               AND (len - nspace) / (nspace + 1.0) <= 10
-      |              THEN 0.1 ELSE 0.0 END), 3) + 0.0 AS q
+      |              THEN 0.1 ELSE 0.0 END), 3) = 0 THEN 0.0 ELSE round((nalpha / len) * 0.6
+      |      + (1.0 - (len - nalpha - ndigit - nspace) / len) * 0.3
+      |      + (CASE WHEN (len - nspace) / (nspace + 1.0) >= 3
+      |               AND (len - nspace) / (nspace + 1.0) <= 10
+      |              THEN 0.1 ELSE 0.0 END), 3) END AS q
       |  FROM (
       |    SELECT source, text,
       |      CAST(length(text) AS DOUBLE) AS len,
@@ -4028,8 +4042,9 @@ object TextQueries {
       |SELECT source, count(*) AS n_docs,
       |  CAST(sum(CASE WHEN q >= median_q THEN 1 ELSE 0 END) AS BIGINT)
       |    AS n_kept,
-      |  round(CAST(sum(CASE WHEN q >= median_q THEN 1 ELSE 0 END) AS DOUBLE)
-      |    / count(*), 6) + 0.0 AS kept_ratio,
+      |  CASE WHEN round(CAST(sum(CASE WHEN q >= median_q THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / count(*), 6) = 0 THEN 0.0 ELSE round(CAST(sum(CASE WHEN q >= median_q THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / count(*), 6) END AS kept_ratio,
       |  CAST(sum(CASE WHEN q >= median_q THEN n_toks ELSE 0 END) AS BIGINT)
       |    AS kept_tokens,
       |  max(median_q) AS median_q
@@ -4092,8 +4107,9 @@ object TextQueries {
        |        CAST(length(text) AS INT) AS len FROM documents)
        |SELECT doc_a, doc_b, a.len AS len_a, b.len AS len_b,
        |  CAST(levenshtein(a.p, b.p) AS INT) AS edit_dist,
-       |  round(CAST(levenshtein(a.p, b.p) AS DOUBLE) /
-       |    greatest(least(a.len, 200), least(b.len, 200), 1), 6) + 0.0
+       |  CASE WHEN round(CAST(levenshtein(a.p, b.p) AS DOUBLE) /
+       |    greatest(least(a.len, 200), least(b.len, 200), 1), 6) = 0 THEN 0.0 ELSE round(CAST(levenshtein(a.p, b.p) AS DOUBLE) /
+       |    greatest(least(a.len, 200), least(b.len, 200), 1), 6) END
        |    AS norm_dist,
        |  round(CAST(levenshtein(a.p, b.p) AS DOUBLE) /
        |    greatest(least(a.len, 200), least(b.len, 200), 1), 6) <= 0.2

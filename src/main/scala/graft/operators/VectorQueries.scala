@@ -89,7 +89,7 @@ object VectorQueries {
   private def norm(c: String): Column = sqrt(dot(c, c))
 
   private def cosineSql(a: String, b: String): String =
-    s"round((${dotSql(a, b)}) / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})), 6) + 0.0"
+    s"CASE WHEN round((${dotSql(a, b)}) / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})), 6) = 0 THEN 0.0 ELSE round((${dotSql(a, b)}) / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})), 6) END"
 
   /** Deterministic pseudo-random hyperplanes shared by Spark and the
     * oracle: component (j,i) = (md5-hash mod 2001 - 1000), used as the
@@ -146,7 +146,7 @@ object VectorQueries {
   }
 
   val knnBruteForceSql: String = {
-    val cos = s"round((${dotSql("a.embedding", "q.q_embedding")}) / (a.nrm * q.q_nrm), 6) + 0.0"
+    val cos = s"CASE WHEN round((${dotSql("a.embedding", "q.q_embedding")}) / (a.nrm * q.q_nrm), 6) = 0 THEN 0.0 ELSE round((${dotSql("a.embedding", "q.q_embedding")}) / (a.nrm * q.q_nrm), 6) END"
     s"""WITH be AS (SELECT vec_id, label, embedding,
        |            sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings),
        |q AS (SELECT embedding AS q_embedding, nrm AS q_nrm FROM be WHERE vec_id = 0)
@@ -225,7 +225,7 @@ object VectorQueries {
   }
 
   val hardNegativesSql: String = {
-    val cos = s"round((${dotSql("a.embedding", "q.q_embedding")}) / (a.nrm * q.q_nrm), 6) + 0.0"
+    val cos = s"CASE WHEN round((${dotSql("a.embedding", "q.q_embedding")}) / (a.nrm * q.q_nrm), 6) = 0 THEN 0.0 ELSE round((${dotSql("a.embedding", "q.q_embedding")}) / (a.nrm * q.q_nrm), 6) END"
     s"""WITH be AS (SELECT vec_id, label, embedding,
        |            sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings),
        |q AS (SELECT vec_id AS q_id, label AS q_label,
@@ -243,13 +243,13 @@ object VectorQueries {
        |      ORDER BY sim DESC, vec_id) AS INTEGER) AS rn
        |  FROM scored WHERE label <> q_label)
        |SELECT n.q_id, n.rn, n.vec_id AS neg_id, n.label AS neg_label,
-       |  n.sim, p.pos_sim, round(p.pos_sim - n.sim, 6) + 0.0 AS margin
+       |  n.sim, p.pos_sim, CASE WHEN round(p.pos_sim - n.sim, 6) = 0 THEN 0.0 ELSE round(p.pos_sim - n.sim, 6) END AS margin
        |FROM negs n LEFT JOIN pos p ON n.q_id = p.q_id
        |WHERE n.rn <= 5 ORDER BY n.q_id, n.rn""".stripMargin
   }
 
   val knnMultiSql: String = {
-    val cos = s"round((${dotSql("a.embedding", "q.q_embedding")}) / (a.nrm * q.q_nrm), 6) + 0.0"
+    val cos = s"CASE WHEN round((${dotSql("a.embedding", "q.q_embedding")}) / (a.nrm * q.q_nrm), 6) = 0 THEN 0.0 ELSE round((${dotSql("a.embedding", "q.q_embedding")}) / (a.nrm * q.q_nrm), 6) END"
     s"""WITH be AS (SELECT vec_id, label, embedding,
        |            sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings),
        |q AS (SELECT vec_id AS q_id, embedding AS q_embedding, nrm AS q_nrm
@@ -298,7 +298,7 @@ object VectorQueries {
   }
 
   val lshAnnSql: String = {
-    val cos = s"round((${dotSql("a.embedding", "q.q_embedding")}) / (a.nrm * q.q_nrm), 6) + 0.0"
+    val cos = s"CASE WHEN round((${dotSql("a.embedding", "q.q_embedding")}) / (a.nrm * q.q_nrm), 6) = 0 THEN 0.0 ELSE round((${dotSql("a.embedding", "q.q_embedding")}) / (a.nrm * q.q_nrm), 6) END"
     s"""WITH be AS (SELECT vec_id, label, embedding, ($bucketSql) AS bucket,
        |            sqrt(${dotSql("embedding", "embedding")}) AS nrm
        |            FROM embeddings),
@@ -332,7 +332,7 @@ object VectorQueries {
   }
 
   val cosineNeardupSql: String = {
-    val cos = s"round((${dotSql("a.emb_a", "b.emb_b")}) / (a.norm_a * b.norm_b), 6) + 0.0"
+    val cos = s"CASE WHEN round((${dotSql("a.emb_a", "b.emb_b")}) / (a.norm_a * b.norm_b), 6) = 0 THEN 0.0 ELSE round((${dotSql("a.emb_a", "b.emb_b")}) / (a.norm_a * b.norm_b), 6) END"
     s"""WITH be AS (SELECT vec_id, embedding, ($bucketSql) AS bucket,
        |            sqrt(${dotSql("embedding", "embedding")}) AS nrm
        |            FROM embeddings),
@@ -427,7 +427,7 @@ object VectorQueries {
   }
 
   val cosineNeardupBandedSql: String = {
-    val cos = s"round((${dotSql("a.emb_a", "b.emb_b")}) / (a.norm_a * b.norm_b), 6) + 0.0"
+    val cos = s"CASE WHEN round((${dotSql("a.emb_a", "b.emb_b")}) / (a.norm_a * b.norm_b), 6) = 0 THEN 0.0 ELSE round((${dotSql("a.emb_a", "b.emb_b")}) / (a.norm_a * b.norm_b), 6) END"
     val slimArms = (0 until BandCount).map { k =>
       s"""SELECT vec_id, $k AS band,
          |  (${bandBucketFullSql(k)}) % CAST(pow(2, p.planes) AS BIGINT) AS bkt
@@ -782,7 +782,7 @@ object VectorQueries {
   }
 
   val semanticDedupSql: String = {
-    val cos = s"round((${dotSql("x.embedding", "y.emb_y")}) / (x.nrm * y.nrm_y), 6) + 0.0"
+    val cos = s"CASE WHEN round((${dotSql("x.embedding", "y.emb_y")}) / (x.nrm * y.nrm_y), 6) = 0 THEN 0.0 ELSE round((${dotSql("x.embedding", "y.emb_y")}) / (x.nrm * y.nrm_y), 6) END"
     // assigned is consumed three times (x, y, the final left join) —
     // MATERIALIZED, or DuckDB re-runs the whole unrolled quantizer
     // chain once per consumer (the r12 checker-OOM failure mode).
@@ -848,7 +848,7 @@ object VectorQueries {
   }
 
   val hardNegativesAnnSql: String = {
-    val cos = s"round((${dotSql("a.embedding", "q.q_embedding")}) / (a.nrm * q.q_nrm), 6) + 0.0"
+    val cos = s"CASE WHEN round((${dotSql("a.embedding", "q.q_embedding")}) / (a.nrm * q.q_nrm), 6) = 0 THEN 0.0 ELSE round((${dotSql("a.embedding", "q.q_embedding")}) / (a.nrm * q.q_nrm), 6) END"
     // al (assigned + label) is consumed twice (anchors, scored), so it
     // is the materialization point; `assigned` itself has exactly one
     // consumer (al) and inlines into that one materialization.
@@ -873,7 +873,7 @@ object VectorQueries {
        |      ORDER BY sim DESC, vec_id) AS INTEGER) AS rn
        |  FROM scored WHERE label <> q_label)
        |SELECT n.q_id, n.rn, n.vec_id AS neg_id, n.label AS neg_label,
-       |  n.sim, p.pos_sim, round(p.pos_sim - n.sim, 6) + 0.0 AS margin
+       |  n.sim, p.pos_sim, CASE WHEN round(p.pos_sim - n.sim, 6) = 0 THEN 0.0 ELSE round(p.pos_sim - n.sim, 6) END AS margin
        |FROM negs n LEFT JOIN pos p ON n.q_id = p.q_id
        |WHERE n.rn <= 5 ORDER BY n.q_id, n.rn""".stripMargin
   }
@@ -945,8 +945,9 @@ object VectorQueries {
   }
 
   val ivfAnnSql: String = {
-    val cos = s"round((${dotSql("e.embedding", "q.q_embedding")}) " +
-      s"/ (sqrt(${dotSql("e.embedding", "e.embedding")}) * q.q_nrm), 6) + 0.0"
+    val cos = s"CASE WHEN round((${dotSql("e.embedding", "q.q_embedding")}) " +
+      s"/ (sqrt(${dotSql("e.embedding", "e.embedding")}) * q.q_nrm), 6) = 0 THEN 0.0 ELSE round((${dotSql("e.embedding", "q.q_embedding")}) " +
+      s"/ (sqrt(${dotSql("e.embedding", "e.embedding")}) * q.q_nrm), 6) END"
     // The r12 driver checker OOM'd on this oracle: `assigned` (the full
     // cross-join + ranking chain carrying embedding+nrm per row) was a
     // PLAIN CTE consumed twice (q, main select), so DuckDB inlined and
@@ -1004,14 +1005,14 @@ object VectorQueries {
   }
 
   val ivfMultiprobeSql: String = {
-    val cos = s"round((${dotSql("a.embedding", "q.q_embedding")}) / (a.nrm * q.q_nrm), 6) + 0.0"
+    val cos = s"CASE WHEN round((${dotSql("a.embedding", "q.q_embedding")}) / (a.nrm * q.q_nrm), 6) = 0 THEN 0.0 ELSE round((${dotSql("a.embedding", "q.q_embedding")}) / (a.nrm * q.q_nrm), 6) END"
     s"""WITH assigned AS ($ivfAssignedSql),
        |q AS (SELECT embedding AS q_embedding, nrm AS q_nrm
        |      FROM assigned WHERE vec_id = 0),
        |probes AS (
        |  SELECT cid AS probe_list FROM (
        |    SELECT c.cid,
-       |      round(${dotSql("c.c_emb", "q.q_embedding")}, 6) + 0.0 AS pd
+       |      CASE WHEN round(${dotSql("c.c_emb", "q.q_embedding")}, 6) = 0 THEN 0.0 ELSE round(${dotSql("c.c_emb", "q.q_embedding")}, 6) END AS pd
        |    FROM (SELECT vec_id AS cid, embedding AS c_emb FROM embeddings
        |          WHERE vec_id < $IvfSeeds) c, q)
        |  ORDER BY pd DESC, cid LIMIT $IvfNprobe)
@@ -1047,7 +1048,7 @@ object VectorQueries {
   }
 
   val annRecallSql: String = {
-    val cos = s"round((${dotSql("a.embedding", "q.q_embedding")}) / (a.nrm * q.q_nrm), 6) + 0.0"
+    val cos = s"CASE WHEN round((${dotSql("a.embedding", "q.q_embedding")}) / (a.nrm * q.q_nrm), 6) = 0 THEN 0.0 ELSE round((${dotSql("a.embedding", "q.q_embedding")}) / (a.nrm * q.q_nrm), 6) END"
     s"""WITH be AS (SELECT vec_id, label, embedding, ($bucketSql) AS bucket,
        |            sqrt(${dotSql("embedding", "embedding")}) AS nrm
        |            FROM embeddings),
@@ -1095,10 +1096,11 @@ object VectorQueries {
       .orderBy("vec_id")
 
   val quantizeSql: String =
-    """SELECT vec_id, round(mx, 6) + 0.0 AS scale,
+    """SELECT vec_id, CASE WHEN round(mx, 6) = 0 THEN 0.0 ELSE round(mx, 6) END AS scale,
       |  CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT) AS q_l1,
-      |  round(list_max(list_transform(range(1, 65),
-      |    i -> abs(q[i] * mx / 127.0 - e[i]))), 6) + 0.0 AS max_err,
+      |  CASE WHEN round(list_max(list_transform(range(1, 65),
+      |    i -> abs(q[i] * mx / 127.0 - e[i]))), 6) = 0 THEN 0.0 ELSE round(list_max(list_transform(range(1, 65),
+      |    i -> abs(q[i] * mx / 127.0 - e[i]))), 6) END AS max_err,
       |  array_to_string(q, ',') AS quant
       |FROM (
       |  SELECT vec_id, e, mx,
@@ -1230,10 +1232,11 @@ object VectorQueries {
 
   val productQuantizeSql: String =
     """SELECT vec_id, CAST(sub + 1 AS INTEGER) AS sub_id,
-      |  round(mx, 6) + 0.0 AS scale,
+      |  CASE WHEN round(mx, 6) = 0 THEN 0.0 ELSE round(mx, 6) END AS scale,
       |  CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT) AS q_l1,
-      |  round(list_max(list_transform(range(1, 9),
-      |    i -> abs(q[i] * mx / 127.0 - sv[i]))), 6) + 0.0 AS max_err,
+      |  CASE WHEN round(list_max(list_transform(range(1, 9),
+      |    i -> abs(q[i] * mx / 127.0 - sv[i]))), 6) = 0 THEN 0.0 ELSE round(list_max(list_transform(range(1, 9),
+      |    i -> abs(q[i] * mx / 127.0 - sv[i]))), 6) END AS max_err,
       |  array_to_string(q, ',') AS codes
       |FROM (
       |  SELECT vec_id, sub, sv, mx,
@@ -1322,9 +1325,9 @@ object VectorQueries {
        |  SELECT vec_id, label, e,
        |    $mxDefs
        |  FROM base WHERE vec_id > 0)
-       |SELECT vec_id, label, round($adc, 6) + 0.0 AS adc_dot,
-       |  round($exact, 6) + 0.0 AS exact_dot,
-       |  round(abs(($adc) - ($exact)), 6) + 0.0 AS adc_err
+       |SELECT vec_id, label, CASE WHEN round($adc, 6) = 0 THEN 0.0 ELSE round($adc, 6) END AS adc_dot,
+       |  CASE WHEN round($exact, 6) = 0 THEN 0.0 ELSE round($exact, 6) END AS exact_dot,
+       |  CASE WHEN round(abs(($adc) - ($exact)), 6) = 0 THEN 0.0 ELSE round(abs(($adc) - ($exact)), 6) END AS adc_err
        |FROM c CROSS JOIN q
        |ORDER BY adc_dot DESC, vec_id LIMIT 10""".stripMargin
   }
@@ -1387,11 +1390,11 @@ object VectorQueries {
        |    $mxDefs
        |  FROM base WHERE vec_id > 0),
        |shortlist AS (
-       |  SELECT vec_id, round($adc, 6) + 0.0 AS adc_dot, e, qe
+       |  SELECT vec_id, CASE WHEN round($adc, 6) = 0 THEN 0.0 ELSE round($adc, 6) END AS adc_dot, e, qe
        |  FROM c CROSS JOIN q
        |  ORDER BY adc_dot DESC, vec_id LIMIT $RerankShortlist),
        |rescored AS (
-       |  SELECT vec_id, adc_dot, round($exact, 6) + 0.0 AS exact_dot
+       |  SELECT vec_id, adc_dot, CASE WHEN round($exact, 6) = 0 THEN 0.0 ELSE round($exact, 6) END AS exact_dot
        |  FROM shortlist),
        |ranked AS (
        |  SELECT vec_id, adc_dot, exact_dot,
@@ -1446,7 +1449,7 @@ object VectorQueries {
        |probes AS (
        |  SELECT cid AS probe_list FROM (
        |    SELECT a.vec_id AS cid,
-       |      round(${dotSql("a.embedding", "q.q_embedding")}, 6) + 0.0 AS pd
+       |      CASE WHEN round(${dotSql("a.embedding", "q.q_embedding")}, 6) = 0 THEN 0.0 ELSE round(${dotSql("a.embedding", "q.q_embedding")}, 6) END AS pd
        |    FROM assigned a, q WHERE a.vec_id < $IvfSeeds)
        |  ORDER BY pd DESC, cid LIMIT $IvfNprobe),
        |c AS (
@@ -1454,7 +1457,7 @@ object VectorQueries {
        |    $subScalesSql
        |  FROM assigned a JOIN probes ON a.list_id = probes.probe_list
        |  WHERE a.vec_id > 0)
-       |SELECT vec_id, label, list_id, round($adcScoreSql, 6) + 0.0 AS adc_dot
+       |SELECT vec_id, label, list_id, CASE WHEN round($adcScoreSql, 6) = 0 THEN 0.0 ELSE round($adcScoreSql, 6) END AS adc_dot
        |FROM c CROSS JOIN q
        |ORDER BY adc_dot DESC, vec_id LIMIT 10""".stripMargin
   }
@@ -1617,7 +1620,7 @@ object VectorQueries {
   }
 
   val knnEvalSql: String = {
-    val cos = s"round((${dotSql("a.embedding", "q.q_embedding")}) / (a.nrm * q.q_nrm), 6) + 0.0"
+    val cos = s"CASE WHEN round((${dotSql("a.embedding", "q.q_embedding")}) / (a.nrm * q.q_nrm), 6) = 0 THEN 0.0 ELSE round((${dotSql("a.embedding", "q.q_embedding")}) / (a.nrm * q.q_nrm), 6) END"
     s"""WITH be AS (SELECT vec_id, label, embedding,
        |            sqrt(${dotSql("embedding", "embedding")}) AS nrm
        |            FROM embeddings),
@@ -1642,8 +1645,9 @@ object VectorQueries {
        |SELECT count(*) AS n_queries,
        |  CAST(sum(CASE WHEN label = true_label THEN 1 ELSE 0 END)
        |    AS BIGINT) AS n_correct,
-       |  round(CAST(sum(CASE WHEN label = true_label THEN 1 ELSE 0 END)
-       |    AS DOUBLE) / count(*), 6) + 0.0 AS knn_accuracy
+       |  CASE WHEN round(CAST(sum(CASE WHEN label = true_label THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / count(*), 6) = 0 THEN 0.0 ELSE round(CAST(sum(CASE WHEN label = true_label THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / count(*), 6) END AS knn_accuracy
        |FROM pred""".stripMargin
   }
 
@@ -1684,8 +1688,8 @@ object VectorQueries {
   }
 
   val recallCurveSql: String = {
-    val cos = s"round((${dotSql("a.embedding", "q.q_embedding")}) / (a.nrm * q.q_nrm), 6) + 0.0"
-    val cosIvf = s"round((${dotSql("a.embedding", "qi.q_embedding")}) / (a.nrm * qi.q_nrm), 6) + 0.0"
+    val cos = s"CASE WHEN round((${dotSql("a.embedding", "q.q_embedding")}) / (a.nrm * q.q_nrm), 6) = 0 THEN 0.0 ELSE round((${dotSql("a.embedding", "q.q_embedding")}) / (a.nrm * q.q_nrm), 6) END"
+    val cosIvf = s"CASE WHEN round((${dotSql("a.embedding", "qi.q_embedding")}) / (a.nrm * qi.q_nrm), 6) = 0 THEN 0.0 ELSE round((${dotSql("a.embedding", "qi.q_embedding")}) / (a.nrm * qi.q_nrm), 6) END"
     s"""WITH be AS (SELECT vec_id, label, embedding, ($bucketSql) AS bucket,
        |            sqrt(${dotSql("embedding", "embedding")}) AS nrm
        |            FROM embeddings),
@@ -1725,7 +1729,7 @@ object VectorQueries {
        |  WHERE rk_ann <= k AND rk_exact <= k GROUP BY index_name, k)
        |SELECT g.index_name AS index_name, g.k AS k,
        |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
-       |  round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / g.k, 6) + 0.0 AS recall
+       |  CASE WHEN round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / g.k, 6) = 0 THEN 0.0 ELSE round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / g.k, 6) END AS recall
        |FROM grid g LEFT JOIN hits h
        |  ON h.index_name = g.index_name AND h.k = g.k
        |ORDER BY g.index_name, g.k""".stripMargin
@@ -1801,7 +1805,7 @@ object VectorQueries {
        |  WHERE l.dim < $Dim GROUP BY l.dim),
        |grid AS (SELECT unnest([${TruncDims.mkString(", ")}]) AS dim)
        |SELECT g.dim AS dim, CAST(coalesce(h.n, 0) AS BIGINT) AS n_hit,
-       |  round(CAST(coalesce(h.n, 0) AS DOUBLE) / 10, 6) + 0.0 AS recall_at_10
+       |  CASE WHEN round(CAST(coalesce(h.n, 0) AS DOUBLE) / 10, 6) = 0 THEN 0.0 ELSE round(CAST(coalesce(h.n, 0) AS DOUBLE) / 10, 6) END AS recall_at_10
        |FROM grid g LEFT JOIN hits h ON h.dim = g.dim
        |ORDER BY g.dim""".stripMargin
   }
@@ -1996,9 +2000,9 @@ object VectorQueries {
     s"""WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
        |m AS (SELECT max(${dotSql("a.embedding", "a.embedding")}) AS m2
        |      FROM embeddings a WHERE a.vec_id > 0)
-       |SELECT a.vec_id AS vec_id, round($dAq, 6) + 0.0 AS ip,
-       |  round(sqrt(m.m2 - ($dAa)), 6) + 0.0 AS aug_comp,
-       |  round(m.m2 + ($dQq) - 2.0 * ($dAq), 6) + 0.0 AS aug_dist2
+       |SELECT a.vec_id AS vec_id, CASE WHEN round($dAq, 6) = 0 THEN 0.0 ELSE round($dAq, 6) END AS ip,
+       |  CASE WHEN round(sqrt(m.m2 - ($dAa)), 6) = 0 THEN 0.0 ELSE round(sqrt(m.m2 - ($dAa)), 6) END AS aug_comp,
+       |  CASE WHEN round(m.m2 + ($dQq) - 2.0 * ($dAq), 6) = 0 THEN 0.0 ELSE round(m.m2 + ($dQq) - 2.0 * ($dAq), 6) END AS aug_dist2
        |FROM embeddings a, q, m
        |WHERE a.vec_id > 0
        |ORDER BY ip DESC, vec_id LIMIT 10""".stripMargin
@@ -2059,8 +2063,8 @@ object VectorQueries {
        |    ${sums("sb")}
        |  FROM embeddings WHERE vec_id % 2 <> 0 GROUP BY label)
        |SELECT a.label AS label, a.na AS na, b.nb AS nb,
-       |  round(sqrt($l2), 6) + 0.0 AS drift_l2,
-       |  round($mx, 6) + 0.0 AS max_dim_drift
+       |  CASE WHEN round(sqrt($l2), 6) = 0 THEN 0.0 ELSE round(sqrt($l2), 6) END AS drift_l2,
+       |  CASE WHEN round($mx, 6) = 0 THEN 0.0 ELSE round($mx, 6) END AS max_dim_drift
        |FROM a JOIN b ON a.label = b.label
        |ORDER BY a.label""".stripMargin
   }
@@ -2157,9 +2161,11 @@ object VectorQueries {
        |s AS (SELECT i, CAST(sum(xi) AS BIGINT) AS sx FROM x GROUP BY i),
        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings)
        |SELECT p.i AS i, p.j AS j, n.n AS n_vectors, p.sxy AS sxy_micro2,
-       |  round((CAST(p.sxy AS DOUBLE) / 1e12 -
+       |  CASE WHEN round((CAST(p.sxy AS DOUBLE) / 1e12 -
        |    (CAST(sa.sx AS DOUBLE) / 1e6) * (CAST(sb.sx AS DOUBLE) / 1e6)
-       |      / CAST(n.n AS DOUBLE)) / CAST(n.n AS DOUBLE), 6) + 0.0 AS cov
+       |      / CAST(n.n AS DOUBLE)) / CAST(n.n AS DOUBLE), 6) = 0 THEN 0.0 ELSE round((CAST(p.sxy AS DOUBLE) / 1e12 -
+       |    (CAST(sa.sx AS DOUBLE) / 1e6) * (CAST(sb.sx AS DOUBLE) / 1e6)
+       |      / CAST(n.n AS DOUBLE)) / CAST(n.n AS DOUBLE), 6) END AS cov
        |FROM p JOIN s sa ON sa.i = p.i JOIN s sb ON sb.i = p.j, n
        |ORDER BY i, j""".stripMargin
 

@@ -85,17 +85,24 @@ case class ArraySumAgg(
   override def eval(buffer: Array[Long]): Any =
     if (buffer == null) null else new GenericArrayData(buffer)
 
+  // Wire format: empty = the null (nothing-seen) buffer; otherwise one
+  // tag byte then the longs. The tag keeps a LENGTH-0 buffer (a group
+  // whose inputs are all zero-length arrays) distinct from null — a
+  // bare empty-bytes encoding would turn that group's empty-array
+  // result into NULL, but only on plans that shuffle the partial
+  // buffer (map-side-combine vs single-partition divergence).
   override def serialize(buffer: Array[Long]): Array[Byte] = {
     if (buffer == null) return Array.emptyByteArray
-    val bb = java.nio.ByteBuffer.allocate(8 * buffer.length)
+    val bb = java.nio.ByteBuffer.allocate(1 + 8 * buffer.length)
+    bb.put(1: Byte)
     buffer.foreach(bb.putLong(_): Unit)
     bb.array()
   }
 
   override def deserialize(bytes: Array[Byte]): Array[Long] = {
     if (bytes.isEmpty) return null
-    val bb = java.nio.ByteBuffer.wrap(bytes)
-    Array.fill(bytes.length / 8)(bb.getLong())
+    val bb = java.nio.ByteBuffer.wrap(bytes, 1, bytes.length - 1)
+    Array.fill((bytes.length - 1) / 8)(bb.getLong())
   }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): ArraySumAgg =

@@ -121,17 +121,22 @@ case class ArraySumAggDec(
     new GenericArrayData(out)
   }
 
+  // Wire format matches [[ArraySumAgg]]: empty = null buffer; otherwise
+  // one tag byte then the (hi, lo) longs, so a length-0 buffer (group of
+  // zero-length arrays) round-trips as an empty array instead of
+  // collapsing to NULL across a shuffle.
   override def serialize(buffer: Array[Long]): Array[Byte] = {
     if (buffer == null) return Array.emptyByteArray
-    val bb = java.nio.ByteBuffer.allocate(8 * buffer.length)
+    val bb = java.nio.ByteBuffer.allocate(1 + 8 * buffer.length)
+    bb.put(1: Byte)
     buffer.foreach(bb.putLong(_): Unit)
     bb.array()
   }
 
   override def deserialize(bytes: Array[Byte]): Array[Long] = {
     if (bytes.isEmpty) return null
-    val bb = java.nio.ByteBuffer.wrap(bytes)
-    Array.fill(bytes.length / 8)(bb.getLong())
+    val bb = java.nio.ByteBuffer.wrap(bytes, 1, bytes.length - 1)
+    Array.fill((bytes.length - 1) / 8)(bb.getLong())
   }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): ArraySumAggDec =

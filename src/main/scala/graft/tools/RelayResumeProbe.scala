@@ -59,13 +59,30 @@ object RelayResumeProbe {
     def outCount(): Long = spark.read.parquet(cfg.outputDir).count()
 
     // phase 1: drain until ~killFrac of the input is admitted, then a
-    // graceful stop (deploy-shaped interruption)
+    // graceful stop (deploy-shaped interruption). Admission is counted
+    // by a listener accumulating EVERY progress event — recentProgress
+    // is a ~100-entry ring buffer, so summing it undercounts once the
+    // drain needs more than 100 triggers, and the kill would then land
+    // far past killFrac (or never fire), silently degrading phase 1 to
+    // a clean drain. The probe runs exactly one query at a time, so no
+    // per-query filtering is needed.
+    val admittedRows = new java.util.concurrent.atomic.AtomicLong(0L)
+    val admitListener =
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit = {
+          admittedRows.addAndGet(e.progress.numInputRows); ()
+        }
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      }
+    spark.streams.addListener(admitListener)
     val t0 = System.nanoTime()
     val q1 = graft.streaming.CdcRelay.start(spark, cfg)
-    def admitted(): Long = q1.recentProgress.map(_.numInputRows).sum
-    while (q1.isActive && admitted() < (killFrac * total).toLong)
+    while (q1.isActive && admittedRows.get() < (killFrac * total).toLong)
       Thread.sleep(200)
     q1.stop()
+    spark.streams.removeListener(admitListener)
     val phase1S = (System.nanoTime() - t0) / 1e9
     val afterStop = outCount()
 

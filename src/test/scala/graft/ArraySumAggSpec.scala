@@ -97,6 +97,24 @@ class ArraySumAggSpec extends AnyFunSuite {
     assert(messages(e).exists(_.toLowerCase.contains("overflow")), e.getMessage)
   }
 
+  test("a group of zero-length arrays yields an empty array across a shuffle") {
+    // regression: serialize() used to emit a length-0 buffer as empty
+    // bytes — deserialize()'s null sentinel — so the group's result
+    // flipped to NULL, but ONLY on plans that shuffle the partial
+    // buffer (map-side combine); single-partition plans returned the
+    // empty array. The 1-byte tag prefix keeps the two distinct.
+    import spark.implicits._
+    val df = Seq.fill(64)(("k", Array.empty[Long])).toDF("k", "arr")
+      .repartition(8)
+    for (fn <- Seq("array_sum_agg", "array_sum_agg_dec")) {
+      val out = df.groupBy("k")
+        .agg(call_function(fn, col("arr")).as("sums")).collect()
+      assert(out.length == 1, fn)
+      assert(!out(0).isNullAt(1), s"$fn: empty-array group collapsed to NULL")
+      assert(out(0).getSeq[Any](1).isEmpty, fn)
+    }
+  }
+
   test("array_sum_agg_dec agrees with array_sum_agg inside the int64 range") {
     import spark.implicits._
     val rows = (1 to 500).map { i =>

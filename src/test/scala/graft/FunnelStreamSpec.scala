@@ -79,6 +79,58 @@ class FunnelStreamSpec extends AnyFunSuite {
     assert(got == Seq((1, 3L, 0L), (2, 2L, H + D7), (3, 1L, H)))
   }
 
+  test("stream multi-window rows match batch rel_funnel_cycles on a " +
+    "two-window corpus") {
+    import scala.jdk.CollectionConverters._
+    val root = Files.createTempDirectory("funnelcycles").toString
+    val in = s"$root/in"; new java.io.File(in).mkdirs()
+    // two funnel windows per user, with the boundary cases that
+    // distinguish the greedy chain from a naive grid:
+    //  u1: completes cycle 1, then view@D7+H opens cycle 2 (click, no
+    //      purchase);
+    //  u2: bare view in cycle 1, full conversion in cycle 2;
+    //  u3: t1=+1h so the window seals at D7+H — the view AT exactly
+    //      D7+H is a tie (not strictly past), NOT a new window; the
+    //      view at D7+2h is cycle 2.
+    val rows = Seq(
+      r(1, 1, 0, "view"), r(2, 1, H, "click"), r(3, 1, 2 * H, "purchase"),
+      r(4, 1, D7 + H, "view"), r(5, 1, D7 + 2 * H, "click"),
+      r(6, 2, 0, "view"), r(7, 2, D7 + 2 * H, "view"),
+      r(8, 2, D7 + 3 * H, "click"), r(9, 2, D7 + 5 * H, "purchase"),
+      r(10, 3, H, "view"), r(11, 3, D7, "click"),
+      r(12, 3, D7 + H, "view"),    // == t1+W: tie, same window, no-op
+      r(13, 3, D7 + 2 * H, "view")) // > t1+W: cycle 2 opens
+    StreamFiles.writeOneFile(spark, in, "e1.parquet", rows,
+      CdcRelay.inputSchema)
+    spark.createDataFrame(rows.asJava, CdcRelay.inputSchema)
+      .write.mode("overwrite").parquet(s"$root/events.parquet")
+    startStream(in, s"$root/chk", "funnel_cycles_parity").awaitTermination()
+
+    // stream rows don't carry a cycle index — reconstruct it: a user's
+    // stage-1 rows rank by time into cycles 1..k, and a stage-2/3 row
+    // belongs to the latest stage-1 at-or-before it (windows are
+    // disjoint by construction, so this is unambiguous)
+    val raw = spark.table("funnel_cycles_parity")
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getTimestamp(2).getTime, r.getLong(3))).toSeq
+    val starts = raw.filter(_._2 == 1).groupBy(_._1)
+      .view.mapValues(_.map(_._3).sorted.zipWithIndex
+        .map { case (t, i) => (t, i + 1) }).toMap
+    def cycleOf(user: Long, t: Long): Int =
+      starts(user).takeWhile(_._1 <= t).last._2
+    val got = raw.groupBy(x => (cycleOf(x._1, x._3), x._2))
+      .map { case ((c, st), xs) => (c, st, xs.size.toLong, xs.map(_._4).sum) }
+      .toSeq.sorted
+
+    val batch = graft.operators.RelationalQueries.funnelCycles(spark, root)
+      .collect().map(r => (r.getInt(0), r.getString(1).take(1).toInt,
+        r.getLong(2), r.getLong(3))).toSeq.sorted
+    assert(got == batch, s"stream=$got batch=$batch")
+    assert(got == Seq(
+      (1, 1, 3L, 0L), (1, 2, 2L, D7), (1, 3, 1L, H),
+      (2, 1, 3L, 0L), (2, 2, 2L, 2 * H), (2, 3, 1L, 2 * H)))
+  }
+
   test("state evicts when the window seals; re-views recur by event time") {
     val root = Files.createTempDirectory("funnelstream2").toString
     val in = s"$root/in"; new java.io.File(in).mkdirs()

@@ -86,22 +86,49 @@ class OracleHygieneSpec extends AnyFunSuite {
     }
   }
 
+  test("no oracle SQL uses the fold-fragile `+ 0.0` zero-sign idiom") {
+    // r13's fix appended `+ 0.0` to round() (IEEE: -0.0 + 0.0 = +0.0),
+    // but `x + 0.0 -> x` is a standard arithmetic-simplification rewrite
+    // — a DuckDB build that applies it resurrects the -0.0 the idiom
+    // exists to remove, which is exactly the r14 driver signature
+    // (bit-exact locally, red at the driver). The idiom is therefore
+    // BANNED; use the fold-proof CASE form checked by the next test.
+    // The single sanctioned exception is the diag_zero_sign canary,
+    // whose entire purpose is to carry the fragile expression so the
+    // driver itself adjudicates whether its build folds it.
+    val fragile = "\\+\\s*0\\.0".r
+    val bad = SparkEntry.oracleSql.collect {
+      case (name, sql) if name != "diag_zero_sign" &&
+        fragile.findFirstIn(sql).isDefined => name
+    }
+    assert(bad.isEmpty,
+      s"fold-fragile `+ 0.0` in oracle SQL (use CASE WHEN round(x) = 0 " +
+        s"THEN 0.0 ELSE round(x) END): ${bad.mkString(", ")}")
+  }
+
   test("every double round() feeding an output alias is sign-of-zero-normalized") {
     // DuckDB's round(DOUBLE, n) keeps the IEEE sign bit, while Spark's
     // round / Java BigDecimal normalize -0.0 to +0.0 — and the driver's
     // hash is bit-sensitive. A tiny negative value that rounds to zero
     // therefore ships as the oracle's -0.0 vs the engine's +0.0: the
-    // exact one-cell failure that made vec_covariance r13's only red
-    // row. The structural rule: every oracle round(...) that directly
-    // feeds an output alias must be followed by `+ 0.0` (IEEE:
-    // -0.0 + 0.0 = +0.0; identity on everything else, including NaN
-    // and NULL). Integer-cast rounds (CAST(round(x) AS BIGINT)) have
-    // no signed zero and are exempt.
+    // exact one-cell failure that made vec_covariance r13's and r14's
+    // only red row. The structural rule: every oracle round(...) that
+    // feeds an output alias — directly or via any trailing arithmetic —
+    // must be wrapped in the fold-proof normalization
+    //   CASE WHEN round(x, k) = 0 THEN 0.0 ELSE round(x, k) END
+    // (`-0.0 = 0` is true, so the THEN branch returns literal +0.0;
+    // CASE branches are never arithmetic-simplified, unlike the banned
+    // `+ 0.0` form; NaN takes ELSE and NULL stays NULL, same as before).
+    // In that form the THEN-side round is followed by `= 0` and the
+    // ELSE-side round by `END AS …`, so neither matches the violation
+    // pattern below. Integer-cast rounds (CAST(round(x) AS BIGINT))
+    // have no signed zero and are exempt.
     val typeKw = Set("BIGINT", "INT", "INTEGER", "HUGEINT", "DOUBLE",
       "DECIMAL", "VARCHAR", "SMALLINT", "TINYINT", "UBIGINT", "FLOAT",
       "REAL", "DATE", "TIMESTAMP", "BOOLEAN")
-    val asAlias = "^\\s*AS\\s+(\\w+)".r
-    val normalized = "^\\s*\\+\\s*0\\.0\\s*AS\\s+\\w+".r
+    // a round() feeding an alias is a violation whether bare
+    // (`round(x) AS a`) or behind the banned idiom (`round(x) + 0.0 AS a`)
+    val asAlias = "^\\s*(?:\\+\\s*0\\.0\\s*)?AS\\s+(\\w+)".r
     def violations(sql: String): Seq[String] = {
       val low = sql.toLowerCase
       val out = Seq.newBuilder[String]
@@ -124,7 +151,7 @@ class OracleHygieneSpec extends AnyFunSuite {
           val after = sql.substring(j + 1)
           asAlias.findFirstMatchIn(after).foreach { m =>
             val alias = m.group(1).toUpperCase
-            if (!typeKw(alias) && normalized.findFirstIn(after).isEmpty)
+            if (!typeKw(alias))
               out += s"${sql.slice(k, j + 1).replace('\n', ' ').take(60)} AS ${m.group(1)}"
           }
         }
@@ -134,11 +161,13 @@ class OracleHygieneSpec extends AnyFunSuite {
       out.result()
     }
     val bad = SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap {
-      case (name, sql) => violations(sql).map(v => s"$name: $v")
+      case (name, sql) if name != "diag_zero_sign" =>
+        violations(sql).map(v => s"$name: $v")
+      case _ => Nil
     }
     assert(bad.isEmpty,
-      s"un-normalized double round() feeding an output alias (append " +
-        s"`+ 0.0`):\n${bad.mkString("\n")}")
+      s"un-normalized double round() feeding an output alias (wrap in " +
+        s"CASE WHEN round(x) = 0 THEN 0.0 ELSE round(x) END):\n${bad.mkString("\n")}")
   }
 
   test("every registered query has either an oracle or a documented gap") {

@@ -3,8 +3,42 @@
 outputs against the DuckDB oracle SQL and diff. Usage:
   python3 tools/check.py <sfDir> <outDir> [query ...]
 (Verify must have been run first to populate outDir.)"""
-import json, os, sys, math
+import json, os, sys, math, re as _re
 import duckdb
+
+FRAGILE = _re.compile(r"round\s*\(")
+FRAGILE_ALLOWED = {"diag_zero_sign"}  # the canary carries + 0.0 by design
+OPTCHECK = os.environ.get("OPTCHECK", "1") != "0"
+
+def fragile_sites(sql):
+    """Return round(...) occurrences directly followed by `+ 0.0`."""
+    hits = []
+    for m in FRAGILE.finditer(sql):
+        k = m.start()
+        if k > 0 and (sql[k-1].isalnum() or sql[k-1] in "_."):
+            continue
+        d, j = 0, m.end() - 1
+        while j < len(sql):
+            if sql[j] == "(":
+                d += 1
+            elif sql[j] == ")":
+                d -= 1
+                if d == 0:
+                    break
+            j += 1
+        if j < len(sql) and _re.match(r"\s*\+\s*0\.0", sql[j+1:]):
+            hits.append(sql[k:j+1].replace("\n", " ")[:60])
+    return hits
+
+if "--selftest" in sys.argv:
+    # prove the gate flags the fragile idiom: a deliberately fragile
+    # oracle must fail the static scan
+    bad = fragile_sites("SELECT round(x, 6) + 0.0 AS z FROM t")
+    ok = fragile_sites(
+        "SELECT CASE WHEN round(x, 6) = 0 THEN 0.0 ELSE round(x, 6) END AS z FROM t")
+    assert bad and not ok, (bad, ok)
+    print("selftest ok: fragile `round(...) + 0.0` flagged; CASE form clean")
+    sys.exit(0)
 
 sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
@@ -13,20 +47,46 @@ only = set(sys.argv[3:])
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-con = duckdb.connect()
 # Stress knobs (mirror the driver's memory-pressured checker): cap the
 # allocator / thread fan-out, e.g. DUCKDB_MEMORY_LIMIT=2GB DUCKDB_THREADS=4.
 # The r12 gate lost vec_ivf_ann / vec_semantic_dedup to allocator OOMs that
 # only reproduce under pressure — run heavy-oracle edits under a cap before
 # calling them done.
-if os.environ.get("DUCKDB_MEMORY_LIMIT"):
-    con.sql(f"SET memory_limit='{os.environ['DUCKDB_MEMORY_LIMIT']}'")
-if os.environ.get("DUCKDB_THREADS"):
-    con.sql(f"SET threads={int(os.environ['DUCKDB_THREADS'])}")
-for t in TABLES:
-    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+def connect(disabled_optimizers=None):
+    c = duckdb.connect()
+    if disabled_optimizers:
+        c.sql(f"SET disabled_optimizers='{disabled_optimizers}'")
+    if os.environ.get("DUCKDB_MEMORY_LIMIT"):
+        c.sql(f"SET memory_limit='{os.environ['DUCKDB_MEMORY_LIMIT']}'")
+    if os.environ.get("DUCKDB_THREADS"):
+        c.sql(f"SET threads={int(os.environ['DUCKDB_THREADS'])}")
+    for t in TABLES:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    return c
+
+con = connect()
+# second connection for the optimizer-sensitivity leg: expression
+# rewriter off (the pass that owns `x + 0.0 -> x`-class folds)
+con_noopt = connect("expression_rewriter")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+
+# ---------------------------------------------------------------------
+# Optimizer-sensitivity leg (VERDICT r14 #4): the r13/r14 vec_covariance
+# red shipped through an *optimizer-dependent* oracle idiom —
+# `round(x) + 0.0` is an identity except on -0.0, so a DuckDB build whose
+# expression rewriter folds `x + 0.0 -> x` resurrects the -0.0 the idiom
+# was added to remove. Two defenses here:
+#   (a) static scan: the fragile idiom itself is banned from oracle SQL
+#       (fold-proof form: CASE WHEN round(x) = 0 THEN 0.0 ELSE round(x)
+#       END). The diag_zero_sign canary is the one sanctioned carrier.
+#   (b) dual execution: every oracle runs twice — optimizers on, then
+#       with the expression rewriter disabled — and any bit-difference
+#       between the two legs fails the query, catching whatever
+#       optimizer-dependent idiom the static scan doesn't know about.
+# Disable the (slower) dual leg with OPTCHECK=0. Self-test of the static
+# scan: `python3 tools/check.py --selftest` (defined near the top).
+# ---------------------------------------------------------------------
 
 def norm(v):
     if isinstance(v, float):
@@ -43,16 +103,41 @@ def norm(v):
 fails = []
 for name, sql in sorted(oracle.items()):
     if only and name not in only: continue
+    if name not in FRAGILE_ALLOWED:
+        frag = fragile_sites(sql)
+        if frag:
+            print(f"FAIL {name}: fold-fragile `round(...) + 0.0` idiom "
+                  f"(use the CASE zero-sign form): {frag}")
+            fails.append(name); continue
     # one retry on exceptions: DuckDB under memory pressure throws
     # transient allocation OOMs on heavy oracles (observed on
     # vec_trunc_recall / vec_ivf_ann) that vanish on immediate re-run —
-    # a retried pass distinguishes those from real failures
+    # a retried pass distinguishes those from real failures. The retry
+    # gets FRESH connections: the OOMs are allocator fragmentation
+    # accumulated over the long-lived connection (the 184-query × 2-leg
+    # sweep OOM'd vec_semantic_dedup/vec_standardize on BOTH attempts of
+    # the shared connection, yet both pass instantly on a fresh one).
     for attempt in (0, 1):
+        if attempt:
+            con = connect()
+            con_noopt = connect("expression_rewriter")
         try:
             exp = con.sql(sql)
             exp_cols = sorted(exp.columns)
             exp_rows = [tuple(norm(r[exp.columns.index(c)]) for c in exp_cols)
                         for r in exp.fetchall()]
+            if OPTCHECK and name not in FRAGILE_ALLOWED:
+                alt = con_noopt.sql(sql)
+                alt_rows = [tuple(norm(r[alt.columns.index(c)]) for c in exp_cols)
+                            for r in alt.fetchall()]
+                if alt_rows != exp_rows:
+                    diff = next((i, a, b) for i, (a, b)
+                                in enumerate(zip(exp_rows, alt_rows)) if a != b) \
+                        if len(alt_rows) == len(exp_rows) else \
+                        ("rowcount", len(exp_rows), len(alt_rows))
+                    raise AssertionError(
+                        f"optimizer-dependent oracle: optimized vs "
+                        f"rewriter-disabled legs differ at {diff}")
             got = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'")
             got_cols = sorted(got.columns)
             got_rows = [tuple(norm(r[got.columns.index(c)]) for c in got_cols)
