@@ -2098,7 +2098,14 @@ object VectorQueries {
   // on this corpus; decimal is now the only path — no silent wraps, no
   // row-count auto-switch to get wrong.)
   // -------------------------------------------------------------------
-  def covariance(s: SparkSession, d: String): DataFrame = {
+  /** The one-pass corpus totals both covariance audits share: row
+    * count, Σ micro-components, and the Σ of the flattened upper
+    * triangle of per-row outer products — one bounded (1 + 64 + 2080)-
+    * value row to the driver, int128-exact at any corpus scale.
+    */
+  private def covarianceTotals(s: SparkSession, d: String)
+      : (Long, scala.collection.Seq[java.math.BigDecimal],
+         scala.collection.Seq[java.math.BigDecimal]) = {
     val e = embeddings(s, d).withColumn("v", expr(
       "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT))"))
     val tri = call_function("array_outer_tri", col("v"))
@@ -2107,9 +2114,12 @@ object VectorQueries {
         call_function("array_sum_agg_dec", col("v")).as("sx"),
         call_function("array_sum_agg_dec", col("xx")).as("sxx"))
       .collect()(0)
-    val n = row.getLong(0)
-    val sx = row.getSeq[java.math.BigDecimal](1)
-    val sxx = row.getSeq[java.math.BigDecimal](2)
+    (row.getLong(0), row.getSeq[java.math.BigDecimal](1),
+      row.getSeq[java.math.BigDecimal](2))
+  }
+
+  def covariance(s: SparkSession, d: String): DataFrame = {
+    val (n, sx, sxx) = covarianceTotals(s, d)
     val nD = n.toDouble
     def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
@@ -2168,6 +2178,90 @@ object VectorQueries {
        |      / CAST(n.n AS DOUBLE)) / CAST(n.n AS DOUBLE), 6) END AS cov
        |FROM p JOIN s sa ON sa.i = p.i JOIN s sb ON sb.i = p.j, n
        |ORDER BY i, j""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Charter: the covariance audit with a FLOAT-FREE output — the
+  // triangulation probe for the driver's repeat vec_covariance red.
+  // Same one-pass totals, but the reported cell is the exact integer
+  //   cov_micro = round_half_away_from_zero(cov × 1e6)
+  //             = ±⌊(2·|n·Σxy − Σxᵢ·Σxⱼ| + n²·10⁶) / (2·n²·10⁶)⌋
+  // computed entirely in integer arithmetic on BOTH sides (BigInteger
+  // here, HUGEINT in the oracle) from the same exact sums. No double
+  // exists anywhere in the pair, so no rounding mode, sign-of-zero,
+  // last-ulp division difference, or optimizer rewrite can diverge.
+  // Read together with diag_zero_sign: if the canary is green and
+  // vec_covariance stays red while THIS is green, the divergence is in
+  // the checker's double round()/division; if this is red too, the
+  // divergence is upstream in the sums themselves (it never has been —
+  // sxy_micro2 hashes green in every round).
+  // -------------------------------------------------------------------
+  def covarianceMicro(s: SparkSession, d: String): DataFrame = {
+    val (n, sx, sxx) = covarianceTotals(s, d)
+    import java.math.BigInteger
+    val nBI = BigInteger.valueOf(n)
+    val den = nBI.multiply(nBI).multiply(BigInteger.valueOf(1000000L))
+    val twoDen = den.shiftLeft(1)
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row](Dim * (Dim + 1) / 2)
+    var p = 0
+    var i = 1
+    while (i <= Dim) {
+      var j = i
+      while (j <= Dim) {
+        val sxy = sxx(p)
+        val num = nBI.multiply(sxy.toBigIntegerExact)
+          .subtract(sx(i - 1).toBigIntegerExact
+            .multiply(sx(j - 1).toBigIntegerExact))
+        val q = num.abs.shiftLeft(1).add(den).divide(twoDen)
+        val covMicro = (if (num.signum < 0) q.negate else q).longValueExact()
+        out.add(org.apache.spark.sql.Row(i, j, n, sxy, covMicro))
+        p += 1; j += 1
+      }
+      i += 1
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("i",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("j",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_vectors",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("sxy_micro2",
+        org.apache.spark.sql.types.DecimalType(38, 0), nullable = false),
+      org.apache.spark.sql.types.StructField("cov_micro",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    s.createDataFrame(out, schema).orderBy("i", "j")
+  }
+
+  val covarianceMicroSql: String = {
+    // exact rational cov×1e6, half-away-from-zero, all HUGEINT;
+    // DuckDB's `//` truncates toward zero, but both branches keep the
+    // dividend non-negative so truncation == floor
+    val num = "CAST(n.n AS HUGEINT) * CAST(p.sxy AS HUGEINT)" +
+      " - CAST(sa.sx AS HUGEINT) * CAST(sb.sx AS HUGEINT)"
+    val den = "CAST(n.n AS HUGEINT) * CAST(n.n AS HUGEINT) * 1000000"
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |x AS (
+       |  SELECT vec_id, CAST(i AS INT) AS i, v[i] AS xi
+       |  FROM e, unnest(range(1, ${Dim + 1})) AS t(i)),
+       |p AS (
+       |  SELECT a.i AS i, b.i AS j,
+       |    CAST(sum(a.xi * b.xi) AS DECIMAL(38,0)) AS sxy
+       |  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+       |  GROUP BY 1, 2),
+       |s AS (SELECT i, CAST(sum(xi) AS BIGINT) AS sx FROM x GROUP BY i),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings)
+       |SELECT p.i AS i, p.j AS j, n.n AS n_vectors, p.sxy AS sxy_micro2,
+       |  CAST(CASE WHEN $num >= 0
+       |    THEN (2 * ($num) + $den) // (2 * ($den))
+       |    ELSE -((2 * (-($num)) + $den) // (2 * ($den)))
+       |  END AS BIGINT) AS cov_micro
+       |FROM p JOIN s sa ON sa.i = p.i JOIN s sb ON sb.i = p.j, n
+       |ORDER BY i, j""".stripMargin
+  }
 
   // -------------------------------------------------------------------
   // Charter: embedding standardization / outlier audit — the per-vector
@@ -2265,6 +2359,7 @@ object VectorQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "vec_standardize" -> (standardize _),
     "vec_covariance" -> (covariance _),
+    "vec_covariance_micro" -> (covarianceMicro _),
     "vec_centroid_drift" -> (centroidDrift _),
     "vec_random_projection" -> (randomProjection _),
     "vec_mips" -> (mips _),
@@ -2298,6 +2393,7 @@ object VectorQueries {
   val oracles: Map[String, String] = Map(
     "vec_standardize" -> standardizeSql,
     "vec_covariance" -> covarianceSql,
+    "vec_covariance_micro" -> covarianceMicroSql,
     "vec_centroid_drift" -> centroidDriftSql,
     "vec_random_projection" -> randomProjectionSql,
     "vec_mips" -> mipsSql,

@@ -64,6 +64,47 @@ class VecCovarianceSpec extends AnyFunSuite {
     }
   }
 
+  test("vec_covariance_micro: exact-rational rounding parity, float-free") {
+    // independent leg: exact rational cov×1e6 rounded half-away-from-
+    // zero in BigInt — the reference semantics the engine's BigInteger
+    // formula and the oracle's HUGEINT formula must BOTH realize
+    val vs = graft.Tables.embeddings(spark, sf)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray
+        .map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong))
+    val n = vs.length.toLong
+    val sx = Array.fill(Dim)(BigInt(0))
+    val sxy = Array.fill(Dim, Dim)(BigInt(0))
+    vs.foreach { v =>
+      var i = 0
+      while (i < Dim) {
+        sx(i) += v(i)
+        var j = i
+        while (j < Dim) { sxy(i)(j) += BigInt(v(i)) * v(j); j += 1 }
+        i += 1
+      }
+    }
+    val den = BigInt(n) * BigInt(n) * 1000000L
+    def half(num: BigInt): Long =
+      (num.sign * ((num.abs * 2 + den) / (den * 2))).toLong
+    val got = graft.operators.VectorQueries.covarianceMicro(spark, sf)
+      .collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(4))).toMap
+    assert(got.size == Dim * (Dim + 1) / 2)
+    val covDoubles = graft.operators.VectorQueries.covariance(spark, sf)
+      .collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(4))).toMap
+    for (i <- 1 to Dim; j <- i to Dim) {
+      val exp = half(BigInt(n) * sxy(i - 1)(j - 1) - sx(i - 1) * sx(j - 1))
+      assert(got((i, j)) == exp, s"cell ($i,$j)")
+      // the float twin agrees within one micro-unit (its rounding goes
+      // through doubles; exact agreement is not promised, adjacency is)
+      val viaDouble = math.round(covDoubles((i, j)) * 1e6)
+      assert(math.abs(got((i, j)) - viaDouble) <= 1L,
+        s"cell ($i,$j): micro=${got((i, j))} double-path=$viaDouble")
+    }
+  }
+
   test("pair sums past the int64 envelope: exact, no wrap, no throw") {
     // Drives the EXACT covariance aggregation shape (array_outer_tri →
     // array_sum_agg_dec) with per-row products near Long.Max, so the
