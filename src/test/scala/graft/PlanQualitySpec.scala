@@ -274,6 +274,21 @@ class PlanQualitySpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS docs_b")
   }
 
+  test("funnel cycles: stage scans push their type filter; the window " +
+    "chain rides checkpoints, never a re-scan of views") {
+    // the iterative frontier (the greedy window chain) must be frozen
+    // into localCheckpoint-backed rows by the time the final plan is
+    // built: stages 2/3 read the parquet events scan with their
+    // event_type equality PUSHED, and the view leg appears ONLY as
+    // checkpointed rows — a plan that re-scans 'view' per consumer
+    // would multiply the corpus reads by the cycle count at 100 TB
+    val plan = physical(RelationalQueries.funnelCycles(spark, sf))
+    assert(plan.contains("Scan ExistingRDD"), plan)
+    assert(plan.contains("EqualTo(event_type,click)"), plan)
+    assert(plan.contains("EqualTo(event_type,purchase)"), plan)
+    assert(!plan.contains("EqualTo(event_type,view)"), plan)
+  }
+
   test("staged fan-out queries return checkpoint-backed plans, no rescan") {
     // the expensive corpus subtree must be materialized once by
     // Stage.fanout: the RETURNED plan reads the checkpointed rows (plus
