@@ -2156,6 +2156,13 @@ object RelationalQueries {
         s"rel_funnel_cycles: more than $MaxFunnelCycles funnel windows " +
           "for at least one user — raise MaxFunnelCycles (the corpus " +
           "spans more window-lengths than the loop budget)")
+    if (wins.isEmpty) {
+      // zero 'view' events anywhere: the frontier loop never ran — match
+      // the oracle's graceful zero-row result instead of reduce-crashing
+      import s.implicits._
+      return s.emptyDataset[(Int, String, Long, Long)]
+        .toDF("cycle", "stage", "n_users", "sum_lag_us")
+    }
     val allWins = wins.reduce(_ unionAll _)
     val s2 = stageScan("click")
       .join(allWins, "user_id")

@@ -2135,7 +2135,15 @@ object VectorQueries {
         val cov = (sxy.doubleValue() / 1e12 -
           (sx(i - 1).doubleValue() / 1e6) * (sx(j - 1).doubleValue() / 1e6)
             / nD) / nD
-        out.add(org.apache.spark.sql.Row(i, j, n, sxy, r6(cov)))
+        // wide integers travel as canonical decimal VARCHAR (the
+        // cdc_u128_sum discipline, SURVEY §1.2): DECIMAL(38,0) output
+        // columns are NOT hash-portable across the driver's two read
+        // paths — DuckDB .df() renders them float64 while pyarrow
+        // reading Spark's parquet yields decimal.Decimal (r15 judge
+        // reproduction) — so the r13-r15 reds were representational,
+        // not value, divergence. String is exact at any corpus scale.
+        out.add(org.apache.spark.sql.Row(i, j, n,
+          sxy.toBigIntegerExact.toString, r6(cov)))
         p += 1; j += 1
       }
       i += 1
@@ -2148,7 +2156,7 @@ object VectorQueries {
       org.apache.spark.sql.types.StructField("n_vectors",
         org.apache.spark.sql.types.LongType, nullable = false),
       org.apache.spark.sql.types.StructField("sxy_micro2",
-        org.apache.spark.sql.types.DecimalType(38, 0), nullable = false),
+        org.apache.spark.sql.types.StringType, nullable = false),
       org.apache.spark.sql.types.StructField("cov",
         org.apache.spark.sql.types.DoubleType, nullable = false)))
     s.createDataFrame(out, schema).orderBy("i", "j")
@@ -2170,7 +2178,8 @@ object VectorQueries {
        |  GROUP BY 1, 2),
        |s AS (SELECT i, CAST(sum(xi) AS BIGINT) AS sx FROM x GROUP BY i),
        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings)
-       |SELECT p.i AS i, p.j AS j, n.n AS n_vectors, p.sxy AS sxy_micro2,
+       |SELECT p.i AS i, p.j AS j, n.n AS n_vectors,
+       |  CAST(p.sxy AS VARCHAR) AS sxy_micro2,
        |  CASE WHEN round((CAST(p.sxy AS DOUBLE) / 1e12 -
        |    (CAST(sa.sx AS DOUBLE) / 1e6) * (CAST(sb.sx AS DOUBLE) / 1e6)
        |      / CAST(n.n AS DOUBLE)) / CAST(n.n AS DOUBLE), 6) = 0 THEN 0.0 ELSE round((CAST(p.sxy AS DOUBLE) / 1e12 -
@@ -2189,11 +2198,15 @@ object VectorQueries {
   // here, HUGEINT in the oracle) from the same exact sums. No double
   // exists anywhere in the pair, so no rounding mode, sign-of-zero,
   // last-ulp division difference, or optimizer rewrite can diverge.
-  // Read together with diag_zero_sign: if the canary is green and
-  // vec_covariance stays red while THIS is green, the divergence is in
-  // the checker's double round()/division; if this is red too, the
-  // divergence is upstream in the sums themselves (it never has been —
-  // sxy_micro2 hashes green in every round).
+  // r15 resolution: this probe came back RED alongside vec_covariance
+  // while diag_zero_sign was GREEN — which killed every float theory
+  // and localized the cause to the one thing both reds (and nothing
+  // green) shared: a DECIMAL(38,0) OUTPUT column. The judge reproduced
+  // the driver divergence (DuckDB .df() → float64 vs pyarrow →
+  // decimal.Decimal, bit-identical values); sxy_micro2 now travels as
+  // canonical decimal VARCHAR on both sides, and diag_decimal38 below
+  // carries the class canary (a 2^53+1 decimal that float64 cannot
+  // represent) so the driver adjudicates the type, not a query.
   // -------------------------------------------------------------------
   def covarianceMicro(s: SparkSession, d: String): DataFrame = {
     val (n, sx, sxx) = covarianceTotals(s, d)
@@ -2213,7 +2226,8 @@ object VectorQueries {
             .multiply(sx(j - 1).toBigIntegerExact))
         val q = num.abs.shiftLeft(1).add(den).divide(twoDen)
         val covMicro = (if (num.signum < 0) q.negate else q).longValueExact()
-        out.add(org.apache.spark.sql.Row(i, j, n, sxy, covMicro))
+        out.add(org.apache.spark.sql.Row(i, j, n,
+          sxy.toBigIntegerExact.toString, covMicro))
         p += 1; j += 1
       }
       i += 1
@@ -2226,7 +2240,7 @@ object VectorQueries {
       org.apache.spark.sql.types.StructField("n_vectors",
         org.apache.spark.sql.types.LongType, nullable = false),
       org.apache.spark.sql.types.StructField("sxy_micro2",
-        org.apache.spark.sql.types.DecimalType(38, 0), nullable = false),
+        org.apache.spark.sql.types.StringType, nullable = false),
       org.apache.spark.sql.types.StructField("cov_micro",
         org.apache.spark.sql.types.LongType, nullable = false)))
     s.createDataFrame(out, schema).orderBy("i", "j")
@@ -2254,7 +2268,8 @@ object VectorQueries {
        |  GROUP BY 1, 2),
        |s AS (SELECT i, CAST(sum(xi) AS BIGINT) AS sx FROM x GROUP BY i),
        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings)
-       |SELECT p.i AS i, p.j AS j, n.n AS n_vectors, p.sxy AS sxy_micro2,
+       |SELECT p.i AS i, p.j AS j, n.n AS n_vectors,
+       |  CAST(p.sxy AS VARCHAR) AS sxy_micro2,
        |  CAST(CASE WHEN $num >= 0
        |    THEN (2 * ($num) + $den) // (2 * ($den))
        |    ELSE -((2 * (-($num)) + $den) // (2 * ($den)))
@@ -2356,7 +2371,80 @@ object VectorQueries {
        |    AS n_outlier_dims
        |FROM z GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // diag_decimal38 — the DECIMAL(38,0) class canary (VERDICT r15 #2).
+  // One row whose two columns are decimal literals the driver cannot
+  // hash portably IF its two read paths canonicalize DECIMAL(38,0)
+  // differently: d_small = 42 is representable everywhere, and d_big =
+  // 2^53 + 1 = 9007199254740993 is the first integer float64 CANNOT
+  // hold — a reader that renders the oracle's decimal as float64 (as
+  // DuckDB-python .df() does) yields 9007199254740992.0 while pyarrow
+  // reading Spark's parquet yields decimal.Decimal(9007199254740993).
+  // RED here = decimal outputs are unhashable at the driver, the r15
+  // reproduction is driver-proven and the VARCHAR rule (OracleHygiene's
+  // no-decimal-output ban) is load-bearing; GREEN = re-probe with
+  // diag_cov_totals below. This is the ONE sanctioned decimal output
+  // in the registry (exempted by name in OracleHygieneSpec).
+  // -------------------------------------------------------------------
+  def diagDecimal38(s: SparkSession, d: String): DataFrame =
+    s.sql("SELECT CAST(42 AS DECIMAL(38,0)) AS d_small, " +
+      "CAST('9007199254740993' AS DECIMAL(38,0)) AS d_big")
+
+  val diagDecimal38Sql: String =
+    "SELECT CAST('42' AS DECIMAL(38,0)) AS d_small, " +
+      "CAST('9007199254740993' AS DECIMAL(38,0)) AS d_big"
+
+  // -------------------------------------------------------------------
+  // diag_cov_totals — the sums ladder (VERDICT r15 #3): the covariance
+  // audits' exact inputs as ONE tiny row, every wide integer as
+  // canonical VARCHAR. If the VARCHAR'd covariance rows somehow stay
+  // red, this row localizes the divergence: green ⇒ representation was
+  // the whole story; red ⇒ the exact sums themselves diverge at the
+  // driver and the next suspect is input quantization.
+  // -------------------------------------------------------------------
+  def diagCovTotals(s: SparkSession, d: String): DataFrame = {
+    val (n, sx, sxx) = covarianceTotals(s, d)
+    // flattened upper-triangle index of (i,j), 1-based, i<=j
+    def tri(i: Int, j: Int): Int = (i - 1) * Dim - (i - 1) * (i - 2) / 2 + (j - i)
+    val out = java.util.Collections.singletonList(
+      org.apache.spark.sql.Row(n,
+        sx(0).toBigIntegerExact.longValueExact(),
+        sx(Dim - 1).toBigIntegerExact.longValueExact(),
+        sxx(tri(1, 1)).toBigIntegerExact.toString,
+        sxx(tri(6, 10)).toBigIntegerExact.toString,
+        sxx(tri(Dim, Dim)).toBigIntegerExact.toString))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n_vectors",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("sx_1",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("sx_64",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("sxy_1_1",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("sxy_6_10",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("sxy_64_64",
+        org.apache.spark.sql.types.StringType, nullable = false)))
+    s.createDataFrame(out, schema)
+  }
+
+  val diagCovTotalsSql: String =
+    s"""WITH e AS (
+       |  SELECT list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS v
+       |  FROM embeddings)
+       |SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+       |  CAST(sum(v[1]) AS BIGINT) AS sx_1,
+       |  CAST(sum(v[$Dim]) AS BIGINT) AS sx_64,
+       |  CAST(CAST(sum(v[1] * v[1]) AS DECIMAL(38,0)) AS VARCHAR) AS sxy_1_1,
+       |  CAST(CAST(sum(v[6] * v[10]) AS DECIMAL(38,0)) AS VARCHAR) AS sxy_6_10,
+       |  CAST(CAST(sum(v[$Dim] * v[$Dim]) AS DECIMAL(38,0)) AS VARCHAR) AS sxy_64_64
+       |FROM e""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "diag_decimal38" -> (diagDecimal38 _),
+    "diag_cov_totals" -> (diagCovTotals _),
     "vec_standardize" -> (standardize _),
     "vec_covariance" -> (covariance _),
     "vec_covariance_micro" -> (covarianceMicro _),
@@ -2391,6 +2479,8 @@ object VectorQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "diag_decimal38" -> diagDecimal38Sql,
+    "diag_cov_totals" -> diagCovTotalsSql,
     "vec_standardize" -> standardizeSql,
     "vec_covariance" -> covarianceSql,
     "vec_covariance_micro" -> covarianceMicroSql,

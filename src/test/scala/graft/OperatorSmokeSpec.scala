@@ -22,9 +22,40 @@ class OperatorSmokeSpec extends AnyFunSuite {
   // exact values, so even they hash-compare)
   private val rowsOnly = Set.empty[String]
 
+  // The one sanctioned DecimalType output: the canary whose entire
+  // purpose is to carry the class so the driver adjudicates it.
+  private val decimalAllowed = Set("diag_decimal38")
+
+  // DecimalType output columns are NOT hash-portable across the
+  // driver's two read paths (r15 judge reproduction: DuckDB .df()
+  // renders DECIMAL(38,0) as float64 while pyarrow reading Spark's
+  // parquet yields decimal.Decimal — identical values, different
+  // canonical form, red hash). Wide integers travel as canonical
+  // decimal VARCHAR (the cdc_u128_sum discipline, SURVEY §1.2).
+  private def decimalPaths(dt: org.apache.spark.sql.types.DataType,
+      at: String): Seq[String] = dt match {
+    case _: org.apache.spark.sql.types.DecimalType => Seq(at)
+    case a: org.apache.spark.sql.types.ArrayType =>
+      decimalPaths(a.elementType, s"$at[]")
+    case m: org.apache.spark.sql.types.MapType =>
+      decimalPaths(m.keyType, s"$at.key") ++
+        decimalPaths(m.valueType, s"$at.value")
+    case st: org.apache.spark.sql.types.StructType =>
+      st.fields.toSeq.flatMap(f => decimalPaths(f.dataType, s"$at.${f.name}"))
+    case _ => Nil
+  }
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs on sf0.001") {
       val df = fn(spark, sf)
+      if (!decimalAllowed(name)) {
+        val bad = df.schema.fields.toSeq
+          .flatMap(f => decimalPaths(f.dataType, f.name))
+        assert(bad.isEmpty,
+          s"$name has DecimalType output column(s) ${bad.mkString(", ")} — " +
+            "not hash-portable at the driver; emit wide integers as " +
+            "canonical decimal VARCHAR (cdc_u128_sum discipline)")
+      }
       val n = df.count()
       if (!mayBeEmpty(name)) assert(n > 0, s"$name returned no rows")
     }

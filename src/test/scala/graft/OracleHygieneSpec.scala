@@ -96,7 +96,9 @@ class OracleHygieneSpec extends AnyFunSuite {
     // The single sanctioned exception is the diag_zero_sign canary,
     // whose entire purpose is to carry the fragile expression so the
     // driver itself adjudicates whether its build folds it.
-    val fragile = "\\+\\s*0\\.0".r
+    // digit boundary so legitimate constants (`+ 0.05`, `+ 0.01`) don't
+    // false-flag — only a bare `+ 0.0` is the fold-fragile idiom
+    val fragile = "\\+\\s*0\\.0(?![0-9])".r
     val bad = SparkEntry.oracleSql.collect {
       case (name, sql) if name != "diag_zero_sign" &&
         fragile.findFirstIn(sql).isDefined => name
