@@ -12,13 +12,17 @@ FRAGILE = _re.compile(r"round\s*\(")
 FRAGILE_ALLOWED = {"diag_zero_sign"}  # the canary carries + 0.0 by design
 OPTCHECK = os.environ.get("OPTCHECK", "1") != "0"
 # Dual-reader leg (VERDICT r15 #5): the driver reads the ORACLE through
-# duckdb-python's .df() and SPARK'S OUTPUT through pyarrow — two readers
-# that canonicalize DECIMAL(38,0) differently (.df() -> float64, pyarrow
-# -> decimal.Decimal), the divergence class that shipped three red
-# rounds while this checker (both sides through DuckDB SQL) stayed
-# green. This leg reproduces the asymmetry: any kind/repr mismatch
-# between the two readers fails the query. diag_decimal38 is the one
-# sanctioned carrier of the class (its job is to make the DRIVER
+# duckdb-python's .df() and SPARK'S OUTPUT through pandas.read_parquet —
+# two readers that canonicalize DECIMAL(38,0) differently (.df() ->
+# float64, pandas -> decimal.Decimal objects), the divergence class
+# that shipped three red rounds while this checker (both sides through
+# DuckDB SQL) stayed green. This leg reproduces the asymmetry: any
+# kind/repr mismatch between the two readers fails the query. The
+# Spark side MUST be pandas (numpy-backed), not pyarrow to_pylist: both
+# readers float64-ify nullable int64 and NaT-ify null timestamps, so
+# those cancel — a to_pylist first cut false-flagged 7 driver-GREEN
+# queries on exactly that class. diag_decimal38 is the one sanctioned
+# carrier of the decimal class (its job is to make the DRIVER
 # adjudicate it), so it is exempt here unless DUALREAD_INCLUDE_CANARY=1
 # (which must FAIL it — that inverted run is the leg's self-test).
 DUALREAD = os.environ.get("DUALREAD", "1") != "0"
@@ -166,29 +170,36 @@ def canon_cell(v):
 
 
 def dualread_diff(name, sql):
-    """Oracle via duckdb .df() vs Spark output via pyarrow — the driver's
-    two ACTUAL readers. Returns None if the canonical multisets match,
-    else a human-readable first-diff string."""
-    import pyarrow.parquet as pq
+    """Oracle via duckdb .df() vs Spark output via pandas.read_parquet
+    (numpy-backed, the pyarrow engine) — the driver's two ACTUAL
+    readers. Both produce pandas frames, so their SHARED canonicalions
+    (nullable int64 -> float64 + NaN, null timestamp -> NaT) cancel out
+    — the first cut read the Spark side with pyarrow to_pylist and
+    false-flagged 7 driver-GREEN queries on exactly that class. What
+    does NOT cancel: DECIMAL(38,0), which .df() renders float64 while
+    pandas keeps as decimal.Decimal objects — the class that was red at
+    the driver for three rounds. Returns None if the canonical
+    multisets match, else a human-readable first-diff string."""
+    import pandas as pd
     odf = con.sql(sql).df()
     ocols = sorted(odf.columns)
     orows = sorted(tuple(canon_cell(rec[c]) for c in ocols)
                    for rec in odf.to_dict("records"))
     files = sorted(_glob.glob(f"{outdir}/{name}/*.parquet"))
-    recs = []
-    for f in files:
-        recs.extend(pq.read_table(f).to_pylist())
-    gcols = sorted(recs[0].keys()) if recs else ocols
+    gdf = pd.concat([pd.read_parquet(f) for f in files],
+                    ignore_index=True) if files else pd.DataFrame()
+    gcols = sorted(gdf.columns) if len(gdf.columns) else ocols
     if gcols != ocols:
-        return f"columns oracle(.df)={ocols} spark(pyarrow)={gcols}"
-    grows = sorted(tuple(canon_cell(rec[c]) for c in gcols) for rec in recs)
+        return f"columns oracle(.df)={ocols} spark(pandas)={gcols}"
+    grows = sorted(tuple(canon_cell(rec[c]) for c in gcols)
+                   for rec in gdf.to_dict("records"))
     if len(orows) != len(grows):
-        return f"rowcount oracle(.df)={len(orows)} spark(pyarrow)={len(grows)}"
+        return f"rowcount oracle(.df)={len(orows)} spark(pandas)={len(grows)}"
     for i, (a, b) in enumerate(zip(orows, grows)):
         if a != b:
             cols_bad = [(c, x, y) for c, x, y in zip(ocols, a, b) if x != y]
             return (f"sorted row {i}: " + "; ".join(
-                f"{c}: oracle(.df)={x} spark(pyarrow)={y}"
+                f"{c}: oracle(.df)={x} spark(pandas)={y}"
                 for c, x, y in cols_bad[:3]))
     return None
 
@@ -287,7 +298,7 @@ for name, sql in sorted(oracle.items()):
         except Exception as e:
             dd = f"exception {e}"
         if dd is not None:
-            print(f"FAIL {name}: dual-reader leg (duckdb .df() vs pyarrow) "
+            print(f"FAIL {name}: dual-reader leg (duckdb .df() vs pandas) "
                   f"diverges — not hash-portable at the driver: {dd}")
             fails.append(name); continue
     print(f"ok   {name} ({len(exp_rows)} rows, cols={got_cols})")
