@@ -56,7 +56,12 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default 32 = the charter machine (local[32]); every committed
+    // closing-sweep artifact was produced with SPARK_GRAFT_CPUS=32, and
+    // a round-16 forgotten-env forensic (SCALING.md) showed the old
+    // default of 4 silently quarters the scan parallelism: sf1 CPU-bound
+    // queries read 3-5× "slower" with corpus/code/plans all unchanged
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
