@@ -83,8 +83,10 @@ object StreamBench {
     // 1.51 — one cold rep on a 6.5 s window): they run 5 counted reps
     // so the median is anchored and the noise flag can trim one
     // outlier per side
+    // (r16 sf0.1 sweep: funnel raw spread 2.51 from one cold rep at
+    // reps=3 — same signature as the other four when they joined)
     val noisyStreams = Set("media_features", "decontaminate",
-      "incremental_dedup", "ann_serve_batch512")
+      "incremental_dedup", "ann_serve_batch512", "funnel")
     def repsFor(name: String): Int =
       if (noisyStreams(name)) math.max(repsWanted, 5) else repsWanted
     val warmups = sys.env.get("SPARK_GRAFT_STREAM_WARMUP")
