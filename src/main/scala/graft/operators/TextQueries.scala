@@ -2213,6 +2213,153 @@ object TextQueries {
   }
 
   // -------------------------------------------------------------------
+  // Charter: rare-gram inverted-index retrieval dedup — the recall path
+  // min-agreement blocking cannot reach. The round-9 frontier study
+  // (see containment's header) showed the pairs every min-based
+  // blocking key misses share too little hash-min MASS, and named this
+  // operator shape as the fix: build posting lists over sparse char-8-
+  // grams, keep only RARE grams (document frequency 2..RareGramDfCap),
+  // and emit each posting's pairs directly. A pair that shares ANY
+  // rare-gram run is a candidate regardless of where its per-doc
+  // minima land — the classic record-linkage inverted index, where
+  // the df cap plays the degenerate-block role but with no recall
+  // cliff for genuinely rare overlap (a gram over the cap is by
+  // definition boilerplate, exact-dedup's job).
+  //
+  // Scale shape (100 TB): the posting relation is staged ONCE and
+  // feeds both the df count and the list aggregation (same key ⇒ the
+  // second aggregation reuses the join's hash partitioning, no extra
+  // exchange); candidate volume is bounded by Σ_rare C(df,2) ≤
+  // C(cap,2)·|rare grams| — LINEAR in corpus size, never quadratic;
+  // per-gram posting arrays are ≤ cap elements by the count-first
+  // filter (the list agg only ever sees rare grams, so no boilerplate
+  // gram can inflate an aggregation buffer); and the exact char-4-gram
+  // Jaccard verification explodes ONLY candidate docs (a semi-join
+  // reaches the parquet scan), where the blocking dedups must hash the
+  // whole corpus for their block keys. MinSharedRareGrams=2 suppresses
+  // single-gram chance collisions — a true J≥0.6 near-dup pair shares
+  // a gram per character of common run, never just one.
+  // -------------------------------------------------------------------
+  // Df-cap sweep, measured at sf0.1 vs dedup_ngram_jaccard's 230
+  // verified pairs: cap=8 → 7k candidates, recovers 93 + 6 novel;
+  // cap=16 → 49k candidates, recovers 213 + 22 novel; cap=64 → 428k
+  // candidates (8.6×) for just 16 more recovered. 16 is the knee: the
+  // pairs still missed live in >16-copy clusters — boilerplate
+  // territory that exact/blocking dedup already owns, while every
+  // sub-16-df rare-overlap pair (including all 22 the blocking minima
+  // can't reach) is caught.
+  private[graft] val RareGramDfCap = 16
+  private val MinSharedRareGrams = 2
+
+  def rareGramRetrieval(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftExtensions.register(s)
+    val posts = documents(s, d)
+      .select(col("doc_id"),
+        explode(call_function("char_ngrams", col("text"), lit(8), lit(true)))
+          .as("g8"))
+      .select(col("doc_id"), h60(col("g8")).as("gh"))
+    val cand = graft.Stage.fanout(posts) { p =>
+      // count first, collect second: the posting-list aggregation only
+      // runs over grams already known rare, so its arrays are ≤ cap
+      val rare = p.groupBy("gh").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2 && col("df") <= RareGramDfCap)
+        .select("gh")
+      val lists = p.join(rare, "gh")
+        .groupBy("gh")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      // each posting emits its C(df,2) ordered pairs in place — no
+      // self-join, no re-shuffle; the pair aggregate counts shared
+      // rare grams per pair
+      val pairsExpr = expr(
+        "flatten(transform(ds, (a, i) -> transform(" +
+          "slice(ds, i + 2, size(ds) - i - 1), " +
+          "b -> struct(a AS doc_a, b AS doc_b))))")
+      lists.select(explode(pairsExpr).as("p"))
+        .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+        .agg(count(lit(1)).as("n_rare_shared"))
+        .filter(col("n_rare_shared") >= MinSharedRareGrams)
+    }
+    // exact verification over candidate docs ONLY: the semi-join keeps
+    // the 4-gram hash pass off every non-candidate document; the
+    // per-doc gram arrays are staged so the two pair-side joins read
+    // ONE hash pass, not two
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .unionByName(cand.select(col("doc_b").as("doc_id")))
+      .distinct()
+    // A/B measured at sf0.1 (49k candidates, min-of-3): staged per-doc
+    // gram ARRAYS + array_intersect 7.3 s vs the flat (doc, gh)
+    // hash-join+count shape 11.0 s — the noise-heavy candidate set
+    // re-confirms ngramJaccard's round-9 verdict (the flat shape's
+    // |cand|×|grams/doc| join intermediate, ~13M rows here, costs more
+    // than shipping each candidate doc's array once per pair).
+    val g4raw = documents(s, d)
+      .join(candDocs, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        explode(call_function("char_ngrams", col("text"), lit(4), lit(true)))
+          .as("g"))
+      .select(col("doc_id"), h60(col("g")).as("gh"))
+      .groupBy("doc_id")
+      .agg(collect_list(col("gh")).as("ghs"), count(lit(1)).as("n"))
+    graft.Stage.fanout(g4raw) { g4 =>
+      cand
+        .join(g4.select(col("doc_id").as("ida"), col("ghs").as("ghs_a"),
+          col("n").as("na")), col("doc_a") === col("ida"))
+        .join(g4.select(col("doc_id").as("idb"), col("ghs").as("ghs_b"),
+          col("n").as("nb")), col("doc_b") === col("idb"))
+        .select(col("doc_a"), col("doc_b"), col("n_rare_shared"),
+          size(array_intersect(col("ghs_a"), col("ghs_b"))).cast("bigint")
+            .as("n_common"), col("na"), col("nb"))
+        .select(col("doc_a"), col("doc_b"), col("n_rare_shared"),
+          (col("n_common").cast("double") /
+            (col("na") + col("nb") - col("n_common"))).as("jaccard"))
+        .filter(col("jaccard") >= 0.6)
+    }.orderBy("doc_a", "doc_b")
+  }
+
+  val rareGramRetrievalSql: String = {
+    val gh = h60Sql("g")
+    val bh = h60Sql("g8")
+    s"""WITH g8 AS (
+       |  SELECT doc_id, $bh AS gh FROM (
+       |    SELECT doc_id, unnest(list_distinct($char8gramsSql)) AS g8
+       |    FROM documents)),
+       |rare AS (
+       |  SELECT gh FROM g8 GROUP BY gh
+       |  HAVING count(*) BETWEEN 2 AND $RareGramDfCap),
+       |cand AS (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |    count(*) AS n_rare_shared
+       |  FROM g8 x JOIN rare r ON x.gh = r.gh
+       |  JOIN g8 y ON y.gh = x.gh AND x.doc_id < y.doc_id
+       |  GROUP BY x.doc_id, y.doc_id
+       |  HAVING count(*) >= $MinSharedRareGrams),
+       |cdocs AS (
+       |  SELECT DISTINCT doc_id FROM (
+       |    SELECT doc_a AS doc_id FROM cand
+       |    UNION ALL SELECT doc_b FROM cand)),
+       |g4 AS (
+       |  SELECT doc_id, $gh AS gh FROM (
+       |    SELECT doc_id, unnest(list_distinct($char4gramsSql)) AS g
+       |    FROM documents
+       |    WHERE doc_id IN (SELECT doc_id FROM cdocs))),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM g4 GROUP BY doc_id),
+       |inter AS (
+       |  SELECT doc_a, doc_b, count(*) AS n_common
+       |  FROM cand
+       |  JOIN g4 ga ON ga.doc_id = doc_a
+       |  JOIN g4 gb ON gb.doc_id = doc_b AND gb.gh = ga.gh
+       |  GROUP BY doc_a, doc_b)
+       |SELECT c.doc_a, c.doc_b, c.n_rare_shared,
+       |  CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) AS jaccard
+       |FROM cand c
+       |JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+       |JOIN sizes sa ON sa.doc_id = c.doc_a
+       |JOIN sizes sb ON sb.doc_id = c.doc_b
+       |WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= 0.6
+       |ORDER BY 1, 2""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // Charter: per-document LM scoring — score every doc under the
   // corpus's own bigram LM (avg ln P(w2|w1)), the model-based quality
   // filter that ranks "typical" text above outliers. Determinism: each
@@ -4156,6 +4303,7 @@ object TextQueries {
     "train_shuffle" -> (trainShuffle _),
     "text_stopword_strip" -> (stopwordStrip _),
     "dedup_containment" -> (containment _),
+    "dedup_rare_gram" -> (rareGramRetrieval _),
     "dedup_agreement" -> (dedupAgreement _),
     "text_bpe_apply" -> (bpeApply _),
     "text_bpe_encode" -> (bpeEncode _),
@@ -4225,6 +4373,7 @@ object TextQueries {
     "train_shuffle" -> trainShuffleSql,
     "text_stopword_strip" -> stopwordStripSql,
     "dedup_containment" -> containmentSql,
+    "dedup_rare_gram" -> rareGramRetrievalSql,
     "dedup_agreement" -> dedupAgreementSql,
     "text_bpe_apply" -> bpeApplySql,
     "text_bpe_encode" -> bpeEncodeSql,

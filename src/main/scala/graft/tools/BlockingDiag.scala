@@ -68,6 +68,21 @@ object BlockingDiag {
           col("min_p0"), col("min_p1"), col("min_p2")).as("block"))
   }
 
+  /** (doc_id, block) under dedup_rare_gram's inverted index: block =
+    * the char-8-gram hash itself, one row per posting. Candidate pairs
+    * = Σ C(df,2) over grams with df ≤ RareGramDfCap — the number that
+    * must stay ~linear per decade for the retrieval path's scale
+    * claim; dropped blocks are the over-cap grams (boilerplate,
+    * exact/blocking-dedup's territory by design).
+    */
+  def rareGramBlocks(s: SparkSession, d: String): DataFrame =
+    TextQueries.documents(s, d)
+      .select(col("doc_id"),
+        explode(call_function("char_ngrams", col("text"), lit(8), lit(true)))
+          .as("g8"))
+      .select(col("doc_id"),
+        TextQueries.h60(col("g8")).cast("string").as("block"))
+
   /** (doc_id, block) under vec_cosine_neardup's key: the FIXED 8-plane
     * sign-LSH bucket (VectorQueries.bucket). Unlike the text families,
     * the bucket count here is constant (2^8), so candidate pairs grow
@@ -232,7 +247,8 @@ object BlockingDiag {
            // text families need documents; vec families need embeddings
            (if (new java.io.File(s"$d/documents.parquet").exists())
              Seq("jaccard" -> (() => jaccardBlocks(spark, d)),
-               "containment" -> (() => containmentBlocks(spark, d))) else Nil) ++
+               "containment" -> (() => containmentBlocks(spark, d)),
+               "rare_gram" -> (() => rareGramBlocks(spark, d))) else Nil) ++
            (if (new java.io.File(s"$d/embeddings.parquet").exists())
              Seq("vec_lsh" -> (() => vecLshBlocks(spark, d)),
                "vec_lsh_banded" -> (() => vecLshBandedBlocks(spark, d)),
@@ -245,6 +261,7 @@ object BlockingDiag {
       // score every bucket pair — report their full candidate count
       val st = stats(blocks,
         if (family.startsWith("vec")) Long.MaxValue
+        else if (family == "rare_gram") TextQueries.RareGramDfCap.toLong
         else TextQueries.DegenerateBlockCap.toLong)
       val body = fields.map(f => s""""$f":${st(f)}""").mkString(",")
       println(s"""{"dir":"$d","family":"$family",$body}""")

@@ -65,4 +65,52 @@ class BlockingDedupSpec extends AnyFunSuite {
     assert(pairs("dedup_ngram_jaccard", dir) === Set((1L, 2L)))
     assert(pairs("dedup_containment", dir) === Set((1L, 2L)))
   }
+
+  // ---- dedup_rare_gram (posting-list retrieval) -------------------
+
+  test("rare-gram retrieval: duplicate cluster under the df cap is fully scored") {
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(1L, 2L, 3L).map(id => (id, text)) ++ filler(5, 100L)
+    val dir = writeDocs(docs)
+    assert(pairs("dedup_rare_gram", dir) ===
+      Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("rare-gram retrieval: grams over the df cap are dropped, not paired n^2") {
+    // 20 identical docs: every shared gram has df = 20 > RareGramDfCap
+    // (16) — the posting-list analogue of the degenerate-block refusal:
+    // a >cap-copy cluster is exact-dedup's job, not the retrieval tail's
+    val text = "boilerplate header repeated across the entire corpus body"
+    val docs = (1L to 20L).map(id => (id, text)) ++ filler(5, 1000L)
+    val dir = writeDocs(docs)
+    assert(pairs("dedup_rare_gram", dir).isEmpty)
+  }
+
+  test("rare-gram retrieval: a single shared rare gram is not a candidate") {
+    // the docs share exactly ONE width-8 window — " shrme6 ", the
+    // 6-char common token plus its two spaces; every other window
+    // spills into neighbor words that differ. MinSharedRareGrams = 2
+    // keeps the chance single-gram collision out of the verify join
+    // — and even as a candidate it could never pass J4 >= 0.6
+    val docs = Seq(
+      (1L, "alpha beta gamma shrme6 delta epsilon"),
+      (2L, "zz1 qq2 ww3 shrme6 rr4 tt5 yy6 uu7")) ++ filler(4, 50L)
+    val dir = writeDocs(docs)
+    assert(pairs("dedup_rare_gram", dir).isEmpty)
+  }
+
+  test("rare-gram retrieval catches a near-dup pair blocking minima can split") {
+    // doc B extends doc A with a distinct tail: if the tail owns B's
+    // 8-gram minima, A and B land in different blocks and the blocking
+    // dedups never compare them — but every gram of the shared prefix
+    // has df = 2 (rare), so the posting lists pair them regardless of
+    // where the minima land. The pair must still clear exact J4 >= 0.6,
+    // so the tail stays short relative to the shared run.
+    val shared = "the quick brown fox jumps over the lazy dog again " +
+      "and again and once more for good measure in this long shared run"
+    val a = shared
+    val b = shared + " unique tiny tail"
+    val dir = writeDocs(Seq((1L, a), (2L, b)) ++ filler(5, 100L))
+    assert(pairs("dedup_rare_gram", dir) === Set((1L, 2L)))
+  }
 }
