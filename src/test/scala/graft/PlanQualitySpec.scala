@@ -444,6 +444,31 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("rare-gram retrieval checkpoints only slim pair relations") {
+    // two fan-outs: the posting relation and the per-doc verify arrays
+    // stay persist-only; what reaches checkpoint FILES is the slim
+    // candidate relation and the verified pair relation — no
+    // corpus-scale array column may be checkpoint-backed
+    val q = TextQueries.rareGramRetrieval(spark, sf)
+    def leaves(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        leaves(a.executedPlan)
+      case l if l.children.isEmpty => Seq(l)
+      case n => n.children.flatMap(leaves)
+    }
+    val rddScans = leaves(q.queryExecution.executedPlan)
+      .collect { case r: org.apache.spark.sql.execution.RDDScanExec => r }
+    assert(rddScans.nonEmpty, q.queryExecution.executedPlan.toString)
+    rddScans.foreach { scan =>
+      scan.schema.fields.foreach { f =>
+        assert(!f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType],
+          s"checkpointed column ${f.name} is an array — corpus-scale " +
+            s"relation reached checkpoint files")
+      }
+    }
+  }
+
   test("windowed funnel pushes each stage's type filter into its scan " +
     "and plans no window operator") {
     val plan = physical(RelationalQueries.funnelWindowed(spark, sf))
