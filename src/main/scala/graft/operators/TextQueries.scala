@@ -707,7 +707,14 @@ object TextQueries {
     """list_transform(range(1, greatest(length(text) - 6, 2)),
       |      i -> substring(text, i, 8))""".stripMargin
 
-  def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+  def ngramJaccard(s: SparkSession, d: String): DataFrame =
+    ngramJaccardCore(s, d).orderBy("doc_a", "doc_b")
+
+  /** Scored ≥0.6-Jaccard pairs without the output ordering, so
+    * composites (dedup_retrieval_agreement) consume the
+    * checkpoint-backed relation directly.
+    */
+  private[operators] def ngramJaccardCore(s: SparkSession, d: String): DataFrame = {
     // Round-2's slowest query, restructured three times over: (1) gram
     // construction moves from interpreted higher-order functions to the
     // native codegen'd char_ngrams loop; (2) the exploded gram relation
@@ -790,7 +797,6 @@ object TextQueries {
         (col("n_common").cast("double") /
           (col("na") + col("nb") - col("n_common"))).as("jaccard"))
       .filter(col("jaccard") >= 0.6)
-      .orderBy("doc_a", "doc_b")
   }
 
   val ngramJaccardSql: String = {
@@ -1824,6 +1830,13 @@ object TextQueries {
   //   containment = member of any ≥0.8 gram-containment pair
   //   passage     = majority-duplicate 8-token passage windows
   //   substring   = majority-duplicate 20-token windows (stride 10)
+  // (The round-16 retrieval path is audited PAIR-level in
+  // dedup_retrieval_agreement instead of as a 7th flag leg here: the
+  // measured DuckDB peak of this composite's oracle with a 7th leg
+  // exceeds the 2 GiB oracle envelope at sf0.1 — 6 legs fit in 1.8 GiB,
+  // 7 OOM even at 3 GiB with every CTE materialized — and the pair-level
+  // complementarity report is the more informative comparison for a
+  // method whose whole point is pairs the others cannot reach.)
   // The flag relations are slim (method, doc_id) sets, so the pairwise
   // comparison is a same-key self-join over |flagged docs| rows — the
   // expensive legs are the dedup pipelines themselves, each already
@@ -2106,8 +2119,9 @@ object TextQueries {
   // degenerate again at sf1: 430k-880k candidates, pre-cap blocks of
   // 5k-19k docs). The uncaught pairs share too little hash-min mass for
   // ANY min-agreement key; catching them needs inverted-index retrieval
-  // (rare-gram posting lists), a different operator shape. Conjunctive
-  // blocking stays: linear candidates, the documented trade.
+  // (rare-gram posting lists), a different operator shape — shipped in
+  // round 16 as [[rareGramRetrieval]] (dedup_rare_gram). Conjunctive
+  // blocking stays here: linear candidates, the documented trade.
   // -------------------------------------------------------------------
   // A/B measured (sf0.1, median-of-5, both shapes in one process,
   // round 9): gram-array scoring 2.97 s vs exploded (doc_id, gh)
@@ -2251,7 +2265,14 @@ object TextQueries {
   private[graft] val RareGramDfCap = 16
   private val MinSharedRareGrams = 2
 
-  def rareGramRetrieval(s: SparkSession, d: String): DataFrame = {
+  def rareGramRetrieval(s: SparkSession, d: String): DataFrame =
+    rareGramCore(s, d).orderBy("doc_a", "doc_b")
+
+  /** Verified rare-gram pairs without the output ordering, so
+    * composites (dedup_agreement) consume the checkpoint-backed
+    * relation directly.
+    */
+  private[operators] def rareGramCore(s: SparkSession, d: String): DataFrame = {
     graft.plans.GraftExtensions.register(s)
     val posts = documents(s, d)
       .select(col("doc_id"),
@@ -2313,7 +2334,7 @@ object TextQueries {
           (col("n_common").cast("double") /
             (col("na") + col("nb") - col("n_common"))).as("jaccard"))
         .filter(col("jaccard") >= 0.6)
-    }.orderBy("doc_a", "doc_b")
+    }
   }
 
   val rareGramRetrievalSql: String = {
@@ -2357,6 +2378,59 @@ object TextQueries {
        |JOIN sizes sb ON sb.doc_id = c.doc_b
        |WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= 0.6
        |ORDER BY 1, 2""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // Charter: blocking-vs-retrieval complementarity audit — the
+  // pair-level report that justifies running BOTH near-dup paths: how
+  // many verified J4≥0.6 pairs each method finds, how many they share,
+  // and each side's exclusive tail (blocking_only = pairs inside
+  // >RareGramDfCap-copy clusters the df cap refuses; retrieval_only =
+  // pairs whose blocking minima split). Both methods score the SAME
+  // exact char-4-gram Jaccard by design, so the coalesced score is
+  // well-defined and the per-side min/max are order-independent
+  // doubles (no float summation). Lives apart from dedup_agreement's
+  // doc-level composite: a 7th leg there exceeds the 2 GiB oracle
+  // envelope at sf0.1 (measured — 6 legs fit in 1.8 GiB, 7 OOM at
+  // 3 GiB), and the pair-level view is the informative one for a
+  // method built to reach pairs the others cannot.
+  // -------------------------------------------------------------------
+  def retrievalAgreement(s: SparkSession, d: String): DataFrame = {
+    val b = ngramJaccardCore(s, d)
+      .select(col("doc_a"), col("doc_b"), col("jaccard").as("j_b"))
+    val r = rareGramCore(s, d)
+      .select(col("doc_a"), col("doc_b"), col("jaccard").as("j_r"))
+    b.join(r, Seq("doc_a", "doc_b"), "full_outer")
+      .select(
+        when(col("j_b").isNotNull && col("j_r").isNotNull, lit("both"))
+          .when(col("j_b").isNotNull, lit("blocking_only"))
+          .otherwise(lit("retrieval_only")).as("side"),
+        coalesce(col("j_b"), col("j_r")).as("j"))
+      .groupBy("side")
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("j")).as("min_jaccard"), max(col("j")).as("max_jaccard"))
+      .orderBy("side")
+  }
+
+  val retrievalAgreementSql: String = {
+    val nj = ngramJaccardSql.replace("ORDER BY doc_a, doc_b", "")
+    val rg = rareGramRetrievalSql.replace("ORDER BY 1, 2", "")
+    // spliced AFTER stripMargin: both subqueries contain lines that
+    // BEGIN with `||` (string concat), which an enclosing stripMargin
+    // would truncate to `|` and break
+    s"""WITH b AS (SELECT doc_a, doc_b, jaccard AS j_b FROM (@@NJ_SQL@@)),
+       |r AS (SELECT doc_a, doc_b, jaccard AS j_r FROM (@@RG_SQL@@)),
+       |j AS (
+       |  SELECT CASE WHEN j_b IS NOT NULL AND j_r IS NOT NULL THEN 'both'
+       |              WHEN j_b IS NOT NULL THEN 'blocking_only'
+       |              ELSE 'retrieval_only' END AS side,
+       |    coalesce(j_b, j_r) AS j
+       |  FROM b FULL OUTER JOIN r USING (doc_a, doc_b))
+       |SELECT side, count(*) AS n_pairs, min(j) AS min_jaccard,
+       |  max(j) AS max_jaccard
+       |FROM j GROUP BY side ORDER BY side""".stripMargin
+      .replace("@@NJ_SQL@@", nj)
+      .replace("@@RG_SQL@@", rg)
   }
 
   // -------------------------------------------------------------------
@@ -4304,6 +4378,7 @@ object TextQueries {
     "text_stopword_strip" -> (stopwordStrip _),
     "dedup_containment" -> (containment _),
     "dedup_rare_gram" -> (rareGramRetrieval _),
+    "dedup_retrieval_agreement" -> (retrievalAgreement _),
     "dedup_agreement" -> (dedupAgreement _),
     "text_bpe_apply" -> (bpeApply _),
     "text_bpe_encode" -> (bpeEncode _),
@@ -4374,6 +4449,7 @@ object TextQueries {
     "text_stopword_strip" -> stopwordStripSql,
     "dedup_containment" -> containmentSql,
     "dedup_rare_gram" -> rareGramRetrievalSql,
+    "dedup_retrieval_agreement" -> retrievalAgreementSql,
     "dedup_agreement" -> dedupAgreementSql,
     "text_bpe_apply" -> bpeApplySql,
     "text_bpe_encode" -> bpeEncodeSql,

@@ -39,6 +39,21 @@ class CrossOperatorSpec extends AnyFunSuite {
     assert(violations == 0)
   }
 
+  test("retrieval-agreement sides partition the two pair sets exactly") {
+    // n(both) + n(blocking_only) must equal dedup_ngram_jaccard's pair
+    // count, n(both) + n(retrieval_only) dedup_rare_gram's — the audit
+    // is a partition of the union, not an approximation of it; and
+    // every coalesced score is a verified J >= 0.6
+    val audit = TextQueries.retrievalAgreement(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val nBlocking = TextQueries.ngramJaccard(spark, sf).count()
+    val nRetrieval = TextQueries.rareGramRetrieval(spark, sf).count()
+    def n(side: String): Long = audit.get(side).map(_._1).getOrElse(0L)
+    assert(n("both") + n("blocking_only") == nBlocking)
+    assert(n("both") + n("retrieval_only") == nRetrieval)
+    audit.values.foreach { case (_, minJ) => assert(minJ >= 0.6) }
+  }
+
   test("recall curve @10 for the LSH index equals vec_ann_recall") {
     val curve = VectorQueries.recallCurve(spark, sf)
       .filter(col("index_name") === "lsh" && col("k") === 10).head()
