@@ -113,4 +113,48 @@ class BlockingDedupSpec extends AnyFunSuite {
     val dir = writeDocs(Seq((1L, a), (2L, b)) ++ filler(5, 100L))
     assert(pairs("dedup_rare_gram", dir) === Set((1L, 2L)))
   }
+
+  // ---- dedup_incremental_near (batch-vs-corpus retrieval) ---------
+
+  private def nearPairs(dir: String): Set[(Long, Long, Double)] =
+    SparkEntry.queries("dedup_incremental_near")(spark, dir)
+      .select("batch_doc", "corpus_doc", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("incremental near: a re-crawl replay matches its corpus copy at 1.0") {
+    // doc 10 sits in the corpus (< 400) AND in the batch replay window
+    // (< 50): the ingest screen must pair it with itself at J4 = 1.0
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val dir = writeDocs(Seq((10L, text)) ++ filler(5, 100L))
+    assert(nearPairs(dir) === Set((10L, 10L, 1.0)))
+  }
+
+  test("incremental near: a new batch doc pairs with its corpus near-dup, " +
+    "corpus-internal dups do not pair") {
+    val shared = "the quick brown fox jumps over the lazy dog again " +
+      "and again and once more for good measure in this long shared run"
+    val docs = Seq(
+      (60L, shared), // corpus only (>= 50 so not replayed into batch)
+      (400L, shared + " unique tiny tail"), // new batch doc, near-dup
+      (70L, "corpus internal duplicate body repeated verbatim here"),
+      (71L, "corpus internal duplicate body repeated verbatim here")) ++
+      filler(5, 100L)
+    val dir = writeDocs(docs)
+    val got = nearPairs(dir)
+    assert(got.map(p => (p._1, p._2)) === Set((400L, 60L)),
+      s"got $got — corpus-internal pair (70,71) must NOT appear: the " +
+        "ingest screen only compares batch against corpus")
+    assert(got.forall(p => p._3 >= 0.6 && p._3 < 1.0))
+  }
+
+  test("incremental near: grams over the corpus df cap are refused") {
+    // 20 identical corpus docs push every shared gram's df to 20 > 16;
+    // a batch doc with the same text probes nothing — the >cap cluster
+    // is exact-dedup's job (the replay path), not the near screen's
+    val text = "boilerplate header repeated across the entire corpus body"
+    val docs = (60L to 79L).map(id => (id, text)) ++
+      Seq((400L, text)) ++ filler(5, 100L)
+    val dir = writeDocs(docs)
+    assert(nearPairs(dir).isEmpty)
+  }
 }

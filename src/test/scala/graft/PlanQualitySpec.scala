@@ -445,10 +445,15 @@ class PlanQualitySpec extends AnyFunSuite {
   }
 
   test("rare-gram retrieval checkpoints only slim pair relations") {
-    // two fan-outs: the posting relation and the per-doc verify arrays
-    // stay persist-only; what reaches checkpoint FILES is the slim
-    // candidate relation and the verified pair relation — no
-    // corpus-scale array column may be checkpoint-backed
+    // the pipeline has two fan-outs (posting relation, per-doc verify
+    // arrays — both persist-only), but the returned plan's only
+    // checkpoint-backed scan is the SECOND fan-out's verified-pair
+    // relation: the first fan-out's candidate checkpoint is consumed
+    // inside the verify build and replaced by the final checkpoint, so
+    // it cannot appear here. This test therefore pins the final
+    // checkpoint only; the candidate relation's slimness is implied by
+    // its schema (doc_a, doc_b, n_rare_shared — built scalar-only in
+    // rareCandBuild)
     val q = TextQueries.rareGramRetrieval(spark, sf)
     def leaves(p: org.apache.spark.sql.execution.SparkPlan)
         : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {

@@ -21,10 +21,11 @@ OPTCHECK = os.environ.get("OPTCHECK", "1") != "0"
 # Spark side MUST be pandas (numpy-backed), not pyarrow to_pylist: both
 # readers float64-ify nullable int64 and NaT-ify null timestamps, so
 # those cancel — a to_pylist first cut false-flagged 7 driver-GREEN
-# queries on exactly that class. diag_decimal38 is the one sanctioned
-# carrier of the decimal class (its job is to make the DRIVER
-# adjudicate it), so it is exempt here unless DUALREAD_INCLUDE_CANARY=1
-# (which must FAIL it — that inverted run is the leg's self-test).
+# queries on exactly that class. diag_decimal38, the sanctioned carrier
+# of the decimal class, was retired from the registry in round 17 after
+# the driver adjudicated it red; under DUALREAD_INCLUDE_CANARY=1 this
+# checker synthesizes it locally (see CANARY_SQL below) and the leg
+# must FAIL it — that inverted run is the leg's self-test.
 DUALREAD = os.environ.get("DUALREAD", "1") != "0"
 DUALREAD_ALLOWED = (set() if os.environ.get("DUALREAD_INCLUDE_CANARY")
                     else {"diag_decimal38"})
@@ -100,6 +101,23 @@ NOOPT = os.environ.get("OPTCHECK_DISABLED", "expression_rewriter")
 con_noopt = connect(NOOPT) if OPTCHECK else None
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+
+# The DECIMAL(38,0) canary was retired from the registry in round 17
+# (its driver verdict is banked — see SCALING.md), so under
+# DUALREAD_INCLUDE_CANARY=1 this checker synthesizes it: the "Spark
+# side" parquet is written here with the same DECIMAL(38,0) schema
+# Spark would emit, the oracle SQL is injected, and the dual-reader leg
+# MUST fail it (rows/schema/values identical, reader canonical forms
+# diverge) — that inverted run remains the leg's self-test.
+CANARY_SQL = ("SELECT CAST('42' AS DECIMAL(38,0)) AS d_small, "
+              "CAST('9007199254740993' AS DECIMAL(38,0)) AS d_big")
+if os.environ.get("DUALREAD_INCLUDE_CANARY") and \
+        "diag_decimal38" not in oracle:
+    os.makedirs(f"{outdir}/diag_decimal38", exist_ok=True)
+    con.sql(f"COPY ({CANARY_SQL}) TO "
+            f"'{outdir}/diag_decimal38/part-canary.parquet' "
+            f"(FORMAT PARQUET)")
+    oracle["diag_decimal38"] = CANARY_SQL
 
 # ---------------------------------------------------------------------
 # Optimizer-sensitivity leg (VERDICT r14 #4): the r13/r14 vec_covariance
