@@ -1348,11 +1348,32 @@ object TextQueries {
   // of a doc whose text shares only one sub-cap gram with its copy
   // when the rest crossed the df cap.
   // -------------------------------------------------------------------
-  def incrementalNear(s: SparkSession, d: String): DataFrame = {
+  def incrementalNear(s: SparkSession, d: String): DataFrame =
+    incrementalNearSplit(s, d,
+      col("doc_id") < 400,
+      col("doc_id") >= 400 || col("doc_id") < 50)
+
+  /** [[incrementalNear]] with a caller-chosen corpus/batch split — the
+    * registered query fixes the dedup_incremental split; the decade
+    * probe (tools/IncNearDecadeProbe) inverts it so the batch stays
+    * FIXED while the corpus grows, isolating the batch-proportional
+    * probe cost from the corpus-proportional (one-off, amortized in a
+    * deployment) index build.
+    */
+  private[graft] def incrementalNearSplit(s: SparkSession, d: String,
+      corpusPred: Column, batchPred: Column): DataFrame = {
     graft.plans.GraftExtensions.register(s)
+    var tPhase = System.nanoTime()
+    def phase(tag: String): Unit = {
+      if (sys.env.contains("GRAFT_PHASE_LOG")) {
+        val now = System.nanoTime()
+        println(f"[phase] inc_near $tag ${(now - tPhase) / 1e9}%.2f s")
+        tPhase = now
+      }
+    }
     val docs = documents(s, d)
-    val corpus = docs.filter(col("doc_id") < 400)
-    val batch = docs.filter(col("doc_id") >= 400 || col("doc_id") < 50)
+    val corpus = docs.filter(corpusPred)
+    val batch = docs.filter(batchPred)
     def gram8(df: DataFrame): DataFrame = df
       .select(col("doc_id"),
         explode(call_function("char_ngrams", col("text"), lit(8), lit(true)))
@@ -1369,7 +1390,23 @@ object TextQueries {
       gram8(batch).join(idx, "gh")
         .groupBy(col("doc_id").as("batch_doc"), col("corpus_doc"))
         .agg(count(lit(1)).as("n_rare_shared"))
+        // per-batch-doc VERIFY BUDGET: keep each ingest doc's top-K
+        // candidates by shared rare grams (corpus_doc breaks ties
+        // deterministically). A batch doc's true partner(s) share the
+        // most rare grams and rank at the top; without the budget a
+        // batch of near-copies of the corpus explodes — measured at
+        // the sf10-docs decade: 34.0M candidate pairs (p99 151 per
+        // batch doc, max 242), whose array-shipping verify spilled
+        // 334 GB and owned 247 of the query's 276 s. With the budget
+        // verification work is ≤ K per ingest doc — linear in the
+        // batch with a hard constant, the deployment contract.
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("batch_doc")
+            .orderBy(col("n_rare_shared").desc, col("corpus_doc"))))
+        .filter(col("rnk") <= IncNearVerifyBudget)
+        .drop("rnk")
     }
+    phase("candidates")
     // exact-J4 verify over candidate docs only, reusing the rare-gram
     // verify body under its doc_a/doc_b contract (doc_a = batch side)
     val candAb = cand.select(col("batch_doc").as("doc_a"),
@@ -1385,7 +1422,9 @@ object TextQueries {
       .select(col("doc_id"), h60(col("g")).as("gh"))
       .groupBy("doc_id")
       .agg(collect_list(col("gh")).as("ghs"), count(lit(1)).as("n"))
-    graft.Stage.fanout(g4raw)(rareVerifyBuild(candAb))
+    val verified = graft.Stage.fanout(g4raw)(rareVerifyBuild(candAb))
+    phase("verify")
+    verified
       .select(col("doc_a").as("batch_doc"), col("doc_b").as("corpus_doc"),
         col("n_rare_shared"), col("jaccard"))
       .orderBy("batch_doc", "corpus_doc")
@@ -1412,13 +1451,17 @@ object TextQueries {
        |  SELECT doc_id, $bh AS gh FROM (
        |    SELECT doc_id, unnest(list_distinct($char8gramsSql)) AS g8
        |    FROM batch)),
-       |cand AS (
+       |cand0 AS (
        |  SELECT b.doc_id AS batch_doc, c.doc_id AS corpus_doc,
        |    count(*) AS n_rare_shared
        |  FROM bg8 b
        |  JOIN rare r ON b.gh = r.gh
        |  JOIN cg8 c ON c.gh = b.gh
        |  GROUP BY b.doc_id, c.doc_id),
+       |cand AS (
+       |  SELECT batch_doc, corpus_doc, n_rare_shared FROM cand0
+       |  QUALIFY row_number() OVER (PARTITION BY batch_doc
+       |    ORDER BY n_rare_shared DESC, corpus_doc) <= $IncNearVerifyBudget),
        |cdocs AS (
        |  SELECT DISTINCT doc_id FROM (
        |    SELECT batch_doc AS doc_id FROM cand
@@ -2414,6 +2457,9 @@ object TextQueries {
   // can't reach) is caught.
   private[graft] val RareGramDfCap = 16
   private val MinSharedRareGrams = 2
+  // dedup_incremental_near's per-batch-doc candidate cap (see the
+  // verify-budget comment at the cand window)
+  private[graft] val IncNearVerifyBudget = 16
 
   def rareGramRetrieval(s: SparkSession, d: String): DataFrame =
     rareGramCore(s, d).orderBy("doc_a", "doc_b")
