@@ -62,9 +62,17 @@ object Bench {
     // default of 4 silently quarters the scan parallelism: sf1 CPU-bound
     // queries read 3-5× "slower" with corpus/code/plans all unchanged
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // shuffle partitions default to the thread count (the benchmark
+    // shape), but the LOWMEM tier raises them independently: per-task
+    // aggregation state shrinks ∝ partitions, which is the knob a
+    // memory-constrained cluster actually turns (more, smaller tasks —
+    // not fewer cores). Measured at the sf10-docs decade under 2 GiB:
+    // 8 threads × 8 partitions OOMs the pair stages nondeterministically,
+    // 8 threads × 64 partitions completes (see SCALING.md round 17).
+    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       // reclaim reliable-checkpoint files (Stage.fanout, dedup_clusters

@@ -1387,7 +1387,16 @@ object TextQueries {
         .select("gh")
       val idx = cp.join(rare, "gh")
         .select(col("gh"), col("doc_id").as("corpus_doc"))
-      gram8(batch).join(idx, "gh")
+      // Under a small heap, force shuffle-hash instead of letting the
+      // planner broadcast the index: the ~180k-row index hash relation
+      // built on the driver OOMs nondeterministically under the 2 GiB
+      // lowmem tier (4-of-5 reps), while the shuffled probe (the
+      // deployment shape for a corpus-sized index: batch shuffles on
+      // gh, batch-proportional) is stable at 11.0 s. With heap
+      // headroom the planner's broadcast is legitimately 3.6× faster
+      // at bench SFs and stays.
+      val small = Runtime.getRuntime.maxMemory <= 6L * 1024 * 1024 * 1024
+      gram8(batch).join(if (small) idx.hint("shuffle_hash") else idx, "gh")
         .groupBy(col("doc_id").as("batch_doc"), col("corpus_doc"))
         .agg(count(lit(1)).as("n_rare_shared"))
         // per-batch-doc VERIFY BUDGET: keep each ingest doc's top-K
@@ -2625,17 +2634,36 @@ object TextQueries {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    val g8 = g8Hashes(s, d).persist(StorageLevel.MEMORY_AND_DISK)
+    // Overlapping the two pipelines halves the barrier count but
+    // doubles the CO-RESIDENT staged mass; under a small heap that
+    // trade inverts (measured at the sf10-docs decade under 2 GiB:
+    // overlapped reps OOM nondeterministically in the pair stages,
+    // serial reps complete). Overlap only when the heap has headroom.
+    val overlap = Runtime.getRuntime.maxMemory > 6L * 1024 * 1024 * 1024
+    // under a small heap the staged relations (g8 ≈ 16 B × postings,
+    // docgr ≈ the corpus' gram arrays) dwarf storage memory and their
+    // eviction churn starves the aggregation maps ("got 0" OOMs,
+    // measured at the sf10-docs decade under 2 GiB) — stage straight
+    // to disk instead, the cluster answer for memory-tight executors
+    val stagedLevel =
+      if (overlap) StorageLevel.MEMORY_AND_DISK else StorageLevel.DISK_ONLY
+    // serial mode evaluates EAGERLY at the call site: the candidate
+    // build must run while only g8 is staged (before docgr joins it in
+    // memory), which is exactly the original barrier order
+    def maybeAsync[T](body: => T): () => T =
+      if (overlap) { val f = Future(body); () => Await.result(f, Duration.Inf) }
+      else { val v = body; () => v }
+    val g8 = g8Hashes(s, d).persist(stagedLevel)
     g8.queryExecution.toRdd.count()
     phase("g8_stage")
     // the candidate pipeline (cache-only) and the docgr staging (the
     // 4-gram md5 scan) are independent — overlap them; local[32] has
     // the idle cores, and on a cluster these are disjoint stages the
     // scheduler can interleave
-    val candF = Future {
+    val candF = maybeAsync {
       val candRaw = rareCandBuild(
           g8.select(col("doc_id"), col("gh8").as("gh")))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .persist(stagedLevel)
       val cand = candRaw.checkpoint()
       candRaw.unpersist(blocking = true)
       cand
@@ -2644,16 +2672,16 @@ object TextQueries {
     // the retrieval verify prunes them from cache (left-semi below)
     // instead of re-hashing a pruned parquet scan as standalone does
     val docgr = docGramBlocks(g8, doc4Arrays(s, d))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(stagedLevel)
     docgr.queryExecution.toRdd.count()
-    val cand = Await.result(candF, Duration.Inf)
+    val cand = candF()
     g8.unpersist(blocking = true) // both md5-8 consumers materialized
     phase("stage_cand_docgr")
     // blocking-pair generation and retrieval verify both read the
     // docgr cache and nothing else in common — overlap them too
-    val bPairsF = Future {
+    val bPairsF = maybeAsync {
       val bPairsRaw = ngramPairsBuild(docgr)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .persist(stagedLevel)
       val bPairs = bPairsRaw.checkpoint()
       bPairsRaw.unpersist(blocking = true)
       bPairs
@@ -2666,16 +2694,16 @@ object TextQueries {
     // docgr array cache behind the semi-join
     val g4 = docgr.select(col("doc_id"), col("ghs"), col("n"))
       .join(candDocs, Seq("doc_id"), "left_semi")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(stagedLevel)
     // materialize before the fan-out consumes it twice — a lazily
     // built cache would be raced (see Stage.fanout)
     g4.queryExecution.toRdd.count()
     val rPairsRaw = rareVerifyBuild(cand)(g4)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(stagedLevel)
     val rPairs = rPairsRaw.checkpoint()
     rPairsRaw.unpersist(blocking = true)
     g4.unpersist(blocking = true)
-    val bPairs = Await.result(bPairsF, Duration.Inf)
+    val bPairs = bPairsF()
     docgr.unpersist(blocking = true)
     phase("pairs_verify")
     val b = ngramPairsScore(bPairs)
