@@ -288,8 +288,25 @@ object Bench {
     val errorsJson = errors.toSeq.sortBy(_._1).map { case (k, v) =>
       jsonStr(k) + ":" + jsonStr(v)
     }.mkString("{", ",", "}")
+    // Calibration-normalized stream rates: each stream ÷ the null-
+    // transform `calibration` stream's rows/sec from the SAME sweep.
+    // The calibration stream carries no graft logic (read → identity →
+    // noop sink), so its rate is a pure host+harness speed probe —
+    // dividing by it cancels the uniform host-day drift that made r16's
+    // attribution and r17's whole stream table read as phantom
+    // regressions (SCALING.md root-cause studies). Cross-round stream
+    // comparisons should read THESE ratios; raw rows/sec stay alongside
+    // for absolute-throughput claims on a known-quiet box.
+    val calibRps = streaming.get("calibration").map(_.rowsPerSec)
+      .filter(_ > 0)
+    val streamNorm: Map[String, Double] = calibRps match {
+      case Some(c) => streaming.collect {
+        case (n, s) if n != "calibration" => n -> s.rowsPerSec / c
+      }
+      case None => Map.empty
+    }
     val spillJson = s"""{"mem_bytes":${memSpilled.get},"disk_bytes":${diskSpilled.get},"max_heap_mb":${Runtime.getRuntime.maxMemory() / (1 << 20)}}"""
-    val detail = s"""{"queries":$qs,"queries_min":$qsMin,"errors":$errorsJson,"reps":$reps,"noise":$noiseJson,"streaming":$streamingJson,"stream_noise_exceeded":$streamNoiseExceeded,"spill":$spillJson,"sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size},"total_all":${num(totalAll, 6)},"events_per_sec":${num(relayEps, 1)},"relay_events":$relayedEvents,"relay_staged":$stagedEvents}"""
+    val detail = s"""{"queries":$qs,"queries_min":$qsMin,"errors":$errorsJson,"reps":$reps,"noise":$noiseJson,"streaming":$streamingJson,"stream_rows_per_sec_norm":${jsonMap(streamNorm, 6)},"stream_noise_exceeded":$streamNoiseExceeded,"spill":$spillJson,"sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size},"total_all":${num(totalAll, 6)},"events_per_sec":${num(relayEps, 1)},"relay_events":$relayedEvents,"relay_staged":$stagedEvents}"""
     println(detail)
     try {
       // cwd-relative default so the build isn't coupled to one machine's
@@ -319,7 +336,7 @@ object Bench {
     val headlineQs = jsonMap(results.filter(kv => headline.contains(kv._1)), 3)
     val streamRps = jsonMap(
       streaming.map { case (n, s) => n -> s.rowsPerSec }, 1)
-    println(s"""{"metric":"headline_total_15q","value":${num(total, 6)},"unit":"sec","sf":"$sfDir","n_headline":${headline.size - missingHeadline.size},"n_queries":${results.size},"n_errors":${errors.size},"reps":$reps,"noise":${num(ctlSpread, 4)},"noise_exceeded":$noiseExceeded,"total_all":${num(totalAll, 3)},"events_per_sec":${num(relayEps, 1)},"stream_rows_per_sec":$streamRps,"stream_noise_exceeded":$streamNoiseExceeded,"queries":$headlineQs}""")
+    println(s"""{"metric":"headline_total_15q","value":${num(total, 6)},"unit":"sec","sf":"$sfDir","n_headline":${headline.size - missingHeadline.size},"n_queries":${results.size},"n_errors":${errors.size},"reps":$reps,"noise":${num(ctlSpread, 4)},"noise_exceeded":$noiseExceeded,"total_all":${num(totalAll, 3)},"events_per_sec":${num(relayEps, 1)},"stream_rows_per_sec":$streamRps,"stream_rows_per_sec_norm":${jsonMap(streamNorm, 4)},"stream_noise_exceeded":$streamNoiseExceeded,"queries":$headlineQs}""")
     spark.stop()
   }
 }

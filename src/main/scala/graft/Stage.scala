@@ -97,6 +97,38 @@ object Stage {
     pinned
   }
 
+  /** Small-heap plan gate for the memory-tight execution shapes
+    * (shuffle-hash instead of broadcast probes, serial barriers +
+    * DISK_ONLY staging in the retrieval composite). The 6 GiB
+    * threshold is measured: the 2 GiB lowmem tier OOMs the
+    * broadcast/overlapped shapes nondeterministically while the gated
+    * shapes complete (SCALING.md round-17 frontier walk); at ≥8 GiB
+    * the ungated shapes are 3.6× faster and stay.
+    *
+    * Resolution order: `spark.graft.smallHeap` (explicit override —
+    * the cluster knob, where driver heap says nothing about executor
+    * pressure) → `spark.executor.memory` when configured (cluster
+    * default: gate on the executor size actually deployed) → driver
+    * `Runtime.maxMemory` (local mode, where driver heap == executor
+    * heap and the proxy is exact).
+    */
+  private[graft] val SmallHeapBytes: Long = 6L * 1024 * 1024 * 1024
+  private[graft] def smallHeap(s: SparkSession): Boolean =
+    smallHeapDecision(
+      s.conf.getOption("spark.graft.smallHeap"),
+      // static conf: readable here (set at launch), never mutable at
+      // runtime — HeapGateSpec pins the resolution on the pure function
+      s.conf.getOption("spark.executor.memory"),
+      Runtime.getRuntime.maxMemory)
+
+  private[graft] def smallHeapDecision(confOverride: Option[String],
+      executorMem: Option[String], driverHeapBytes: Long): Boolean =
+    confOverride.map(_.trim.toBoolean)
+      .orElse(executorMem.map(m =>
+        org.apache.spark.network.util.JavaUtils.byteStringAsBytes(m)
+          <= SmallHeapBytes))
+      .getOrElse(driverHeapBytes <= SmallHeapBytes)
+
   /** Reliable-checkpoint directory for iterative queries. On a real
     * cluster this must be durable shared storage (HDFS/S3): set it up
     * front via `sparkContext.setCheckpointDir`; this helper only fills

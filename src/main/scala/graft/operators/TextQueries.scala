@@ -798,6 +798,12 @@ object TextQueries {
 
   /** Per-doc char-4-gram hash arrays + sizes — ONE md5 pass serving
     * both pipelines' exact-J4 verification.
+    *
+    * collect_set, not collect_list: `array_intersect` dedupes, so the
+    * per-doc size `n` and the intersection must BOTH count DISTINCT
+    * hashes or a within-doc h60 collision (two distinct grams, one
+    * hash) would diverge jaccard between engines — the oracle's g4
+    * CTEs are SELECT DISTINCT to pin the same semantics.
     */
   private def doc4Arrays(s: SparkSession, d: String): DataFrame =
     documents(s, d)
@@ -806,7 +812,8 @@ object TextQueries {
           .as("g"))
       .select(col("doc_id"), col("len"), h60(col("g")).as("gh"))
       .groupBy("doc_id", "len")
-      .agg(collect_list(col("gh")).as("ghs"), count(lit(1)).as("n"))
+      .agg(collect_set(col("gh")).as("ghs"))
+      .withColumn("n", size(col("ghs")).cast("bigint"))
 
   /** The blocking-dedup docgr relation: per-doc gram arrays + the
     * (length bucket, two 8-gram minima) blocking key. The second,
@@ -831,7 +838,7 @@ object TextQueries {
     val bh = h60Sql("g8")
     val bh2 = s"((($bh) % $MinhashP) * 179424673 + 777777) % $MinhashP"
     s"""WITH grams AS (
-       |  SELECT doc_id, len, $gh AS gh FROM (
+       |  SELECT DISTINCT doc_id, len, $gh AS gh FROM (
        |    SELECT doc_id, length(text) AS len,
        |      unnest(list_distinct($char4gramsSql)) AS g
        |    FROM documents)),
@@ -1387,33 +1394,7 @@ object TextQueries {
         .select("gh")
       val idx = cp.join(rare, "gh")
         .select(col("gh"), col("doc_id").as("corpus_doc"))
-      // Under a small heap, force shuffle-hash instead of letting the
-      // planner broadcast the index: the ~180k-row index hash relation
-      // built on the driver OOMs nondeterministically under the 2 GiB
-      // lowmem tier (4-of-5 reps), while the shuffled probe (the
-      // deployment shape for a corpus-sized index: batch shuffles on
-      // gh, batch-proportional) is stable at 11.0 s. With heap
-      // headroom the planner's broadcast is legitimately 3.6× faster
-      // at bench SFs and stays.
-      val small = Runtime.getRuntime.maxMemory <= 6L * 1024 * 1024 * 1024
-      gram8(batch).join(if (small) idx.hint("shuffle_hash") else idx, "gh")
-        .groupBy(col("doc_id").as("batch_doc"), col("corpus_doc"))
-        .agg(count(lit(1)).as("n_rare_shared"))
-        // per-batch-doc VERIFY BUDGET: keep each ingest doc's top-K
-        // candidates by shared rare grams (corpus_doc breaks ties
-        // deterministically). A batch doc's true partner(s) share the
-        // most rare grams and rank at the top; without the budget a
-        // batch of near-copies of the corpus explodes — measured at
-        // the sf10-docs decade: 34.0M candidate pairs (p99 151 per
-        // batch doc, max 242), whose array-shipping verify spilled
-        // 334 GB and owned 247 of the query's 276 s. With the budget
-        // verification work is ≤ K per ingest doc — linear in the
-        // batch with a hard constant, the deployment contract.
-        .withColumn("rnk", row_number().over(
-          Window.partitionBy("batch_doc")
-            .orderBy(col("n_rare_shared").desc, col("corpus_doc"))))
-        .filter(col("rnk") <= IncNearVerifyBudget)
-        .drop("rnk")
+      incNearCandProbe(s, gram8(batch), idx)
     }
     phase("candidates")
     // exact-J4 verify over candidate docs only, reusing the rare-gram
@@ -1429,14 +1410,56 @@ object TextQueries {
         explode(call_function("char_ngrams", col("text"), lit(4), lit(true)))
           .as("g"))
       .select(col("doc_id"), h60(col("g")).as("gh"))
+      // distinct hashes (see doc4Arrays): n must agree with what
+      // array_intersect counts, and with the oracle's DISTINCT g4 CTE
       .groupBy("doc_id")
-      .agg(collect_list(col("gh")).as("ghs"), count(lit(1)).as("n"))
+      .agg(collect_set(col("gh")).as("ghs"))
+      .withColumn("n", size(col("ghs")).cast("bigint"))
     val verified = graft.Stage.fanout(g4raw)(rareVerifyBuild(candAb))
     phase("verify")
     verified
       .select(col("doc_a").as("batch_doc"), col("doc_b").as("corpus_doc"),
         col("n_rare_shared"), col("jaccard"))
       .orderBy("batch_doc", "corpus_doc")
+  }
+
+  /** The batch-probe side of [[incrementalNearSplit]]'s candidate
+    * stage — `batch8` (doc_id, gh) probes the df-capped corpus posting
+    * index `idx` (gh, corpus_doc), keeping each batch doc's top-K
+    * candidates. Factored out so HeapGateSpec can pin the conf-driven
+    * plan flip without running the full pipeline.
+    *
+    * Under a small heap, force shuffle-hash instead of letting the
+    * planner broadcast the index: the ~180k-row index hash relation
+    * built on the driver OOMs nondeterministically under the 2 GiB
+    * lowmem tier (4-of-5 reps), while the shuffled probe (the
+    * deployment shape for a corpus-sized index: batch shuffles on
+    * gh, batch-proportional) is stable at 11.0 s. With heap
+    * headroom the planner's broadcast is legitimately 3.6× faster
+    * at bench SFs and stays. Gate resolution: Stage.smallHeap
+    * (spark.graft.smallHeap / executor memory / local-heap proxy).
+    */
+  private[graft] def incNearCandProbe(s: SparkSession,
+      batch8: DataFrame, idx: DataFrame): DataFrame = {
+    val small = graft.Stage.smallHeap(s)
+    batch8.join(if (small) idx.hint("shuffle_hash") else idx, "gh")
+      .groupBy(col("doc_id").as("batch_doc"), col("corpus_doc"))
+      .agg(count(lit(1)).as("n_rare_shared"))
+      // per-batch-doc VERIFY BUDGET: keep each ingest doc's top-K
+      // candidates by shared rare grams (corpus_doc breaks ties
+      // deterministically). A batch doc's true partner(s) share the
+      // most rare grams and rank at the top; without the budget a
+      // batch of near-copies of the corpus explodes — measured at
+      // the sf10-docs decade: 34.0M candidate pairs (p99 151 per
+      // batch doc, max 242), whose array-shipping verify spilled
+      // 334 GB and owned 247 of the query's 276 s. With the budget
+      // verification work is ≤ K per ingest doc — linear in the
+      // batch with a hard constant, the deployment contract.
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("batch_doc")
+          .orderBy(col("n_rare_shared").desc, col("corpus_doc"))))
+      .filter(col("rnk") <= IncNearVerifyBudget)
+      .drop("rnk")
   }
 
   // lazy: RareGramDfCap is declared further down the object; an eager
@@ -1476,7 +1499,7 @@ object TextQueries {
        |    SELECT batch_doc AS doc_id FROM cand
        |    UNION ALL SELECT corpus_doc FROM cand)),
        |g4 AS (
-       |  SELECT doc_id, $gh AS gh FROM (
+       |  SELECT DISTINCT doc_id, $gh AS gh FROM (
        |    SELECT doc_id, unnest(list_distinct($char4gramsSql)) AS g
        |    FROM documents
        |    WHERE doc_id IN (SELECT doc_id FROM cdocs))),
@@ -2359,8 +2382,11 @@ object TextQueries {
         min(perm(0, col("bh"))).as("min_p0"),
         min(perm(1, col("bh"))).as("min_p1"),
         min(perm(2, col("bh"))).as("min_p2"))
+    // distinct hashes (see doc4Arrays): na/nb must agree with what
+    // array_intersect counts, and with the oracle's DISTINCT grams CTE
     val docgr = grams.groupBy("doc_id")
-      .agg(collect_list(col("gh")).as("ghs"), count(lit(1)).as("n"))
+      .agg(collect_set(col("gh")).as("ghs"))
+      .withColumn("n", size(col("ghs")).cast("bigint"))
       .join(blocks, "doc_id")
       .withColumn("block", concat_ws("_", col("min_bh"),
         col("min_p0"), col("min_p1"), col("min_p2")))
@@ -2392,7 +2418,7 @@ object TextQueries {
     val gh = h60Sql("g")
     val bh = h60Sql("g8")
     s"""WITH grams AS (
-       |  SELECT doc_id, $gh AS gh FROM (
+       |  SELECT DISTINCT doc_id, $gh AS gh FROM (
        |    SELECT doc_id, unnest(list_distinct($char4gramsSql)) AS g
        |    FROM documents)),
        |blocks AS (
@@ -2500,8 +2526,11 @@ object TextQueries {
         explode(call_function("char_ngrams", col("text"), lit(4), lit(true)))
           .as("g"))
       .select(col("doc_id"), h60(col("g")).as("gh"))
+      // distinct hashes (see doc4Arrays): n must agree with what
+      // array_intersect counts, and with the oracle's DISTINCT g4 CTE
       .groupBy("doc_id")
-      .agg(collect_list(col("gh")).as("ghs"), count(lit(1)).as("n"))
+      .agg(collect_set(col("gh")).as("ghs"))
+      .withColumn("n", size(col("ghs")).cast("bigint"))
     graft.Stage.fanout(g4raw)(rareVerifyBuild(cand))
   }
 
@@ -2575,7 +2604,7 @@ object TextQueries {
        |    SELECT doc_a AS doc_id FROM cand
        |    UNION ALL SELECT doc_b FROM cand)),
        |g4 AS (
-       |  SELECT doc_id, $gh AS gh FROM (
+       |  SELECT DISTINCT doc_id, $gh AS gh FROM (
        |    SELECT doc_id, unnest(list_distinct($char4gramsSql)) AS g
        |    FROM documents
        |    WHERE doc_id IN (SELECT doc_id FROM cdocs))),
@@ -2638,8 +2667,10 @@ object TextQueries {
     // doubles the CO-RESIDENT staged mass; under a small heap that
     // trade inverts (measured at the sf10-docs decade under 2 GiB:
     // overlapped reps OOM nondeterministically in the pair stages,
-    // serial reps complete). Overlap only when the heap has headroom.
-    val overlap = Runtime.getRuntime.maxMemory > 6L * 1024 * 1024 * 1024
+    // serial reps complete). Overlap only when the heap has headroom —
+    // same Stage.smallHeap gate (conf-overridable) as the near-dup
+    // screen's probe shape.
+    val overlap = !graft.Stage.smallHeap(s)
     // under a small heap the staged relations (g8 ≈ 16 B × postings,
     // docgr ≈ the corpus' gram arrays) dwarf storage memory and their
     // eviction churn starves the aggregation maps ("got 0" OOMs,
@@ -2647,13 +2678,28 @@ object TextQueries {
     // to disk instead, the cluster answer for memory-tight executors
     val stagedLevel =
       if (overlap) StorageLevel.MEMORY_AND_DISK else StorageLevel.DISK_ONLY
+    // Failure-path hygiene: every persist is tracked, every overlapped
+    // future is registered, and the finally below releases whatever an
+    // exception left staged (and awaits any still-running future so it
+    // cannot keep submitting jobs against a torn-down pipeline) — the
+    // session-churn tax the blocking unpersists exist to prevent must
+    // hold on the error path too. On success everything is already
+    // unpersisted and the finally is a no-op (storageLevel == NONE).
+    val stagedFrames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val pendingF = scala.collection.mutable.ArrayBuffer.empty[Future[_]]
+    def stage(df: DataFrame): DataFrame = {
+      val p = df.persist(stagedLevel); stagedFrames += p; p
+    }
     // serial mode evaluates EAGERLY at the call site: the candidate
     // build must run while only g8 is staged (before docgr joins it in
     // memory), which is exactly the original barrier order
     def maybeAsync[T](body: => T): () => T =
-      if (overlap) { val f = Future(body); () => Await.result(f, Duration.Inf) }
-      else { val v = body; () => v }
-    val g8 = g8Hashes(s, d).persist(stagedLevel)
+      if (overlap) {
+        val f = Future(body); pendingF += f
+        () => Await.result(f, Duration.Inf)
+      } else { val v = body; () => v }
+    try {
+    val g8 = stage(g8Hashes(s, d))
     g8.queryExecution.toRdd.count()
     phase("g8_stage")
     // the candidate pipeline (cache-only) and the docgr staging (the
@@ -2661,9 +2707,8 @@ object TextQueries {
     // the idle cores, and on a cluster these are disjoint stages the
     // scheduler can interleave
     val candF = maybeAsync {
-      val candRaw = rareCandBuild(
-          g8.select(col("doc_id"), col("gh8").as("gh")))
-        .persist(stagedLevel)
+      val candRaw = stage(rareCandBuild(
+        g8.select(col("doc_id"), col("gh8").as("gh"))))
       val cand = candRaw.checkpoint()
       candRaw.unpersist(blocking = true)
       cand
@@ -2671,8 +2716,7 @@ object TextQueries {
     // corpus-wide per-doc arrays exist for the blocking side anyway, so
     // the retrieval verify prunes them from cache (left-semi below)
     // instead of re-hashing a pruned parquet scan as standalone does
-    val docgr = docGramBlocks(g8, doc4Arrays(s, d))
-      .persist(stagedLevel)
+    val docgr = stage(docGramBlocks(g8, doc4Arrays(s, d)))
     docgr.queryExecution.toRdd.count()
     val cand = candF()
     g8.unpersist(blocking = true) // both md5-8 consumers materialized
@@ -2680,8 +2724,7 @@ object TextQueries {
     // blocking-pair generation and retrieval verify both read the
     // docgr cache and nothing else in common — overlap them too
     val bPairsF = maybeAsync {
-      val bPairsRaw = ngramPairsBuild(docgr)
-        .persist(stagedLevel)
+      val bPairsRaw = stage(ngramPairsBuild(docgr))
       val bPairs = bPairsRaw.checkpoint()
       bPairsRaw.unpersist(blocking = true)
       bPairs
@@ -2692,14 +2735,12 @@ object TextQueries {
     // persist the pruned array relation: rareVerifyBuild consumes it
     // twice, and each un-persisted evaluation would re-scan the full
     // docgr array cache behind the semi-join
-    val g4 = docgr.select(col("doc_id"), col("ghs"), col("n"))
-      .join(candDocs, Seq("doc_id"), "left_semi")
-      .persist(stagedLevel)
+    val g4 = stage(docgr.select(col("doc_id"), col("ghs"), col("n"))
+      .join(candDocs, Seq("doc_id"), "left_semi"))
     // materialize before the fan-out consumes it twice — a lazily
     // built cache would be raced (see Stage.fanout)
     g4.queryExecution.toRdd.count()
-    val rPairsRaw = rareVerifyBuild(cand)(g4)
-      .persist(stagedLevel)
+    val rPairsRaw = stage(rareVerifyBuild(cand)(g4))
     val rPairs = rPairsRaw.checkpoint()
     rPairsRaw.unpersist(blocking = true)
     g4.unpersist(blocking = true)
@@ -2720,6 +2761,16 @@ object TextQueries {
       .agg(count(lit(1)).as("n_pairs"),
         min(col("j")).as("min_jaccard"), max(col("j")).as("max_jaccard"))
       .orderBy("side")
+    } finally {
+      // quench any still-running overlapped future first (so no job is
+      // submitted against frames this block is about to drop), then
+      // release whatever is still staged; both are no-ops on success
+      pendingF.foreach(f =>
+        scala.util.Try(Await.result(f, Duration.Inf)): Unit)
+      stagedFrames.foreach(p =>
+        if (p.storageLevel != StorageLevel.NONE)
+          scala.util.Try(p.unpersist(blocking = true)): Unit)
+    }
   }
 
   val retrievalAgreementSql: String = {

@@ -129,3 +129,92 @@ case class SemanticAssign(child: Expression, index: SemIndex)
   override protected def withNewChildInternal(newChild: Expression): SemanticAssign =
     copy(child = newChild)
 }
+
+/** Flat probe-cell index for ANN serving: the trained centroid table
+  * held as a driver-built plan reference object, cids ASCENDING (the
+  * tie-break order). ≤4096 × 64 doubles ≈ 2 MB — ships with the task
+  * binary once per stage instead of riding a broadcast exchange + a
+  * per-query ranking window through every serving micro-batch.
+  */
+final class ProbeIndex(
+    val cids: Array[Long],
+    val emb: Array[Array[Double]],
+    val nprobe: Int) extends Serializable
+
+object SemanticProbeCellsUtil {
+
+  private def r6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Top-`nprobe` cell ids for one DOUBLE query embedding, ranked by
+    * (round-6 dot DESC, cid ASC) — the exact pick the previous
+    * crossJoin(broadcast(cents)) + row_number window made, now one
+    * compiled map-side pass (AnnStreamSpec's recall pin is unchanged).
+    */
+  def probeCells(q: ArrayData, idx: ProbeIndex): ArrayData = {
+    val n = idx.cids.length
+    val p = math.min(idx.nprobe, n)
+    val topD = new Array[Double](p)
+    val topI = new Array[Int](p)
+    var filled = 0
+    var i = 0
+    while (i < n) {
+      val c = idx.emb(i)
+      var s = 0.0
+      var j = 0
+      while (j < c.length) { s += q.getDouble(j) * c(j); j += 1 }
+      val d = r6(s)
+      // cells iterate in ascending cid, so on ties the EARLIER
+      // (lower-cid) entry must win: strict > displaces, == keeps
+      var pos = filled
+      while (pos > 0 && d > topD(pos - 1)) pos -= 1
+      if (pos < p) {
+        val last = math.min(filled, p - 1)
+        var k = last
+        while (k > pos) { topD(k) = topD(k - 1); topI(k) = topI(k - 1); k -= 1 }
+        topD(pos) = d
+        topI(pos) = i
+        if (filled < p) filled += 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](filled)
+    var t = 0
+    while (t < filled) { out(t) = idx.cids(topI(t)); t += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** `semantic_probe_cells(q_embedding)` — the serving-side probe
+  * selection as a compiled native expression over a [[ProbeIndex]].
+  * Returns the query's top-`nprobe` cell ids; explode + join confines
+  * the corpus scan to those cells with NO per-batch centroid broadcast
+  * and NO per-query ranking window (the r17 ann_serve fixed cost).
+  */
+case class SemanticProbeCells(child: Expression, index: ProbeIndex)
+    extends UnaryExpression {
+  override def prettyName: String = "semantic_probe_cells"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"semantic_probe_cells expects the ARRAY<DOUBLE> query embedding, got ${t.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(a: Any): Any =
+    SemanticProbeCellsUtil.probeCells(a.asInstanceOf[ArrayData], index)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idxRef = ctx.addReferenceObj("probeIndex", index,
+      classOf[ProbeIndex].getName)
+    defineCodeGen(ctx, ev,
+      c => s"(org.apache.spark.sql.catalyst.util.ArrayData) " +
+        s"graft.plans.SemanticProbeCellsUtil.probeCells($c, $idxRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SemanticProbeCells =
+    copy(child = newChild)
+}

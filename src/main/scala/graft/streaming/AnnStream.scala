@@ -16,8 +16,10 @@ import org.apache.spark.storage.StorageLevel
   *     trained hierarchical coarse quantizer the batch dedup/mining
   *     operators use ([[graft.operators.VectorQueries.semanticModel]]:
   *     k = clamp(16..4096, ⌈N/64⌉) cells, two Lloyd rounds). Each query
-  *     ranks the ≤4096-row centroid table (broadcast once at stream
-  *     start), keeps its `nprobe` nearest cells, and scores ONLY those
+  *     ranks the ≤4096-entry centroid index (a compiled plan-reference
+  *     expression — no per-batch broadcast exchange or ranking window,
+  *     the r17 fixed cost), keeps its `nprobe` nearest cells, and
+  *     scores ONLY those
   *     cells' members — per-query dot-product cost is k + nprobe·(N/k)
   *     instead of N. The corpus pays one hash-probe per row per batch
   *     (the join on list_id), which is memory-speed next to 64-dim
@@ -54,14 +56,21 @@ object AnnStream {
 
   /** The per-batch answer plan, factored out of foreachBatch so its
     * shape is statically assertable (PlanQualitySpec-style): `corpus`
-    * is (vec_id, label, e, nrm, list_id), `centsDf` the trained
-    * (cid, c_emb) table (ignored when nprobe = 0), `batch` the
-    * (q_id, q_embedding) query micro-batch. Every join broadcasts the
-    * tiny side (probes / queries); the corpus side never shuffles —
-    * the only exchange is the per-query top-k rank over candidate
+    * is (vec_id, label, e, nrm, list_id), `cents` the trained
+    * (cid, centroid) table (ignored when nprobe = 0), `batch` the
+    * (q_id, q_embedding) query micro-batch. The probe selection is a
+    * compiled map-side expression over the driver-held centroid index
+    * ([[graft.plans.SemanticProbeCells]]) — r17 measured ann_serve's
+    * trickle rate (19.6 rows/s vs 587 at batch 512) as ALL per-epoch
+    * fixed cost, dominated by re-broadcasting the static centroid
+    * table and shuffling a q×cells relation through a ranking window
+    * every micro-batch; both are gone. The remaining joins broadcast
+    * the tiny side (probes / queries); the corpus side never shuffles
+    * — the only exchange is the per-query top-k rank over candidate
     * rows (≤ nprobe · cell-size per query).
     */
-  private[graft] def answer(corpus: DataFrame, centsDf: DataFrame,
+  private[graft] def answer(corpus: DataFrame,
+      cents: Seq[(Long, Array[Double])],
       batch: DataFrame, k: Int, nprobe: Int): DataFrame = {
     val indexed = nprobe > 0
     val q = batch.select(col("q_id"),
@@ -70,17 +79,16 @@ object AnnStream {
         col("q_embedding"))).as("q_nrm"))
     val cand =
       if (indexed) {
-        // rank the cells per query (q × k tiny cross), keep nprobe,
-        // then confine the scan to those cells' members
-        val wp = org.apache.spark.sql.expressions.Window
-          .partitionBy("q_id").orderBy(col("pd").desc, col("cid"))
-        val probes = q.crossJoin(broadcast(centsDf))
-          .withColumn("pd",
-            round(call_function("array_dot", col("qe"), col("c_emb")), 6))
-          .withColumn("pr", row_number().over(wp))
-          .filter(col("pr") <= nprobe)
-          .select(col("q_id"), col("qe"), col("q_nrm"),
-            col("cid").as("probe_list"))
+        // each query's nprobe nearest cells in one compiled pass
+        // (same (round-6 dot DESC, cid ASC) pick as the previous
+        // window chain), then confine the scan to those cells
+        val sorted = cents.sortBy(_._1)
+        val pidx = new graft.plans.ProbeIndex(
+          sorted.map(_._1).toArray, sorted.map(_._2).toArray, nprobe)
+        val bridge = org.apache.spark.sql.graftbridge.DatasetBridge
+        val probes = q.withColumn("probe_list",
+          explode(bridge.column(graft.plans.SemanticProbeCells(
+            bridge.expression(batch.sparkSession, col("qe")), pidx))))
         corpus.join(broadcast(probes),
           col("list_id") === col("probe_list"))
       } else corpus.crossJoin(broadcast(q))
@@ -131,17 +139,10 @@ object AnnStream {
     // materialize BEFORE batch 1, so the first query doesn't pay the
     // parquet scan + assignment/norm computation under serving latency
     corpus.queryExecution.toRdd.count()
-    // the centroid table is plan-side state: ≤4096×64 doubles ≈ 2 MB,
-    // broadcast into every batch's probe ranking
-    val centsDf =
-      if (indexed)
-        spark.createDataFrame(cents.map { case (cid, c) => (cid, c.toSeq) })
-          .toDF("cid", "c_emb")
-      else spark.emptyDataFrame
     val query = try queries.writeStream
       .option("checkpointLocation", chkDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        answer(corpus, centsDf, batch, k, nprobe)
+        answer(corpus, cents, batch, k, nprobe)
           .withColumn("batch_id", lit(batchId))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")

@@ -26,8 +26,11 @@ object IncNearCandCount {
       .select(col("doc_id"), graft.operators.TextQueries.h60(col("g8")).as("gh"))
     val corpus = g8(docs.filter(col("doc_id") < 400))
     val batch = g8(docs.filter(col("doc_id") >= 400 || col("doc_id") < 50))
+    // the registered query's cap, not a copy — if the cap moves, this
+    // probe must keep measuring the same screen
     val rare = corpus.groupBy("gh").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= 16).select("gh")
+      .filter(col("df") <= graft.operators.TextQueries.RareGramDfCap)
+      .select("gh")
     val idx = corpus.join(rare, "gh")
       .select(col("gh"), col("doc_id").as("corpus_doc"))
     val cand = batch.join(idx, "gh")

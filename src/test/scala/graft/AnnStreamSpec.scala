@@ -96,18 +96,22 @@ class AnnStreamSpec extends AnyFunSuite {
         Seq("vec_id"))
       .withColumn("e", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
       .select(col("vec_id"), col("label"), col("e"), col("nrm"), col("list_id"))
-    val centsDf = spark.createDataFrame(
-      cents.map { case (cid, c) => (cid, c.toSeq) }).toDF("cid", "c_emb")
     val batch = graft.Tables.embeddings(spark, sf)
       .filter(col("vec_id") < 4)
       .select(col("vec_id").as("q_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("q_embedding"))
     val plan = graft.streaming.AnnStream
-      .answer(corpus, centsDf, batch, 10, 8)
+      .answer(corpus, cents, batch, 10, 8)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
     assert(plan.contains("BroadcastHashJoin"), plan)
+    // the probe selection must be the compiled map-side expression,
+    // not a centroid broadcast + ranking window (the r17 per-epoch
+    // fixed cost): exactly ONE row_number window remains — the final
+    // top-k over candidates
+    assert(plan.contains("semantic_probe_cells"), plan)
+    assert("windowspecdefinition".r.findAllIn(plan).size == 1, plan)
   }
 
   test("streamed queries get the batch top-k answers per micro-batch") {
