@@ -1251,6 +1251,233 @@ object TextQueries {
        |ORDER BY f.source""".stripMargin
 
   // -------------------------------------------------------------------
+  // Charter (VERDICT r17 #8): the END-TO-END curation DAG as ONE
+  // registered query — curation → exact dedup → near-dup screen →
+  // decontamination → train split → sharding → packing, composed in a
+  // single session with a per-stage retention card as output (one row
+  // per stage: docs, tokens, pack/shard units surviving). This proves
+  // the operators COMPOSE: every stage reuses the exact flag/hash
+  // definitions its standalone registered query ships (docFlags,
+  // passageHashes, the md5-bucket split/shard rule), so the e2e result
+  // is derivable from — and oracle-checked against — the same CTE
+  // chain.
+  //
+  // Scale shape (100 TB): ONE corpus scan computes every per-doc flag
+  // (regex-heavy, staged); the passage pass explodes ONLY exact-dedup
+  // survivors + the eval set behind a semi-join that reaches the
+  // parquet scan; near-dup sharing and eval contamination read the
+  // SAME staged stride-1 passage relation (one explode, two
+  // hash-keyed aggregations); packing's running sum is windowed PER
+  // SHARD — no global-order bottleneck, each shard packs
+  // independently, exactly how a sharded writer runs it. The stage
+  // card itself is eight O(1)-row aggregates over one staged slim
+  // per-doc relation.
+  // -------------------------------------------------------------------
+  private val PipePackTokens = 2048L
+  private val PipeShards = 8
+
+  def trainPipeline(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftExtensions.register(s)
+    val docs = documents(s, d)
+    val isEval = col("doc_id") % 13 === 0
+    val base0 = docFlags(docs).select(col("doc_id"), col("source"),
+      col("text_md5"), col("n_tokens"), col("pass_lang"), col("pass_quality"))
+    graft.Stage.fanout(base0) { base =>
+      val curated = base
+        .filter(col("pass_lang") && col("pass_quality") && !isEval)
+      // exact dedup among curated survivors: canonical = min doc_id
+      val keptFlag = curated
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("text_md5").orderBy("doc_id")))
+        .select(col("doc_id"), (col("rn") === 1).as("exact_kept"))
+      val keptIds = keptFlag.filter(col("exact_kept")).select("doc_id")
+      // ONE stride-1 passage pass over survivors + the eval holdout
+      // (doc_id % 13 = 0 — the external-benchmark stand-in shared with
+      // dedup_decontaminate), feeding BOTH the near-dup screen and the
+      // contamination check
+      val phAll = passageHashes(
+        docs.join(
+          keptIds.unionByName(docs.filter(isEval).select("doc_id")),
+          Seq("doc_id"), "left_semi"),
+        stride = 1)
+      val pstats = graft.Stage.fanout(phAll) { ph =>
+        val phKept = ph.filter(col("doc_id") % 13 =!= 0)
+        val shared = phKept.groupBy("ph")
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .filter(col("nd") > 1).select(col("ph").as("ph_s"))
+        val evalSet = ph.filter(col("doc_id") % 13 === 0)
+          .select(col("ph").as("eph")).distinct()
+        phKept
+          .join(shared, col("ph") === col("ph_s"), "left")
+          .join(evalSet, col("ph") === col("eph"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_passages"), count(col("ph_s")).as("n_dup"),
+            count(col("eph")).as("n_hits"))
+      }
+      def bucketOf(prefix: String, mod: Int) =
+        pmod(conv(substring(md5(concat(lit(prefix), col("doc_id"))),
+          1, 15), 16, 10).cast("long"), lit(mod))
+      val perDoc0 = base
+        .join(keptFlag, Seq("doc_id"), "left")
+        .join(pstats, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          (col("pass_lang") && col("pass_quality") && !isEval).as("curated"),
+          coalesce(col("exact_kept"), lit(false)).as("exact_kept"),
+          coalesce(col("n_dup") * 2 >= col("n_passages"), lit(false))
+            .as("near_dup"),
+          coalesce(col("n_hits") > 0, lit(false)).as("contaminated"),
+          bucketOf("mix:", 100).as("bucket"),
+          bucketOf("shard:", PipeShards).as("shard"))
+      graft.Stage.fanout(perDoc0) { pd =>
+        val train = pd.filter(col("exact_kept") && !col("near_dup") &&
+          !col("contaminated") && col("bucket") < 80)
+        // greedy token packing WITHIN each shard (running sum of the
+        // docs already placed — a doc opens a new pack when the shard's
+        // filled tokens cross the pack boundary)
+        val packed = train.withColumn("bin",
+          floor(coalesce(sum(col("n_tokens")).over(
+            Window.partitionBy("shard").orderBy("doc_id")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+            / lit(PipePackTokens)).cast("long"))
+        def docStage(stage: String, f: DataFrame): DataFrame =
+          f.agg(count(lit(1)).as("n_docs"),
+            coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"))
+            .select(lit(stage).as("stage"), col("n_docs"), col("n_tokens"),
+              col("n_docs").as("n_units"))
+        val sharded = train
+          .agg(count(lit(1)).as("n_docs"),
+            coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"),
+            countDistinct(col("shard")).as("n_units"))
+          .select(lit("60_sharded").as("stage"), col("n_docs"),
+            col("n_tokens"), col("n_units"))
+        val packs = packed
+          .agg(count(lit(1)).as("n_docs"),
+            coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"),
+            countDistinct(concat_ws("_", col("shard"), col("bin")))
+              .as("n_units"))
+          .select(lit("70_packed").as("stage"), col("n_docs"),
+            col("n_tokens"), col("n_units"))
+        docStage("00_raw", pd)
+          .unionByName(docStage("10_curated", pd.filter(col("curated"))))
+          .unionByName(docStage("20_exact", pd.filter(col("exact_kept"))))
+          .unionByName(docStage("30_near_kept",
+            pd.filter(col("exact_kept") && !col("near_dup"))))
+          .unionByName(docStage("40_clean",
+            pd.filter(col("exact_kept") && !col("near_dup") &&
+              !col("contaminated"))))
+          .unionByName(docStage("50_train", train))
+          .unionByName(sharded)
+          .unionByName(packs)
+      }
+    }.orderBy("stage")
+  }
+
+  val trainPipelineSql: String = {
+    val ph = h60Sql("passage")
+    s"""WITH flagged AS (
+       |  SELECT doc_id, source, text_md5, n_tokens,
+       |    nstop / n_tokens > 0.12 AS pass_lang,
+       |    ((nalpha / len) * 0.6
+       |      + (1.0 - (len - nalpha - ndigit - nspace) / len) * 0.3
+       |      + (CASE WHEN (len - nspace) / (nspace + 1.0) >= 3
+       |               AND (len - nspace) / (nspace + 1.0) <= 10
+       |              THEN 0.1 ELSE 0.0 END)) > 0.8 AS pass_quality
+       |  FROM (
+       |    SELECT doc_id, source, md5(text) AS text_md5,
+       |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |      CAST(len(list_filter(string_split(text, ' '), x -> x IN $stopList)) AS DOUBLE) AS nstop,
+       |      CAST(length(text) AS DOUBLE) AS len,
+       |      CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS nalpha,
+       |      CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS ndigit,
+       |      CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE) AS nspace
+       |    FROM documents)),
+       |keptflag AS (
+       |  SELECT doc_id,
+       |    row_number() OVER (PARTITION BY text_md5 ORDER BY doc_id) = 1
+       |      AS exact_kept
+       |  FROM flagged
+       |  WHERE pass_lang AND pass_quality AND doc_id % 13 <> 0),
+       |pdocs AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |  WHERE (doc_id IN (SELECT doc_id FROM keptflag WHERE exact_kept)
+       |      OR doc_id % 13 = 0)
+       |    AND len(string_split(text, ' ')) >= 8),
+       |ph AS (
+       |  SELECT doc_id, $ph AS ph FROM (
+       |    SELECT doc_id,
+       |      unnest(list_transform(range(0, len(t) - 8 + 1, 1),
+       |        i -> array_to_string(t[i + 1:i + 8], ' '))) AS passage
+       |    FROM pdocs)),
+       |phkept AS (SELECT doc_id, ph FROM ph WHERE doc_id % 13 <> 0),
+       |shared AS (
+       |  SELECT ph AS ph_s FROM phkept GROUP BY ph
+       |  HAVING count(DISTINCT doc_id) > 1),
+       |evalset AS (
+       |  SELECT DISTINCT ph AS eph FROM ph WHERE doc_id % 13 = 0),
+       |pstats AS (
+       |  SELECT doc_id, count(*) AS n_passages, count(ph_s) AS n_dup,
+       |    count(eph) AS n_hits
+       |  FROM phkept
+       |  LEFT JOIN shared ON phkept.ph = shared.ph_s
+       |  LEFT JOIN evalset ON phkept.ph = evalset.eph
+       |  GROUP BY doc_id),
+       |perdoc AS (
+       |  SELECT f.doc_id, f.n_tokens,
+       |    f.pass_lang AND f.pass_quality AND f.doc_id % 13 <> 0 AS curated,
+       |    coalesce(k.exact_kept, FALSE) AS exact_kept,
+       |    coalesce(p.n_dup * 2 >= p.n_passages, FALSE) AS near_dup,
+       |    coalesce(p.n_hits > 0, FALSE) AS contaminated,
+       |    CAST(('0x' || substr(md5('mix:' || CAST(f.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket,
+       |    CAST(('0x' || substr(md5('shard:' || CAST(f.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % $PipeShards AS shard
+       |  FROM flagged f
+       |  LEFT JOIN keptflag k ON f.doc_id = k.doc_id
+       |  LEFT JOIN pstats p ON f.doc_id = p.doc_id),
+       |train AS (
+       |  SELECT * FROM perdoc
+       |  WHERE exact_kept AND NOT near_dup AND NOT contaminated
+       |    AND bucket < 80),
+       |packed AS (
+       |  SELECT doc_id, n_tokens, shard,
+       |    CAST(floor(coalesce(SUM(n_tokens) OVER (PARTITION BY shard
+       |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+       |      AND 1 PRECEDING), 0) / $PipePackTokens) AS BIGINT) AS bin
+       |  FROM train)
+       |SELECT stage, n_docs, n_tokens, n_units FROM (
+       |  SELECT '00_raw' AS stage, count(*) AS n_docs,
+       |    CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS n_tokens,
+       |    count(*) AS n_units FROM perdoc
+       |  UNION ALL
+       |  SELECT '10_curated', count(*),
+       |    CAST(coalesce(sum(n_tokens), 0) AS BIGINT), count(*)
+       |  FROM perdoc WHERE curated
+       |  UNION ALL
+       |  SELECT '20_exact', count(*),
+       |    CAST(coalesce(sum(n_tokens), 0) AS BIGINT), count(*)
+       |  FROM perdoc WHERE exact_kept
+       |  UNION ALL
+       |  SELECT '30_near_kept', count(*),
+       |    CAST(coalesce(sum(n_tokens), 0) AS BIGINT), count(*)
+       |  FROM perdoc WHERE exact_kept AND NOT near_dup
+       |  UNION ALL
+       |  SELECT '40_clean', count(*),
+       |    CAST(coalesce(sum(n_tokens), 0) AS BIGINT), count(*)
+       |  FROM perdoc WHERE exact_kept AND NOT near_dup AND NOT contaminated
+       |  UNION ALL
+       |  SELECT '50_train', count(*),
+       |    CAST(coalesce(sum(n_tokens), 0) AS BIGINT), count(*) FROM train
+       |  UNION ALL
+       |  SELECT '60_sharded', count(*),
+       |    CAST(coalesce(sum(n_tokens), 0) AS BIGINT),
+       |    count(DISTINCT shard) FROM train
+       |  UNION ALL
+       |  SELECT '70_packed', count(*),
+       |    CAST(coalesce(sum(n_tokens), 0) AS BIGINT),
+       |    count(DISTINCT CAST(shard AS VARCHAR) || '_'
+       |      || CAST(bin AS VARCHAR)) FROM packed)
+       |ORDER BY stage""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // Charter: incremental ingest dedup — a new crawl batch arrives
   // (new docs + re-crawled replays) and must be deduplicated AGAINST
   // THE EXISTING CORPUS, not just within itself. Shape: left-anti join
@@ -4763,6 +4990,7 @@ object TextQueries {
     "dedup_incremental_near" -> (incrementalNear _),
     "dedup_bloom_prefilter" -> (bloomPrefilter _),
     "train_assemble" -> (trainAssemble _),
+    "train_pipeline_e2e" -> (trainPipeline _),
     "text_tfidf" -> (tfidf _),
     "dedup_passages" -> (passageDedup _),
     "text_curation_funnel" -> (curationFunnel _),
@@ -4835,6 +5063,7 @@ object TextQueries {
     "dedup_incremental_near" -> incrementalNearSql,
     "dedup_bloom_prefilter" -> bloomPrefilterSql,
     "train_assemble" -> trainAssembleSql,
+    "train_pipeline_e2e" -> trainPipelineSql,
     "text_tfidf" -> tfidfSql,
     "dedup_passages" -> passageDedupSql,
     "text_curation_funnel" -> curationFunnelSql,
