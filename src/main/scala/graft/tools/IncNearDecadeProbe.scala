@@ -18,25 +18,35 @@ object IncNearDecadeProbe {
 
   /** PROBE_BUDGET_AUDIT=1: certify IncNearVerifyBudget (VERDICT r17
     * #3). Re-derives the candidate window WITHOUT the budget (to rank
-    * 64 = 4× the shipped budget), scores exact char-4-gram Jaccard for
+    * 64 = 4× the shipped budget) at the PATHOLOGICAL split — the
+    * registered corpus/batch split, which at the sf10-docs decade
+    * makes the batch 499.6k near-copies of a 400-doc corpus (p99 151
+    * candidates per batch doc) — scores exact char-4-gram Jaccard for
     * every rank ≤ 64 candidate, and prints the per-rank-bucket J4
     * distribution: a certified budget shows zero J4 ≥ 0.6 pairs in the
     * DROPPED buckets (ranks 17-64) and a monotone J4 decline with rank
     * — together with the beyond-64 n_rare_shared ceiling (every rank >
     * 64 candidate shares ≤ the bucket-64 minimum, and J4 tracks shared
     * rare-gram mass), that converts the budget from argued to pinned.
-    * Exact-J4 cost stays bounded at ≤ 64 pairs per batch doc — the
-    * unbudgeted 34M-pair / 334 GB-spill pathology this budget fixed is
-    * exactly why the audit cannot just verify every candidate.
+    *
+    * Batch docs are SAMPLED deterministically (doc_id % divisor = 0,
+    * PROBE_AUDIT_SAMPLE, default 97): each batch doc's candidates and
+    * ranks depend only on its OWN grams against the corpus index, so
+    * per-doc rank structure is exact under any batch subset — sampling
+    * bounds the exact-J4 cost (≤ 64 pairs per sampled doc) without
+    * biasing the distribution. Verifying every unbudgeted candidate is
+    * exactly the 34M-pair / 334 GB-spill pathology the budget fixed,
+    * which is why the full-batch audit cannot exist.
     */
   private def budgetAudit(spark: SparkSession, sfDir: String): Unit = {
     import org.apache.spark.sql.expressions.Window
     val T = graft.operators.TextQueries
     val docs = graft.Tables.documents(spark, sfDir)
-    // inverted decade split, same as the timing probe below: fixed
-    // 500-doc batch, corpus = everything else (grows with the decade)
-    val corpus = docs.filter(col("doc_id") >= 500)
-    val batch = docs.filter(col("doc_id") < 500)
+    val sampleDiv = sys.env.getOrElse("PROBE_AUDIT_SAMPLE", "97").toLong
+    // the REGISTERED split (TextQueries.incrementalNear), batch sampled
+    val corpus = docs.filter(col("doc_id") < 400)
+    val batch = docs.filter((col("doc_id") >= 400 || col("doc_id") < 50)
+      && col("doc_id") % sampleDiv === 0)
     def g8(df: org.apache.spark.sql.DataFrame) = df
       .select(col("doc_id"),
         explode(call_function("char_ngrams", col("text"), lit(8), lit(true)))
