@@ -89,8 +89,12 @@ object StreamBench {
     // rows/s with raw spread 1.335 at reps=3 and no trim — VERDICT r16
     // #2; 5 trimmed reps + the extra warm-up decide whether the drop
     // is protocol noise or real)
+    // (r18 quiet runs: curation joined after its slow-mode
+    // characterization — raw spread 10.04 in run B, a bimodal
+    // ~4s/~28s session-history effect, SCALING.md round 18)
     val noisyStreams = Set("media_features", "decontaminate",
-      "incremental_dedup", "ann_serve_batch512", "funnel", "attribution")
+      "incremental_dedup", "ann_serve_batch512", "funnel", "attribution",
+      "curation")
     def repsFor(name: String): Int =
       if (noisyStreams(name)) math.max(repsWanted, 5) else repsWanted
     val warmups = sys.env.get("SPARK_GRAFT_STREAM_WARMUP")
