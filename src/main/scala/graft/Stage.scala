@@ -125,8 +125,12 @@ object Stage {
       executorMem: Option[String], driverHeapBytes: Long): Boolean =
     confOverride.map(_.trim.toBoolean)
       .orElse(executorMem.map(m =>
-        org.apache.spark.network.util.JavaUtils.byteStringAsBytes(m)
-          <= SmallHeapBytes))
+        // Spark's EXECUTOR_MEMORY reads a unitless value as MiB
+        // (bytesConf(ByteUnit.MiB)); byteStringAsBytes would read
+        // "4096" as 4096 BYTES and gate a 4 GiB cluster into the slow
+        // small-heap shapes — parse with the same MiB default Spark uses
+        org.apache.spark.network.util.JavaUtils.byteStringAsMb(m)
+          * 1024L * 1024L <= SmallHeapBytes))
       .getOrElse(driverHeapBytes <= SmallHeapBytes)
 
   /** Reliable-checkpoint directory for iterative queries. On a real

@@ -2889,6 +2889,7 @@ object TextQueries {
     }
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
+    import java.util.concurrent.TimeUnit.MINUTES
     import scala.concurrent.ExecutionContext.Implicits.global
     // Overlapping the two pipelines halves the barrier count but
     // doubles the CO-RESIDENT staged mass; under a small heap that
@@ -2991,9 +2992,13 @@ object TextQueries {
     } finally {
       // quench any still-running overlapped future first (so no job is
       // submitted against frames this block is about to drop), then
-      // release whatever is still staged; both are no-ops on success
+      // release whatever is still staged; both are no-ops on success.
+      // Bounded wait: on the error path a future can be wedged by the
+      // same failure that raised the exception — an Inf await here
+      // would hang the run instead of surfacing it, so give each
+      // future a generous drain window and then proceed to unpersist
       pendingF.foreach(f =>
-        scala.util.Try(Await.result(f, Duration.Inf)): Unit)
+        scala.util.Try(Await.result(f, Duration(5, MINUTES))): Unit)
       stagedFrames.foreach(p =>
         if (p.storageLevel != StorageLevel.NONE)
           scala.util.Try(p.unpersist(blocking = true)): Unit)

@@ -40,10 +40,12 @@ import org.apache.spark.storage.StorageLevel
   *
   * Delivery: foreachBatch is at-least-once — a crash between the sink
   * write and the epoch commit replays the batch. Each batch therefore
-  * writes its own `batch_id=` partition with dynamic partition
-  * overwrite: the replay overwrites its previous attempt instead of
-  * appending duplicates, making the sink effectively-once (same
-  * contract the relay documents for its ack barrier).
+  * writes straight into its own literal `batch_id=N` directory in
+  * overwrite mode: the replay overwrites its previous attempt instead
+  * of appending duplicates, making the sink effectively-once (same
+  * contract the relay documents for its ack barrier), and the write
+  * stays O(batch) — no dynamic-partition staging or table listing
+  * that would grow with the stream's lifetime partition count.
   */
 object AnnStream {
 
@@ -152,10 +154,15 @@ object AnnStream {
         // (8-13 epochs, within run noise); the scale shape is the
         // point. Replay idempotence is unchanged: a replayed batch
         // overwrites its own directory; readers of `outDir` see the
-        // same batch_id=N partition layout.
-        answer(corpus, cents, batch, k, nprobe)
-          .write.mode("overwrite")
-          .parquet(s"$outDir/batch_id=$batchId")
+        // same batch_id=N partition layout. Idle triggers carry no
+        // queries — skip the write entirely so the directory count
+        // stays one-per-SERVED-batch (an empty batch_id=N dir would
+        // inflate the epoch count readers infer from the layout)
+        if (!batch.isEmpty) {
+          answer(corpus, cents, batch, k, nprobe)
+            .write.mode("overwrite")
+            .parquet(s"$outDir/batch_id=$batchId")
+        }
         ()
       }
       .start()

@@ -46,6 +46,13 @@ class HeapGateSpec extends AnyFunSuite {
       "8g executors must not gate even under a small driver heap")
     assert(Stage.smallHeapDecision(None, Some("6144m"), bigDriver),
       "the 6 GiB boundary itself is small (<=)")
+    // Spark's EXECUTOR_MEMORY treats a unitless value as MiB — so must
+    // the gate, or spark.executor.memory=4096 (a 4 GiB cluster) would
+    // silently read as 4096 BYTES and gate into the slow shapes
+    assert(!Stage.smallHeapDecision(None, Some("8192"), 2L << 30),
+      "unitless executor memory is MiB (8192 = 8 GiB, not 8 KiB)")
+    assert(Stage.smallHeapDecision(None, Some("4096"), bigDriver),
+      "unitless 4096 = 4 GiB, which gates")
   }
 
   test("smallHeap: falls back to the driver heap in local mode") {
