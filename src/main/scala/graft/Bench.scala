@@ -203,11 +203,18 @@ object Bench {
     // files (one file ≈ one reference source batch) and record
     // events/sec alongside the query timings. SPARK_GRAFT_RELAY=0
     // skips it in local single-query tuning loops.
-    // (events relayed, events staged, eps) — relayed != staged means
-    // the watermark dropped events, which must be visible in the
-    // artifact, not silently folded into a low eps
-    val (relayedEvents, stagedEvents, relayEps): (Long, Long, Double) =
-      if (sys.env.get("SPARK_GRAFT_RELAY").contains("0")) (0L, 0L, 0.0)
+    // (events relayed, events staged, per-rep eps) — relayed != staged
+    // means the watermark dropped events, which must be visible in the
+    // artifact, not silently folded into a low eps. Round 19: the relay
+    // joins the same median-over-reps honesty contract as every other
+    // number (the official r18 artifact recorded a single-shot 5,882
+    // ev/s against 17.4k-24.1k in the round's four other sweeps — one
+    // co-residency-hit run masquerading as a relay regression); one
+    // uncounted warmup absorbs the stream-plan codegen cost, then
+    // SPARK_GRAFT_RELAY_REPS (default 3) counted runs over the SAME
+    // staged input with fresh out/chk dirs per rep.
+    val (relayedEvents, stagedEvents, relayRates): (Long, Long, Seq[Double]) =
+      if (sys.env.get("SPARK_GRAFT_RELAY").contains("0")) (0L, 0L, Nil)
       else try {
         val root = java.nio.file.Files.createTempDirectory("bench-relay").toString
         val ev = graft.Tables.events(spark, sfDir)
@@ -227,24 +234,42 @@ object Bench {
         // in SCALING.md §Relay), so the committed artifact benches the
         // configuration a user gets out of the box. The env override
         // exists only for the tuning sweep.
-        val base = graft.streaming.CdcRelay.RelayConfig(
-          s"$root/in", s"$root/out", s"$root/chk")
-        val cfg = sys.env.get("SPARK_GRAFT_RELAY_MFPT")
-          .map(v => base.copy(maxFilesPerTrigger = Some(v.toInt)))
-          .getOrElse(base)
-        val t0 = System.nanoTime()
-        graft.streaming.CdcRelay.start(spark, cfg).awaitTermination()
-        val secs = (System.nanoTime() - t0) / 1e9
-        val relayed = spark.read.parquet(s"$root/out").count()
+        val relayReps = math.max(1,
+          sys.env.getOrElse("SPARK_GRAFT_RELAY_REPS", "3").toInt)
+        var lastRelayed = 0L
+        val rates = (0 to relayReps).flatMap { rep =>
+          val counted = rep > 0 // rep 0 = uncounted plan/codegen warmup
+          val base = graft.streaming.CdcRelay.RelayConfig(
+            s"$root/in", s"$root/out$rep", s"$root/chk$rep")
+          val cfg = sys.env.get("SPARK_GRAFT_RELAY_MFPT")
+            .map(v => base.copy(maxFilesPerTrigger = Some(v.toInt)))
+            .getOrElse(base)
+          val t0 = System.nanoTime()
+          graft.streaming.CdcRelay.start(spark, cfg).awaitTermination()
+          val secs = (System.nanoTime() - t0) / 1e9
+          val relayed = spark.read.parquet(s"$root/out$rep").count()
+          if (relayed != nEv)
+            System.err.println(
+              s"[bench] relay rep $rep delivered $relayed of $nEv staged")
+          System.err.println(String.format(java.util.Locale.ROOT,
+            "[bench] relay rep %d: %.1f events/s%s",
+            rep.asInstanceOf[AnyRef],
+            (relayed / secs).asInstanceOf[AnyRef],
+            if (counted) "" else " (uncounted warmup)"))
+          lastRelayed = relayed
+          if (counted) Some(relayed / secs) else None
+        }
         graft.Stage.deleteRecursively(new java.io.File(root))
-        if (relayed != nEv)
-          System.err.println(
-            s"[bench] relay delivered $relayed of $nEv staged events")
-        (relayed, nEv, relayed / secs)
+        (lastRelayed, nEv, rates)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] relay throughput failed: ${e.getMessage}")
-        (0L, 0L, 0.0)
+        (0L, 0L, Nil)
       }
+    val relayEps = if (relayRates.isEmpty) 0.0 else median(relayRates)
+    val relaySpread =
+      if (relayRates.size >= 2 && relayRates.min > 0)
+        relayRates.max / relayRates.min
+      else Double.NaN
     // Stateful-stream metrics: drive the five stateful streams over the
     // sf tables staged as micro-batch files and record rows/sec plus
     // end-of-run state rows (state-store rows for the
@@ -260,13 +285,17 @@ object Bench {
         // queries, 179 across a whole quiet sweep — uniformly per-rep
         // when the mode hits, and nondeterministically across runs:
         // an async-cleanup race, not a leak the per-query clearCache
-        // already handles). Give the ContextCleaner/GC a bounded
-        // window to drain batch-phase debt before the first stream's
-        // timed window opens.
+        // already handles). Round 19: the blind 5 s window is now an
+        // OBSERVED drain — force a GC and poll the CleanerProbe until
+        // cleanup completions quiesce, so the barrier waits exactly as
+        // long as the batch phase's debt requires (the fixed sleep
+        // sometimes lost the race: r18c's incremental_dedup spread
+        // 4.18 behind a clean curation).
         spark.catalog.clearCache()
-        System.gc()
-        Thread.sleep(5000)
-        System.gc()
+        val (drained, drainMs) = StreamBench.drainCleanerDebt(
+          spark, maxWaitMs = 60000L, quietMs = 2000L)
+        System.err.println(s"[bench] phase barrier: $drained cleanups " +
+          s"drained in $drainMs ms before the stream phase")
         StreamBench.run(spark, sfDir)
       }
     // same honesty contract as the batch block: the published rate is a
@@ -289,7 +318,9 @@ object Bench {
           ",\"rps_min\":" + num(s.rpsMin, 1) +
           ",\"rps_max\":" + num(s.rpsMax, 1) +
           ",\"spread\":" + numOrNull(s.spread, 3) +
-          ",\"spread_trimmed\":" + numOrNull(s.trimmedSpread, 3) + "}"
+          ",\"spread_trimmed\":" + numOrNull(s.trimmedSpread, 3) +
+          ",\"cleanups_in_window\":" + s.cleanupsInWindow +
+          ",\"gc_ms_in_window\":" + s.gcMsInWindow + "}"
     }.mkString("{", ",", "}")
     // A query that threw is present in "queries" (its wall time is still
     // real) but ALSO keyed in "errors" — consumers must treat such a
@@ -321,8 +352,17 @@ object Bench {
       }
       case None => Map.empty
     }
+    // The relay joins the calibration anchor (VERDICT r18 #2): its raw
+    // events/s was the last bench number with no normalization column,
+    // and the one that burned the r18 artifact (a 3-4× co-residency
+    // outlier reading as a regression). Same denominator as the stream
+    // norms — the null-transform calibration stream's rows/s from this
+    // sweep — so cross-round relay reads divide out host drift too.
+    val relayEpsNorm: Double =
+      calibRps.filter(_ => relayEps > 0).map(relayEps / _)
+        .getOrElse(Double.NaN)
     val spillJson = s"""{"mem_bytes":${memSpilled.get},"disk_bytes":${diskSpilled.get},"max_heap_mb":${Runtime.getRuntime.maxMemory() / (1 << 20)}}"""
-    val detail = s"""{"queries":$qs,"queries_min":$qsMin,"errors":$errorsJson,"reps":$reps,"noise":$noiseJson,"streaming":$streamingJson,"stream_rows_per_sec_norm":${jsonMap(streamNorm, 6)},"stream_noise_exceeded":$streamNoiseExceeded,"spill":$spillJson,"sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size},"total_all":${num(totalAll, 6)},"events_per_sec":${num(relayEps, 1)},"relay_events":$relayedEvents,"relay_staged":$stagedEvents}"""
+    val detail = s"""{"queries":$qs,"queries_min":$qsMin,"errors":$errorsJson,"reps":$reps,"noise":$noiseJson,"streaming":$streamingJson,"stream_rows_per_sec_norm":${jsonMap(streamNorm, 6)},"stream_noise_exceeded":$streamNoiseExceeded,"spill":$spillJson,"sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size},"total_all":${num(totalAll, 6)},"events_per_sec":${num(relayEps, 1)},"events_per_sec_norm":${numOrNull(relayEpsNorm, 4)},"relay_reps":${relayRates.size},"relay_eps_min":${num(if (relayRates.isEmpty) 0 else relayRates.min, 1)},"relay_eps_max":${num(if (relayRates.isEmpty) 0 else relayRates.max, 1)},"relay_spread":${numOrNull(relaySpread, 3)},"relay_events":$relayedEvents,"relay_staged":$stagedEvents}"""
     println(detail)
     try {
       // cwd-relative default so the build isn't coupled to one machine's
@@ -352,7 +392,7 @@ object Bench {
     val headlineQs = jsonMap(results.filter(kv => headline.contains(kv._1)), 3)
     val streamRps = jsonMap(
       streaming.map { case (n, s) => n -> s.rowsPerSec }, 1)
-    println(s"""{"metric":"headline_total_15q","value":${num(total, 6)},"unit":"sec","sf":"$sfDir","n_headline":${headline.size - missingHeadline.size},"n_queries":${results.size},"n_errors":${errors.size},"reps":$reps,"noise":${num(ctlSpread, 4)},"noise_exceeded":$noiseExceeded,"total_all":${num(totalAll, 3)},"events_per_sec":${num(relayEps, 1)},"stream_rows_per_sec":$streamRps,"stream_rows_per_sec_norm":${jsonMap(streamNorm, 4)},"stream_noise_exceeded":$streamNoiseExceeded,"queries":$headlineQs}""")
+    println(s"""{"metric":"headline_total_15q","value":${num(total, 6)},"unit":"sec","sf":"$sfDir","n_headline":${headline.size - missingHeadline.size},"n_queries":${results.size},"n_errors":${errors.size},"reps":$reps,"noise":${num(ctlSpread, 4)},"noise_exceeded":$noiseExceeded,"total_all":${num(totalAll, 3)},"events_per_sec":${num(relayEps, 1)},"events_per_sec_norm":${numOrNull(relayEpsNorm, 4)},"relay_spread":${numOrNull(relaySpread, 3)},"stream_rows_per_sec":$streamRps,"stream_rows_per_sec_norm":${jsonMap(streamNorm, 4)},"stream_noise_exceeded":$streamNoiseExceeded,"queries":$headlineQs}""")
     spark.stop()
   }
 }

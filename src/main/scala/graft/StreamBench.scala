@@ -44,7 +44,20 @@ object StreamBench {
   final case class StreamStat(
       rowsPerSec: Double, stateRows: Long,
       reps: Int, rpsMin: Double, rpsMax: Double,
-      rates: Seq[Double] = Nil) {
+      rates: Seq[Double] = Nil,
+      /** ContextCleaner completions that landed INSIDE the counted
+        * timed windows (summed over reps) — the direct observable for
+        * the round-18 "roaming slow mode" hypothesis (async cleanup
+        * draining during a stream's measured window). A slow rep with
+        * zero in-window cleanups exonerates the cleaner; a slow sweep
+        * with thousands convicts it.
+        */
+      cleanupsInWindow: Long = 0L,
+      /** Stop-the-world GC milliseconds inside the counted windows
+        * (summed over reps) — separates cleaner IO from collector
+        * pauses in a slow rep's diagnosis.
+        */
+      gcMsInWindow: Long = 0L) {
     def spread: Double = if (rpsMin > 0) rpsMax / rpsMin else Double.NaN
     /** Spread with ONE outlier rep discarded from each end — only
       * meaningful at reps ≥ 5 (3 surviving observations); below that it
@@ -65,6 +78,52 @@ object StreamBench {
     val s = xs.sorted
     val n = s.size
     if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
+  /** Deterministic cleaner drain — the round-18 phase barrier (blind
+    * `gc; sleep 5s; gc`) upgraded to an observed quiescence loop: force
+    * a GC so every unreachable RDD/shuffle/broadcast/checkpoint
+    * reference enqueues, then poll the [[org.apache.spark.graft
+    * .CleanerProbe]] until no cleanup completion lands for `quietMs`
+    * (or `maxWaitMs` expires). The round-18 characterization showed the
+    * slow mode is batch-phase cleanup debt draining DURING a stream's
+    * timed window; a fixed sleep races that drain (5 s sometimes loses
+    * — r18c's incremental_dedup spread 4.18), while quiescence-polling
+    * waits exactly as long as the debt requires and no longer.
+    *
+    * Returns (cleanup completions observed, millis waited) for the
+    * caller's diagnostic line. Degrades to a single `quietMs` sleep
+    * when the context has no cleaner (referenceTracking off) — then
+    * there is no async drain to race either.
+    */
+  def drainCleanerDebt(spark: SparkSession, maxWaitMs: Long = 30000L,
+      quietMs: Long = 1500L): (Long, Long) = {
+    val probe = org.apache.spark.graft.CleanerProbe.attach(spark.sparkContext)
+    System.gc()
+    probe match {
+      case None =>
+        Thread.sleep(quietMs)
+        (0L, quietMs)
+      case Some(c) =>
+        val start = c.total
+        var last = start
+        var quiet = 0L
+        var waited = 0L
+        var secondGc = false
+        while (quiet < quietMs && waited < maxWaitMs) {
+          Thread.sleep(250)
+          waited += 250
+          val now = c.total
+          if (now != last) { last = now; quiet = 0L }
+          else quiet += 250
+          // a second collection after the first drain wave catches
+          // reference chains the first GC only made unreachable
+          // (cleaned frames whose children become collectable once the
+          // parent's weak ref is processed)
+          if (!secondGc && waited >= 2000) { System.gc(); secondGc = true }
+        }
+        (last - start, waited)
+    }
   }
 
   /** name -> StreamStat. `SPARK_GRAFT_STREAMS` (comma-separated names)
@@ -171,8 +230,27 @@ object StreamBench {
       if (wanted(name)) try {
         val rates = Seq.newBuilder[Double]
         var lastState = 0L
+        var cleanupsInWin = 0L
+        var gcMsInWin = 0L
+        val probe = org.apache.spark.graft.CleanerProbe
+          .attach(spark.sparkContext)
         for (rep <- 0 until warmupsFor(name) + repsFor(name)) {
           val counted = rep >= warmupsFor(name)
+          // Per-rep cleaner drain (round-18 slow-mode fix candidate):
+          // quiesce the previous rep's checkpoint/shuffle/broadcast
+          // debt BEFORE this rep's timed window opens, so async
+          // cleanup can't race the measurement. Short budget — the
+          // inter-rep debt is one rep's worth, not a batch phase's.
+          if (counted) {
+            val (n, ms) = drainCleanerDebt(spark, maxWaitMs = 8000L,
+              quietMs = 750L)
+            if (n > 0) System.err.println(String.format(
+              java.util.Locale.ROOT,
+              "[bench] %s rep drain: %d cleanups in %d ms", name,
+              n.asInstanceOf[AnyRef], ms.asInstanceOf[AnyRef]))
+          }
+          val cl0 = probe.map(_.total).getOrElse(0L)
+          val gc0 = org.apache.spark.graft.CleanerProbe.gcMillis
           val tBuild = System.nanoTime()
           val q = build(rep)
           val t0 = if (excludeBuild) {
@@ -188,16 +266,29 @@ object StreamBench {
               val elapsed = (System.nanoTime() - t0) / 1e9
               (elapsed, stateRows(q, rep))
             } finally q.stop()
+          val clWin = probe.map(_.total).getOrElse(0L) - cl0
+          val gcWin = org.apache.spark.graft.CleanerProbe.gcMillis - gc0
           if (counted) {
             rates += rows / secs
             lastState = st
+            cleanupsInWin += clWin
+            gcMsInWin += gcWin
+            // per-rep diagnosis line: a slow rep must carry its own
+            // evidence — in-window cleaner completions + GC pause time
+            // — so a recurrence of the roaming slow mode is root-caused
+            // from the sweep log instead of re-characterized from
+            // scratch (SCALING.md round 18)
+            System.err.println(String.format(java.util.Locale.ROOT,
+              "[bench] %s rep %.1f rows/s, in-window cleanups %d, gc %d ms",
+              name, (rows / secs).asInstanceOf[AnyRef],
+              clWin.asInstanceOf[AnyRef], gcWin.asInstanceOf[AnyRef]))
           } else System.err.println(String.format(java.util.Locale.ROOT,
             "[bench] %s warm-up %.1f rows/s (uncounted)",
             name, (rows / secs).asInstanceOf[AnyRef]))
         }
         val rs = rates.result()
         out(name) = StreamStat(median(rs), lastState, rs.size, rs.min,
-          rs.max, rs)
+          rs.max, rs, cleanupsInWin, gcMsInWin)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] stream $name failed: ${e.getMessage}")
       }

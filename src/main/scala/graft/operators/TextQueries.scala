@@ -1273,8 +1273,16 @@ object TextQueries {
   // card itself is eight O(1)-row aggregates over one staged slim
   // per-doc relation.
   // -------------------------------------------------------------------
-  private val PipePackTokens = 2048L
-  private val PipeShards = 8
+  private[graft] val PipePackTokens = 2048L
+  private[graft] val PipeShards = 8
+
+  /** Deterministic doc_id-keyed bucket used by the pipeline's split and
+    * shard assignments (batch AND streaming twin — shared so the two
+    * engines route every doc identically by construction).
+    */
+  private[graft] def pipeBucket(prefix: String, mod: Int): Column =
+    pmod(conv(substring(md5(concat(lit(prefix), col("doc_id"))),
+      1, 15), 16, 10).cast("long"), lit(mod))
 
   def trainPipeline(s: SparkSession, d: String): DataFrame = {
     graft.plans.GraftExtensions.register(s)
@@ -1314,9 +1322,7 @@ object TextQueries {
           .agg(count(lit(1)).as("n_passages"), count(col("ph_s")).as("n_dup"),
             count(col("eph")).as("n_hits"))
       }
-      def bucketOf(prefix: String, mod: Int) =
-        pmod(conv(substring(md5(concat(lit(prefix), col("doc_id"))),
-          1, 15), 16, 10).cast("long"), lit(mod))
+      def bucketOf(prefix: String, mod: Int) = pipeBucket(prefix, mod)
       val perDoc0 = base
         .join(keptFlag, Seq("doc_id"), "left")
         .join(pstats, Seq("doc_id"), "left")
