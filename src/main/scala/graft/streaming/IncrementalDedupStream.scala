@@ -115,7 +115,7 @@ object IncrementalDedupStream {
     *     the same inputs (deletable only at a later batch) — idempotent.
     */
   private[graft] def compactStore(spark: SparkSession, storeDir: String,
-      batchId: Long, compactEvery: Int): Unit = {
+      batchId: Long, compactEvery: Int, hashCol: String = "h"): Unit = {
     if (compactEvery <= 0) return
     val path = new org.apache.hadoop.fs.Path(storeDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -137,7 +137,7 @@ object IncrementalDedupStream {
     if (pending >= compactEvery && batchId > 0) {
       spark.read.parquet(storeDir)
         .filter(col("batch_id") < batchId && col("batch_id") =!= -batchId)
-        .select(col("h")).distinct()
+        .select(col(hashCol)).distinct()
         .withColumn("batch_id", lit(-batchId))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")

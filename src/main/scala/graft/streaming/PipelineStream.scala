@@ -1,0 +1,274 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.storage.StorageLevel
+
+import graft.operators.TextQueries
+
+/** Streaming twin of the composed curation DAG (`train_pipeline_e2e`,
+  * [[graft.operators.TextQueries.trainPipeline]]): curation →
+  * incremental exact dedup → incremental near-dup screen →
+  * decontamination → split → shard → greedy token packing, per
+  * micro-batch, exactly-once — the production shape of the training-
+  * data pipeline (reference behavior: the relay's at-least-once +
+  * idempotent-sink contract, runner.go:84-170, applied to the
+  * document-curation DAG instead of the CDC envelope).
+  *
+  * Stage semantics vs the batch card (pinned in PipelineStreamSpec):
+  *
+  *  - `00_raw`, `10_curated`: per-doc pure functions (docFlags, the
+  *    eval holdout rule) — batch-identical by construction.
+  *  - `20_exact`: first-seen-wins against the md5 store; with
+  *    doc_id-ordered arrival (the CDC input contract) first seen ==
+  *    min doc_id, the batch canonical — batch-identical.
+  *  - `30_near_kept` onward: the screen is PRIOR-ONLY (a doc is
+  *    near-dup when ≥ half its passages were already seen among
+  *    earlier exact-kept docs), because a stream cannot consult the
+  *    future. The batch screen is symmetric (a mutually-near-dup pair
+  *    flags BOTH docs), so the stream keeps a superset: exactly one
+  *    earliest representative per mutual near-dup cluster where batch
+  *    keeps none. Asymmetric containment (a later doc copying part of
+  *    a longer earlier one) decides identically in both engines. This
+  *    is the semantics every incremental ingest pipeline ships
+  *    (dedup_incremental_near's contract), not a parity bug.
+  *  - `contaminated`, split/shard buckets: pure functions of (doc,
+  *    static eval set) — identical per doc in both engines.
+  *  - `70_packed`: per-shard running token sums carried in a tiny
+  *    store; given doc_id-ordered arrival the fold equals the batch
+  *    window's cumulative sum over the same accepted set.
+  *
+  * Exactly-once: every read of a store filters `batch_id < current`
+  * (a replayed batch never sees its own previous attempt's writes) and
+  * every write lands in the literal `batch_id=N` directory in
+  * overwrite mode (the replay overwrites rather than appends — the
+  * O(batch) sink shape AnnStream established). Restart mid-stream
+  * resumes from the offset log and replays at most the uncommitted
+  * epoch, idempotently.
+  *
+  * Scale (100 TB): per-batch work is batch-proportional — flags and
+  * passage explode touch only the batch; the md5/passage stores are
+  * probed with hash joins that AQE sizes (broadcast while small,
+  * shuffled-hash beyond), and both stores ride the same
+  * generation-compaction scheme as IncrementalDedupStream
+  * ([[IncrementalDedupStream.compactStore]]), so steady-state store
+  * reads stay one generation + a bounded epoch tail. The shard-token
+  * store appends ≤ `PipeShards` rows per epoch and is summed at read —
+  * a million epochs is 8M tiny rows, itself compactable by the same
+  * fold if ever measurable.
+  */
+object PipelineStream {
+
+  /** Same file-source schema as CurationStream: the batch documents
+    * columns plus the producer-stamped ingest timestamp.
+    */
+  val inputSchema = CurationStream.inputSchema
+
+  private def storeHasBatches(spark: SparkSession, dir: String): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(path) && Option(
+      fs.globStatus(new org.apache.hadoop.fs.Path(path, "batch_id=*")))
+      .exists(_.nonEmpty)
+  }
+
+  /** One epoch of the composed pipeline. Public so the spec can drive
+    * a replay directly (the IncrementalDedupStream pattern).
+    *
+    * @param evalSet staged (eph LONG) distinct passage hashes of the
+    *                eval holdout — built once at [[start]], static.
+    */
+  def processBatch(batch: DataFrame, batchId: Long, evalSet: DataFrame,
+      outDir: String, storeDir: String,
+      compactEvery: Int = IncrementalDedupStream.DefaultCompactEvery): Unit = {
+    val spark = batch.sparkSession
+    if (batch.isEmpty) return // idle trigger: no writes, no store epochs
+    val isEval = col("doc_id") % 13 === 0
+    val flagged = TextQueries.docFlags(batch)
+      .withColumn("curated",
+        col("pass_lang") && col("pass_quality") && !isEval)
+      .select(col("doc_id"), col("text"), col("text_md5"), col("n_tokens"),
+        col("curated"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      flagged.queryExecution.toRdd.count() // two consumers (Stage.fanout rule)
+      // ---- 20_exact: within-batch canonical, then anti-join the store
+      val canon = flagged.filter(col("curated"))
+        .withColumn("mn",
+          min(col("doc_id")).over(Window.partitionBy("text_md5")))
+        .filter(col("doc_id") === col("mn")).drop("mn")
+      val md5Dir = s"$storeDir/md5"
+      val exactKept0 =
+        if (!storeHasBatches(spark, md5Dir)) canon
+        else canon.join(
+          spark.read.parquet(md5Dir).filter(col("batch_id") < batchId)
+            .select(col("h")),
+          col("text_md5") === col("h"), "left_anti")
+      val exactKept = exactKept0.persist(StorageLevel.MEMORY_AND_DISK)
+      exactKept.queryExecution.toRdd.count()
+      // ---- passage relation of this epoch's exact survivors: feeds
+      // the near-dup screen, the contamination check, AND the store
+      val ph = TextQueries.passageHashes(exactKept, stride = 1)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        ph.queryExecution.toRdd.count()
+        val phDir = s"$storeDir/ph"
+        // prior-only screen: an instance is "shared" when its hash was
+        // seen in an earlier epoch (store) or on an earlier-doc_id
+        // exact survivor of THIS batch (phMin) — the same population
+        // (exact-kept docs) the batch screen counts against
+        val storePh =
+          if (!storeHasBatches(spark, phDir))
+            spark.emptyDataFrame.select(lit(0L).as("sph")).limit(0)
+          else spark.read.parquet(phDir).filter(col("batch_id") < batchId)
+            .select(col("ph").as("sph")).distinct()
+        val phMin = ph.groupBy("ph")
+          .agg(min(col("doc_id")).as("first_doc"))
+        val screen = ph
+          .join(storePh, col("ph") === col("sph"), "left")
+          .join(phMin, Seq("ph"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_passages"),
+            sum(when(col("sph").isNotNull ||
+              col("first_doc") < col("doc_id"), 1L).otherwise(0L))
+              .as("n_dup"))
+        val hits = ph
+          .join(evalSet, col("ph") === col("eph"), "left")
+          .groupBy("doc_id")
+          .agg(count(col("eph")).as("n_hits"))
+        // ---- per-doc verdicts for EVERY doc in the batch (the batch
+        // card's perDoc relation, incremental form)
+        val kept = exactKept.select(col("doc_id"))
+          .withColumn("exact_kept", lit(true))
+        val verdict0 = flagged
+          .select(col("doc_id"), col("n_tokens"), col("curated"))
+          .join(kept, Seq("doc_id"), "left")
+          .join(screen, Seq("doc_id"), "left")
+          .join(hits, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens"), col("curated"),
+            coalesce(col("exact_kept"), lit(false)).as("exact_kept"),
+            coalesce(col("n_dup") * 2 >= col("n_passages"), lit(false))
+              .as("near_dup"),
+            coalesce(col("n_hits") > 0, lit(false)).as("contaminated"),
+            TextQueries.pipeBucket("mix:", 100).as("bucket"),
+            TextQueries.pipeBucket("shard:", TextQueries.PipeShards)
+              .as("shard"))
+          .withColumn("train",
+            col("exact_kept") && !col("near_dup") && !col("contaminated") &&
+              col("bucket") < 80)
+        // ---- packing: per-shard token fold carried across epochs
+        val shardDir = s"$storeDir/shard"
+        val baseTokens =
+          if (!storeHasBatches(spark, shardDir))
+            spark.emptyDataFrame
+              .select(lit(0L).as("shard"), lit(0L).as("base_tokens"))
+              .limit(0)
+          else spark.read.parquet(shardDir)
+            .filter(col("batch_id") < batchId)
+            .groupBy(col("shard")).agg(sum(col("tok")).as("base_tokens"))
+        val verdict = verdict0
+          .join(baseTokens, Seq("shard"), "left")
+          .withColumn("bin",
+            when(col("train"),
+              floor((coalesce(col("base_tokens"), lit(0L)) +
+                coalesce(sum(when(col("train"), col("n_tokens")))
+                  .over(Window.partitionBy("shard").orderBy("doc_id")
+                    .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+                / lit(TextQueries.PipePackTokens)).cast("long")))
+          .drop("base_tokens")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          verdict.queryExecution.toRdd.count()
+          verdict.write.mode("overwrite")
+            .parquet(s"$outDir/docs/batch_id=$batchId")
+          // store epochs: md5 + passage hashes of this batch's exact
+          // survivors, per-shard token sums of its train docs
+          exactKept.select(col("text_md5").as("h"))
+            .write.mode("overwrite").parquet(s"$md5Dir/batch_id=$batchId")
+          ph.select(col("ph")).distinct()
+            .write.mode("overwrite").parquet(s"$phDir/batch_id=$batchId")
+          verdict.filter(col("train"))
+            .groupBy(col("shard")).agg(sum(col("n_tokens")).as("tok"))
+            .write.mode("overwrite")
+            .parquet(s"$shardDir/batch_id=$batchId")
+        } finally verdict.unpersist(blocking = true)
+        IncrementalDedupStream.compactStore(
+          spark, md5Dir, batchId, compactEvery)
+        IncrementalDedupStream.compactStore(
+          spark, phDir, batchId, compactEvery, hashCol = "ph")
+      } finally {
+        ph.unpersist(blocking = true)
+        exactKept.unpersist(blocking = true)
+      }
+    } finally flagged.unpersist(blocking = true)
+  }
+
+  /** Start the composed pipeline over a streaming documents frame.
+    * `sfDir` supplies the static eval holdout (doc_id % 13 == 0), the
+    * batch operator's rule.
+    */
+  def start(spark: SparkSession, docs: DataFrame, sfDir: String,
+      outDir: String, storeDir: String, chkDir: String): StreamingQuery = {
+    graft.plans.GraftExtensions.register(spark)
+    val evalSet = TextQueries.passageHashes(
+        graft.Tables.documents(spark, sfDir).filter(col("doc_id") % 13 === 0),
+        stride = 1)
+      .select(col("ph").as("eph")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    evalSet.queryExecution.toRdd.count()
+    val query = try docs.writeStream
+      .option("checkpointLocation", chkDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, evalSet, outDir, storeDir)
+      }
+      .start()
+    catch {
+      case e: Throwable => evalSet.unpersist(blocking = true); throw e
+    }
+    StreamLifecycle.onTerminated(spark, query)(
+      () => evalSet.unpersist(blocking = false))
+    query
+  }
+
+  /** Cumulative stage card over everything the stream has committed —
+    * the same eight stages (minus nothing) and column contract as the
+    * batch `train_pipeline_e2e` card, computed from the per-doc
+    * verdict partitions.
+    */
+  def card(spark: SparkSession, outDir: String): DataFrame = {
+    val pd = spark.read.parquet(s"$outDir/docs")
+    def stageRow(stage: String, f: DataFrame): DataFrame =
+      f.agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"))
+        .select(lit(stage).as("stage"), col("n_docs"), col("n_tokens"),
+          col("n_docs").as("n_units"))
+    val train = pd.filter(col("train"))
+    val sharded = train
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"),
+        countDistinct(col("shard")).as("n_units"))
+      .select(lit("60_sharded").as("stage"), col("n_docs"),
+        col("n_tokens"), col("n_units"))
+    val packs = train
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"),
+        countDistinct(concat_ws("_", col("shard"), col("bin")))
+          .as("n_units"))
+      .select(lit("70_packed").as("stage"), col("n_docs"),
+        col("n_tokens"), col("n_units"))
+    stageRow("00_raw", pd)
+      .unionByName(stageRow("10_curated", pd.filter(col("curated"))))
+      .unionByName(stageRow("20_exact", pd.filter(col("exact_kept"))))
+      .unionByName(stageRow("30_near_kept",
+        pd.filter(col("exact_kept") && !col("near_dup"))))
+      .unionByName(stageRow("40_clean",
+        pd.filter(col("exact_kept") && !col("near_dup") &&
+          !col("contaminated"))))
+      .unionByName(stageRow("50_train", train))
+      .unionByName(sharded)
+      .unionByName(packs)
+      .orderBy("stage")
+  }
+}
