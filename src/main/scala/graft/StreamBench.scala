@@ -377,6 +377,20 @@ object StreamBench {
         .outputMode("append").start()
     }(storeStateRows)
 
+    // the COMPOSED curation DAG as one exactly-once stream (the
+    // production shape train_pipeline_e2e batches): curation →
+    // incremental exact dedup → prior-only near-dup screen →
+    // decontamination → split/shard → cross-epoch packing; rate is
+    // docs ingested per second through the WHOLE pipeline. State =
+    // verdict rows committed (one per ingested doc).
+    measure("pipeline", nDocs) { rep =>
+      PipelineStream.start(spark,
+        spark.readStream.schema(docSchema)
+          .option("maxFilesPerTrigger", 2).parquet(s"$root/docs"),
+        sfDir, s"$root/pipe_out$rep", s"$root/pipe_store$rep",
+        s"$root/pipe_chk$rep")
+    }((_, rep) => spark.read.parquet(s"$root/pipe_out$rep/docs").count())
+
     // Resident state here is the STATIC eval-set cache — bounded by the
     // benchmark corpus, not the crawl; there is no keyed state store
     // (DecontaminateStreamSpec pins that under a two-era replay). The
