@@ -50,7 +50,12 @@ object AnnFloorProbe {
 
   private def report(tag: String, q: StreamingQuery, secs: Double,
       rows: Long): Unit = {
-    val ps = q.recentProgress.toSeq.filter(_.numInputRows > 0)
+    // numInputRows is metered from the EXECUTED plan, so a no-op
+    // foreachBatch body reports 0 even for data-carrying triggers —
+    // select the triggers that ran addBatch instead (idle triggers
+    // never do)
+    val ps = q.recentProgress.toSeq
+      .filter(_.durationMs.containsKey("addBatch"))
     val keys = Seq("latestOffset", "getBatch", "queryPlanning",
       "walCommit", "commitOffsets", "addBatch", "triggerExecution")
     val phases = keys.map { k =>
