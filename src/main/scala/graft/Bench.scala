@@ -46,10 +46,28 @@ object Bench {
       System.gc()
       (dt, err)
     }
+    val probe = org.apache.spark.graft.CleanerProbe
+      .attach(spark.sparkContext)
     queries.zipWithIndex.map { case ((name, fn), i) =>
       if (i % 25 == 24) betweenBlocks()
+      val gc0 = org.apache.spark.graft.CleanerProbe.gcMillis
+      val cl0 = probe.map(_.total).getOrElse(0L)
       val runs = (1 to reps).map(_ => timeOnce(name, fn))
       val times = runs.map(_._1)
+      // one diagnosis line per query: when a sweep later shows a
+      // contiguous slow WINDOW (r19 sweep A: 11 consecutive queries
+      // 2-6x slow, every rep, control spiked once — a host stall the
+      // 25-query control cadence undersamples), the log distinguishes
+      // host stalls (flat gc/cleanups, inflated wall) from JVM/cleaner
+      // pathology (gc or cleanup counts spiking with the wall)
+      System.err.println(String.format(java.util.Locale.ROOT,
+        "[bench] %s min %.2f s median %.2f s (gc %d ms, cleanups %d over %d reps)",
+        name, times.min.asInstanceOf[AnyRef],
+        median(times).asInstanceOf[AnyRef],
+        (org.apache.spark.graft.CleanerProbe.gcMillis - gc0)
+          .asInstanceOf[AnyRef],
+        (probe.map(_.total).getOrElse(0L) - cl0).asInstanceOf[AnyRef],
+        reps.asInstanceOf[AnyRef]))
       name -> QueryTiming(median(times), times.min, runs.flatMap(_._2).headOption)
     }
   }

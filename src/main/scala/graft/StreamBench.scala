@@ -134,8 +134,15 @@ object StreamBench {
     val onlyStreams = sys.env.get("SPARK_GRAFT_STREAMS")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def wanted(name: String): Boolean = onlyStreams.forall(_.contains(name))
+    // Default 5 counted reps for EVERY stream (r19: the roaming host
+    // stall hit a different stream in each closing sweep — sessionize
+    // in B at 3 reps, compaction in C at 3 reps, each a single slow
+    // rep with no cleaner/GC signature — and the 5-rep trimmed spread
+    // absorbs exactly one stalled rep, which 3 reps cannot). An
+    // explicit SPARK_GRAFT_STREAM_REPS still wins for local loops;
+    // the historical noisy set then keeps its 5-rep floor.
     val repsWanted = sys.env.get("SPARK_GRAFT_STREAM_REPS")
-      .map(_.toInt).getOrElse(3)
+      .map(_.toInt).getOrElse(5)
     // streams with a measured spread history above ~1.25 at reps=3
     // (r14 driver: media_features 1.44, decontaminate 1.37,
     // incremental_dedup 1.36; r15 closing sweep: ann_serve_batch512
@@ -151,9 +158,12 @@ object StreamBench {
     // (r18 quiet runs: curation joined after its slow-mode
     // characterization — raw spread 10.04 in run B, a bimodal
     // ~4s/~28s session-history effect, SCALING.md round 18)
+    // (r19 sweep B: sessionize joined — one rep at 2109 vs 9089 rows/s
+    // with the FEWEST in-window cleanups and flat GC, i.e. the roaming
+    // HOST stall, not a code race; 5 reps + trim absorb one stalled rep)
     val noisyStreams = Set("media_features", "decontaminate",
       "incremental_dedup", "ann_serve_batch512", "funnel", "attribution",
-      "curation")
+      "curation", "sessionize")
     def repsFor(name: String): Int =
       if (noisyStreams(name)) math.max(repsWanted, 5) else repsWanted
     val warmups = sys.env.get("SPARK_GRAFT_STREAM_WARMUP")
