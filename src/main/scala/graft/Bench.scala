@@ -254,7 +254,11 @@ object Bench {
         // exists only for the tuning sweep.
         val relayReps = math.max(1,
           sys.env.getOrElse("SPARK_GRAFT_RELAY_REPS", "3").toInt)
-        var lastRelayed = 0L
+        // relay_events records the MINIMUM delivered count over the
+        // counted reps (ADVICE r19): a watermark drop in ANY counted
+        // rep must be visible in the artifact, not silently folded
+        // because a later rep delivered everything
+        var minRelayed = Long.MaxValue
         val rates = (0 to relayReps).flatMap { rep =>
           val counted = rep > 0 // rep 0 = uncounted plan/codegen warmup
           val base = graft.streaming.CdcRelay.RelayConfig(
@@ -274,11 +278,11 @@ object Bench {
             rep.asInstanceOf[AnyRef],
             (relayed / secs).asInstanceOf[AnyRef],
             if (counted) "" else " (uncounted warmup)"))
-          lastRelayed = relayed
-          if (counted) Some(relayed / secs) else None
+          if (counted) { minRelayed = math.min(minRelayed, relayed)
+            Some(relayed / secs) } else None
         }
         graft.Stage.deleteRecursively(new java.io.File(root))
-        (lastRelayed, nEv, rates)
+        (if (minRelayed == Long.MaxValue) 0L else minRelayed, nEv, rates)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] relay throughput failed: ${e.getMessage}")
         (0L, 0L, Nil)

@@ -116,11 +116,18 @@ object StreamBench {
           val now = c.total
           if (now != last) { last = now; quiet = 0L }
           else quiet += 250
-          // a second collection after the first drain wave catches
+          // a second collection once the FIRST wave quiesces catches
           // reference chains the first GC only made unreachable
           // (cleaned frames whose children become collectable once the
-          // parent's weak ref is processed)
-          if (!secondGc && waited >= 2000) { System.gc(); secondGc = true }
+          // parent's weak ref is processed); resetting `quiet` keeps
+          // polling until the post-GC wave also quiesces — the old
+          // waited>=2000 trigger never fired inside a 750 ms per-rep
+          // drain and could fire in the same iteration quiescence was
+          // declared in the phase barrier, so the second wave could
+          // still drain inside the timed window (ADVICE r19)
+          if (!secondGc && quiet >= quietMs) {
+            System.gc(); secondGc = true; quiet = 0L
+          }
         }
         (last - start, waited)
     }

@@ -74,10 +74,37 @@ object IncrementalDedupStream {
     val survivors0 =
       if (!hasStore) hashed0
       else {
-        val seen = spark.read.parquet(storeDir)
+        // Bloom-prefilter the store probe (VERDICT r19 #1, the
+        // dedup_bloom_prefilter shape): fold the BATCH's content
+        // hashes into a bloom and prune the store scan with it before
+        // the anti-join. No false negatives ⇒ every store hash that
+        // could eliminate a batch row survives, so survivors are
+        // identical; store-side rows entering the join drop from
+        // O(corpus history) to O(batch matches + false positives),
+        // which is what keeps the epoch cost flat as the store
+        // accumulates (the join otherwise re-broadcasts/re-shuffles
+        // the whole store every epoch). The bloom is a SCALAR SUBQUERY
+        // (the dedup_bloom_prefilter form), not an eager collect — an
+        // eager .head() added two driver round trips per epoch and
+        // regressed the composed pipeline stream at bench scale; the
+        // subquery builds inside the probing job itself. The item
+        // estimate is a fixed 1M (a ~1.2 MB bloom): micro-batches are
+        // trigger-bounded, and an over-large batch only raises the
+        // false-positive rate (less pruning), never correctness.
+        graft.plans.GraftExtensions.register(spark)
+        batch.select(md5(col("text")).as("bh"))
+          .createOrReplaceTempView("graft_incdedup_batch_md5")
+        spark.read.parquet(storeDir)
           .filter(col("batch_id") < batchId) // replay: own hashes excluded
           .select(col("h"))
-        hashed0.join(seen, col("content_md5") === col("h"), "left_anti")
+          .createOrReplaceTempView("graft_incdedup_store_md5")
+        val seenPruned = spark.sql(
+          """SELECT h FROM graft_incdedup_store_md5
+            |WHERE graft_might_contain(
+            |  (SELECT graft_bloom_agg(xxhash64(bh), 1000000L)
+            |   FROM graft_incdedup_batch_md5),
+            |  xxhash64(h))""".stripMargin)
+        hashed0.join(seenPruned, col("content_md5") === col("h"), "left_anti")
       }
     val survivors = survivors0.persist(StorageLevel.MEMORY_AND_DISK)
     try {

@@ -74,6 +74,46 @@ object PipelineStream {
       .exists(_.nonEmpty)
   }
 
+  /** Bloom-prefilter a store probe (VERDICT r19 #1, the
+    * `dedup_bloom_prefilter` shape): fold the BATCH side's keys into a
+    * bloom filter and keep only store rows the bloom might match. A
+    * bloom has no false negatives, so every store row that could
+    * affect a join against the batch survives — join results are
+    * identical (PipelineStreamSpec pins parity) — while the store-side
+    * survivors are proportional to the BATCH, not the corpus history.
+    * Without it the probe's join re-shuffles (or re-broadcasts) the
+    * whole accumulated store every epoch — the repo's only
+    * O(corpus-history) per-epoch cost (measured last/first 1.34 over
+    * 25 epochs, PipelineScaleProbe); with it the store side is scanned
+    * (a codegen'd filter at the scan, no exchange) and only the
+    * batch-relevant sliver joins.
+    *
+    * The bloom is a SCALAR SUBQUERY over a temp view of the (persisted)
+    * batch relation, not an eagerly collected literal: an eager
+    * `.head()` per probe added two driver round-trip jobs to every
+    * epoch and measurably REGRESSED the stream at bench scale (445 →
+    * 305 rows/s at sf0.1, where the store is small and the prune saves
+    * nothing) — the subquery form executes inside the same job as the
+    * probing join, so the fixed overhead is one tiny subquery stage.
+    * An empty batch side folds to a NULL bloom; `might_contain(NULL,
+    * x)` is NULL, so the filter drops every store row — exactly the
+    * empty-probe semantics the join had anyway.
+    */
+  private def bloomPruneStore(spark: SparkSession, batchKeys: DataFrame,
+      keyCol: String, nItems: Long, store: DataFrame, storeCol: String,
+      viewTag: String): DataFrame = {
+    val batchView = s"graft_pipe_${viewTag}_batch"
+    val storeView = s"graft_pipe_${viewTag}_store"
+    batchKeys.createOrReplaceTempView(batchView)
+    store.createOrReplaceTempView(storeView)
+    spark.sql(
+      s"""SELECT $storeCol FROM $storeView
+         |WHERE graft_might_contain(
+         |  (SELECT graft_bloom_agg(xxhash64($keyCol),
+         |     ${math.max(64L, nItems)}L) FROM $batchView),
+         |  xxhash64($storeCol))""".stripMargin)
+  }
+
   /** One epoch of the composed pipeline. Public so the spec can drive
     * a replay directly (the IncrementalDedupStream pattern).
     *
@@ -85,6 +125,7 @@ object PipelineStream {
       compactEvery: Int = IncrementalDedupStream.DefaultCompactEvery): Unit = {
     val spark = batch.sparkSession
     if (batch.isEmpty) return // idle trigger: no writes, no store epochs
+    graft.plans.GraftExtensions.register(spark) // bloom agg/probe fns
     val isEval = col("doc_id") % 13 === 0
     val flagged = TextQueries.docFlags(batch)
       .withColumn("curated",
@@ -93,7 +134,9 @@ object PipelineStream {
         col("curated"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      flagged.queryExecution.toRdd.count() // two consumers (Stage.fanout rule)
+      // two consumers (Stage.fanout rule); the count doubles as the
+      // bloom item estimate below
+      val nBatch = flagged.queryExecution.toRdd.count()
       // ---- 20_exact: within-batch canonical, then anti-join the store
       val canon = flagged.filter(col("curated"))
         .withColumn("mn",
@@ -103,8 +146,15 @@ object PipelineStream {
       val exactKept0 =
         if (!storeHasBatches(spark, md5Dir)) canon
         else canon.join(
-          spark.read.parquet(md5Dir).filter(col("batch_id") < batchId)
-            .select(col("h")),
+          // bloom over the batch's curated md5s (canon's md5 SET —
+          // canonicalization only drops duplicate instances), probed
+          // at the store scan: store rows matching no batch hash
+          // cannot remove a canon row from a left_anti
+          bloomPruneStore(spark,
+            flagged.filter(col("curated")).select(col("text_md5")),
+            "text_md5", nBatch,
+            spark.read.parquet(md5Dir).filter(col("batch_id") < batchId)
+              .select(col("h")), "h", "md5"),
           col("text_md5") === col("h"), "left_anti")
       val exactKept = exactKept0.persist(StorageLevel.MEMORY_AND_DISK)
       exactKept.queryExecution.toRdd.count()
@@ -113,17 +163,24 @@ object PipelineStream {
       val ph = TextQueries.passageHashes(exactKept, stride = 1)
         .persist(StorageLevel.MEMORY_AND_DISK)
       try {
-        ph.queryExecution.toRdd.count()
+        val nPh = ph.queryExecution.toRdd.count()
         val phDir = s"$storeDir/ph"
         // prior-only screen: an instance is "shared" when its hash was
         // seen in an earlier epoch (store) or on an earlier-doc_id
         // exact survivor of THIS batch (phMin) — the same population
-        // (exact-kept docs) the batch screen counts against
+        // (exact-kept docs) the batch screen counts against. The store
+        // read is bloom-pruned by the BATCH's passage hashes BEFORE
+        // the distinct: un-pruned, that distinct re-shuffled the whole
+        // accumulated passage store every epoch (the O(corpus-history)
+        // cost VERDICT r19 ranked #1); pruned, the distinct runs over
+        // the batch-relevant sliver only.
         val storePh =
           if (!storeHasBatches(spark, phDir))
             spark.emptyDataFrame.select(lit(0L).as("sph")).limit(0)
-          else spark.read.parquet(phDir).filter(col("batch_id") < batchId)
-            .select(col("ph").as("sph")).distinct()
+          else bloomPruneStore(spark, ph.select(col("ph")), "ph", nPh,
+            spark.read.parquet(phDir).filter(col("batch_id") < batchId)
+              .select(col("ph").as("sph")), "sph", "ph")
+            .distinct()
         val phMin = ph.groupBy("ph")
           .agg(min(col("doc_id")).as("first_doc"))
         val screen = ph

@@ -64,6 +64,13 @@ object PipelineScaleProbe {
     def avg(xs: Seq[Long]): Long =
       if (xs.isEmpty) 0L else xs.sum / xs.size
     val firstFive = avg(durs.take(5))
+    // The first epochs carry the stream plan's codegen/JIT warmup (an
+    // un-pinned-heap run measured first5 4.9 s vs last5 2.9 s on a
+    // store-probe shape that only GROWS with history — last/first was
+    // reading warmup decay, not store growth). mid5 = epochs 5-9, the
+    // first window past warmup, is the honest growth denominator;
+    // last_over_first stays for continuity with the r19 recording.
+    val midFive = avg(durs.slice(5, 10))
     val lastFive = avg(durs.takeRight(5))
     def countFiles(dir: String): Long = {
       val p = new org.apache.hadoop.fs.Path(dir)
@@ -76,9 +83,16 @@ object PipelineScaleProbe {
     }
     val phRows = spark.read.parquet(s"$root/store/ph").count()
 
-    // restart: append one fresh 1024-doc batch, resume from checkpoint
+    // restart: append one fresh 1024-doc batch, resume from checkpoint.
+    // The shifted id MUST be aliased back to "doc_id": the streaming
+    // source reads appended files with the pre-append schema, so an
+    // unaliased "(doc_id + 10000000)" column resolves doc_id to null
+    // for every appended row — the whole restart batch is then filtered
+    // out before the store probes and restart_secs measures recovery
+    // plus a trivially empty batch (ADVICE r19).
     graft.Tables.documents(spark, sfDir)
-      .select(col("doc_id") + lit(10000000L), col("source"), col("text"))
+      .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+        col("source"), col("text"))
       .limit(1024).coalesce(1).write.mode("append").parquet(s"$root/docs")
     val t1 = System.nanoTime()
     val q2 = PipelineStream.start(spark, source(), sfDir,
@@ -88,12 +102,16 @@ object PipelineScaleProbe {
 
     val verdicts = spark.read.parquet(s"$root/out/docs").count()
     println(String.format(java.util.Locale.ROOT,
-      """{"probe":"pipeline_scale","sf":"%s","docs":%d,"verdicts":%d,"secs":%.1f,"epochs":%d,"first5_ms":%d,"last5_ms":%d,"last_over_first":%.2f,"ph_store_files":%d,"ph_store_rows":%d,"restart_secs":%.1f}""",
+      """{"probe":"pipeline_scale","sf":"%s","docs":%d,"verdicts":%d,"secs":%.1f,"epochs":%d,"first5_ms":%d,"mid5_ms":%d,"last5_ms":%d,"last_over_first":%.2f,"last_over_mid":%.2f,"epoch_ms":[%s],"ph_store_files":%d,"ph_store_rows":%d,"restart_secs":%.1f}""",
       sfDir, nDocs.asInstanceOf[AnyRef], verdicts.asInstanceOf[AnyRef],
       secs.asInstanceOf[AnyRef], durs.size.asInstanceOf[AnyRef],
-      firstFive.asInstanceOf[AnyRef], lastFive.asInstanceOf[AnyRef],
+      firstFive.asInstanceOf[AnyRef], midFive.asInstanceOf[AnyRef],
+      lastFive.asInstanceOf[AnyRef],
       (if (firstFive > 0) lastFive.toDouble / firstFive else 0.0)
         .asInstanceOf[AnyRef],
+      (if (midFive > 0) lastFive.toDouble / midFive else 0.0)
+        .asInstanceOf[AnyRef],
+      durs.mkString(","),
       countFiles(s"$root/store/ph").asInstanceOf[AnyRef],
       phRows.asInstanceOf[AnyRef], restartSecs.asInstanceOf[AnyRef]))
     graft.Stage.deleteRecursively(new java.io.File(root))

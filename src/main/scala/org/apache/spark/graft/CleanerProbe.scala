@@ -41,36 +41,42 @@ object CleanerProbe {
         s"accum=${accum.get} checkpoint=${checkpoint.get}"
   }
 
-  private val installed = new AtomicReference[Counts](null)
+  /** The installed counters are keyed by the SparkContext they were
+    * attached to (ADVICE r19): a JVM-global cache would keep returning
+    * counters whose listener died with a stopped context (test suites,
+    * bench re-runs in one JVM), silently reading zero cleaner activity
+    * for the new context.
+    */
+  private val installed =
+    new AtomicReference[(SparkContext, Counts)](null)
 
-  /** Attach (once per JVM — the bench owns one context) and return the
-    * shared counters; None when the context runs without a cleaner
+  /** Attach (once per SparkContext) and return the shared counters;
+    * None when the context runs without a cleaner
     * (`spark.cleaner.referenceTracking=false`), in which case there is
     * no async-cleanup race to observe either.
     */
-  def attach(sc: SparkContext): Option[Counts] = {
+  def attach(sc: SparkContext): Option[Counts] = synchronized {
     val cur = installed.get
-    if (cur != null) return Some(cur)
+    if (cur != null && (cur._1 eq sc)) return Some(cur._2)
     sc.cleaner.map { cleaner =>
       val c = new Counts
-      if (installed.compareAndSet(null, c)) {
-        cleaner.attachListener(new CleanerListener {
-          private def hit(ctr: AtomicLong): Unit = {
-            ctr.incrementAndGet()
-            c.lastCleanupNanos.set(System.nanoTime())
-            ()
-          }
-          override def rddCleaned(rddId: Int): Unit = hit(c.rdd)
-          override def shuffleCleaned(shuffleId: Int): Unit =
-            hit(c.shuffle)
-          override def broadcastCleaned(broadcastId: Long): Unit =
-            hit(c.broadcast)
-          override def accumCleaned(accId: Long): Unit = hit(c.accum)
-          override def checkpointCleaned(rddId: Long): Unit =
-            hit(c.checkpoint)
-        })
-      }
-      installed.get
+      cleaner.attachListener(new CleanerListener {
+        private def hit(ctr: AtomicLong): Unit = {
+          ctr.incrementAndGet()
+          c.lastCleanupNanos.set(System.nanoTime())
+          ()
+        }
+        override def rddCleaned(rddId: Int): Unit = hit(c.rdd)
+        override def shuffleCleaned(shuffleId: Int): Unit =
+          hit(c.shuffle)
+        override def broadcastCleaned(broadcastId: Long): Unit =
+          hit(c.broadcast)
+        override def accumCleaned(accId: Long): Unit = hit(c.accum)
+        override def checkpointCleaned(rddId: Long): Unit =
+          hit(c.checkpoint)
+      })
+      installed.set((sc, c))
+      c
     }
   }
 
