@@ -133,6 +133,23 @@ object Stage {
           * 1024L * 1024L <= SmallHeapBytes))
       .getOrElse(driverHeapBytes <= SmallHeapBytes)
 
+  /** Plan-audit hook (no effect unless GRAFT_EXPLAIN_PLANS is set):
+    * prints a formatted plan once per tag KIND (the part before the
+    * comma) so eagerly-orchestrated queries — whose final explain only
+    * shows checkpoint-file scans — can dump their INTERNAL stage plans
+    * for the committed `plans/` evidence.
+    */
+  private val explained =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private[graft] def maybeExplain(tag: String, df: DataFrame): Unit = {
+    val kind = tag.takeWhile(_ != ',')
+    if (sys.env.contains("GRAFT_EXPLAIN_PLANS") && explained.add(kind)) {
+      println(s"[explain-plan] $tag")
+      df.explain("formatted")
+    }
+  }
+
   /** Reliable-checkpoint directory for iterative queries. On a real
     * cluster this must be durable shared storage (HDFS/S3): set it up
     * front via `sparkContext.setCheckpointDir`; this helper only fills

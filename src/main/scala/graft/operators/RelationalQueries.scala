@@ -1174,7 +1174,16 @@ object RelationalQueries {
       .distinct()
     val und = ed.select(col("c").as("src"), col("sp").as("dst"))
       .unionByName(ed.select(col("sp").as("src"), col("c").as("dst")))
-    graft.Stage.fanout(und) { e =>
+    // Pin the iterated relation's partitioning ONCE (guide §2.4, VERDICT
+    // r20 #6): the staged edges are hash-partitioned on `src` BEFORE the
+    // persist, so every round's edges⋈contrib join reuses the cached
+    // partitioning instead of re-Exchanging the edge relation per round,
+    // and the deg aggregation rides the same layout. contrib/inflow are
+    // node-keyed children of checkpointed relations whose partitioning
+    // survives the checkpoint (LogicalRDD keeps outputPartitioning), so
+    // the only per-round exchange left is the inflow aggregation's dst
+    // re-key — fundamental to the operation.
+    graft.Stage.fanout(und.repartition(col("src"))) { e =>
       // deg and each round's ranks are eagerly checkpointed (the
       // dedup_clusters discipline): without it every round's plan
       // re-derives all earlier rounds per consumer — measured 12 s at
@@ -1200,13 +1209,14 @@ object RelationalQueries {
           .select(col("node").as("cn"), expr("r div deg").as("contrib"))
         val inflow = e.join(contrib, col("src") === col("cn"))
           .groupBy("dst").agg(sum(col("contrib")).as("inflow"))
-        ranks = deg
+        val next = deg
           .join(inflow, col("src") === col("dst"), "left")
           .select(col("src").as("node"), col("deg"),
             (lit(teleport) +
               expr("(85 * coalesce(inflow, CAST(0 AS BIGINT))) div 100"))
               .as("r"))
-          .checkpoint()
+        graft.Stage.maybeExplain("rel_pagerank round", next)
+        ranks = next.checkpoint()
       }
       ranks.orderBy(desc("r"), asc("node")).limit(20)
         .select(col("node"),

@@ -12,9 +12,13 @@ import org.apache.spark.storage.StorageLevel
   * then appends the survivors' hashes to the seen-set store so later
   * batches dedup against them.
   *
-  * State is a parquet hash store partitioned by `batch_id` — hashes
-  * only, never text, so at 100 TB the store is ~1% of corpus bytes and
-  * the per-epoch anti-join shuffles nothing wider than (id, hash).
+  * State is a parquet hash store partitioned by (`batch_id`,
+  * `hp = pmod(xxhash64(h), N)`) — hashes only, never text, so at 100 TB
+  * the store is ~1% of corpus bytes and the per-epoch anti-join
+  * shuffles nothing wider than (id, hash). The hash-prefix column lets
+  * a probe prune the store LISTING to the batch's touched prefixes
+  * (PartitionFilters), and the batch-keyed bloom prunes the surviving
+  * rows at the scan before any join exchange.
   * Replay safety: an epoch reads only partitions with `batch_id` <
   * its own (partition-pruned), and both writes are dynamic partition
   * overwrites of the epoch's own partition — a replayed batch
@@ -28,9 +32,11 @@ import org.apache.spark.storage.StorageLevel
   *
   * The store self-compacts every `compactEvery` epochs (StreamScaleProbe
   * measured 32 part files per epoch — unbounded partition growth is the
-  * long-run listing cost at 100 TB): per-epoch partitions merge into a
-  * generation partition `batch_id = -B` covering every hash first seen
-  * before batch B. Crash safety needs no transaction because the store
+  * long-run listing cost at 100 TB): the pending per-epoch partitions
+  * merge into a generation partition `batch_id = -B` covering the base
+  * epochs since the previous generation (a TIERED chain — see
+  * [[compactStore]]; each compaction is O(compactEvery · batch), never
+  * O(history)). Crash safety needs no transaction because the store
   * is a SET under left-anti probing — a generation's inputs are deleted
   * only by a LATER batch (whose existence proves batch B committed), so
   * the worst crash leaves duplicate hashes across a generation and its
@@ -42,6 +48,65 @@ object IncrementalDedupStream {
     * steady-state store = 1 generation + < compactEvery epoch partitions.
     */
   val DefaultCompactEvery = 16
+
+  /** Hash-prefix partition fan-out of the parquet hash stores (VERDICT
+    * r20 #2, guide §6/§2.3): every store write carries `hp =
+    * pmod(xxhash64(key), N)` as a second partition column, and every
+    * probe filters the scan to the batch's touched prefixes — a
+    * PartitionFilter, so pruning happens at file listing, before any
+    * I/O. The prune is batch-size-dependent: a trickle batch touching
+    * k ≪ N prefixes reads k/N of the store; a bench-scale batch
+    * (|batch| ≫ N) touches every prefix and the filter keeps the scan
+    * unchanged. N trades pruning granularity against per-epoch file
+    * count (each epoch writes ≤ N files after the hp repartition);
+    * 32 keeps steady-state store files at 1 generation × 32 + tail.
+    */
+  private[graft] def hashParts(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.store.hashParts")
+      .map(_.toInt).getOrElse(32)
+
+  private[streaming] def hpCol(key: org.apache.spark.sql.Column,
+      nHp: Int): org.apache.spark.sql.Column =
+    pmod(xxhash64(key), lit(nHp.toLong))
+
+  /** The batch's touched hash prefixes — bounded at `nHp` values, the
+    * same bounded-collect contract as KMeans' k-row driver state. Runs
+    * over the caller's (persisted) slim key relation, so this collect
+    * doubles as the cache-materialization barrier for the probe that
+    * follows.
+    */
+  private[streaming] def touchedPrefixes(keys: DataFrame, keyCol: String,
+      nHp: Int): Seq[Long] =
+    keys.filter(col(keyCol).isNotNull)
+      .select(hpCol(col(keyCol), nHp).as("hp"))
+      .distinct().collect().toSeq.map(_.getLong(0))
+
+  /** Per-call-unique temp view suffix (VERDICT r20 #9 / ADVICE): fixed
+    * session-global view names collide when two streams of the same
+    * shape share one SparkSession — epoch A's SQL could resolve epoch
+    * B's batch view and prune with the wrong bloom (false negatives).
+    */
+  private[streaming] val viewSeq =
+    new java.util.concurrent.atomic.AtomicLong
+
+  /** Plan-audit hook: with GRAFT_EXPLAIN_STORE set, the FIRST
+    * store-probing epoch in the JVM prints its probe plan (formatted)
+    * so the committed `plans/` dumps show the real epoch plan — the
+    * bloom filter at the store scan, the hp/batch_id PartitionFilters,
+    * and no full-store Exchange. No effect unless the env var is set.
+    */
+  private[streaming] val explained =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private[streaming] def maybeExplain(tag: String, df: DataFrame): Unit = {
+    // one dump per probe KIND (the part of the tag before the comma),
+    // not per epoch — later epochs share the plan shape
+    val kind = tag.takeWhile(_ != ',')
+    if (sys.env.contains("GRAFT_EXPLAIN_STORE") && explained.add(kind)) {
+      println(s"[explain-store] $tag")
+      df.explain("formatted")
+    }
+  }
 
   /** One epoch: dedup `batch` against the store below `batchId`, write
     * survivors to `outDir` and their hashes to `storeDir` (both
@@ -71,6 +136,7 @@ object IncrementalDedupStream {
         fs.globStatus(new org.apache.hadoop.fs.Path(path, "batch_id=*")))
         .exists(_.nonEmpty)
     }
+    val nHp = hashParts(spark)
     val survivors0 =
       if (!hasStore) hashed0
       else {
@@ -92,19 +158,43 @@ object IncrementalDedupStream {
         // trigger-bounded, and an over-large batch only raises the
         // false-positive rate (less pruning), never correctness.
         graft.plans.GraftExtensions.register(spark)
-        batch.select(md5(col("text")).as("bh"))
-          .createOrReplaceTempView("graft_incdedup_batch_md5")
-        spark.read.parquet(storeDir)
-          .filter(col("batch_id") < batchId) // replay: own hashes excluded
-          .select(col("h"))
-          .createOrReplaceTempView("graft_incdedup_store_md5")
-        val seenPruned = spark.sql(
-          """SELECT h FROM graft_incdedup_store_md5
-            |WHERE graft_might_contain(
-            |  (SELECT graft_bloom_agg(xxhash64(bh), 1000000L)
-            |   FROM graft_incdedup_batch_md5),
-            |  xxhash64(h))""".stripMargin)
-        hashed0.join(seenPruned, col("content_md5") === col("h"), "left_anti")
+        // the slim batch-hash scan (NO window, no persist — a persisted
+        // hashed0 was measured 1241 → 753 rows/s at sf0.1: the extra
+        // materialization job + cache churn cost more per epoch than
+        // the second cheap md5 scan it saved); it feeds the prefix
+        // collect and the bloom view
+        val batchHashes = batch.select(md5(col("text")).as("bh"))
+        val prefixes = touchedPrefixes(batchHashes, "bh", nHp)
+        if (prefixes.isEmpty) hashed0 // every batch hash NULL ⇒ all novel
+        else {
+          val suffix = s"${batchId}_${viewSeq.incrementAndGet()}"
+          val batchView = s"graft_incdedup_batch_md5_$suffix"
+          val storeView = s"graft_incdedup_store_md5_$suffix"
+          batchHashes.createOrReplaceTempView(batchView)
+          spark.read.parquet(storeDir)
+            // replay: own hashes excluded. Both predicates are
+            // PartitionFilters — batch_id bounds the epoch tail, hp
+            // prunes the listing to the batch's touched hash prefixes.
+            .filter(col("batch_id") < batchId &&
+              col("hp").isin(prefixes: _*))
+            .select(col("h"))
+            .createOrReplaceTempView(storeView)
+          val seenPruned = spark.sql(
+            s"""SELECT h FROM $storeView
+               |WHERE graft_might_contain(
+               |  (SELECT graft_bloom_agg(xxhash64(bh), 1000000L)
+               |   FROM $batchView),
+               |  xxhash64(h))""".stripMargin)
+          // spark.sql analyzed eagerly — the views are resolved into the
+          // plan and can be dropped before the probe even runs
+          spark.catalog.dropTempView(batchView)
+          spark.catalog.dropTempView(storeView)
+          val probed = hashed0.join(seenPruned,
+            col("content_md5") === col("h"), "left_anti")
+          maybeExplain(s"incremental_dedup store probe, batch $batchId",
+            probed)
+          probed
+        }
       }
     val survivors = survivors0.persist(StorageLevel.MEMORY_AND_DISK)
     try {
@@ -116,59 +206,96 @@ object IncrementalDedupStream {
       survivors.filter(col("content_md5").isNotNull)
         .select(col("content_md5").as("h"))
         .withColumn("batch_id", lit(batchId))
+        .withColumn("hp", hpCol(col("h"), nHp))
+        // one writer task → ≤ N files per epoch, NO shuffle (the cached
+        // survivors are micro-batch-sized; a repartition(hp) clustered
+        // files identically but cost a per-epoch exchange). Generation
+        // folds use the repartition form — they are the big writes.
+        .coalesce(1)
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id")
+        .partitionBy("batch_id", "hp")
         .parquet(storeDir)
     } finally survivors.unpersist(blocking = true)
     compactStore(spark, storeDir, batchId, compactEvery)
   }
 
-  /** Replay-safe store compaction, run at the tail of batch `batchId`.
+  /** Partition ids present under `dir` (base epochs and generations). */
+  private[streaming] def storePartIds(spark: SparkSession,
+      dir: String): Seq[Long] = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Option(fs.globStatus(new org.apache.hadoop.fs.Path(path, "batch_id=*")))
+      .map(_.toSeq).getOrElse(Seq.empty)
+      .flatMap(s => scala.util.Try(
+        s.getPath.getName.stripPrefix("batch_id=").toLong).toOption)
+  }
+
+  /** Replay-safe TIERED store compaction, run at the tail of batch
+    * `batchId`.
     *
     * Partition algebra: base partitions `batch_id = b >= 0` hold batch
-    * b's first-seen hashes; a generation `batch_id = -B` holds the
-    * distinct union of everything first seen before batch B. Three
-    * invariants keep replays exact with zero coordination:
+    * b's first-seen hashes; generations `batch_id = -B1 > -B2 > ...`
+    * form a CHAIN of disjoint epoch ranges — the generation `-B` holds
+    * the union of base epochs `[prevB, B)` where `prevB` is the
+    * next-older generation's boundary (0 for the first). Coverage is
+    * derivable from the sorted generation ids alone, so no manifest is
+    * needed. Folding ONLY the pending epoch tail (VERDICT r21 measure:
+    * the previous monolithic fold re-read and re-wrote the ENTIRE
+    * distinct history every compaction — an O(history) spike every
+    * `compactEvery` epochs, 7.2→7.8 s and growing at the 49-epoch
+    * probe vs a 4.6 s base epoch) makes every compaction
+    * O(compactEvery · batch): constant per compaction, so the epoch
+    * cost curve stays flat as the store accumulates. The trade is
+    * generation-count growth (1 per compactEvery epochs — 16× slower
+    * than uncompacted epoch growth); a second size-tiered merge level
+    * would bound it, but needs a manifest (or name-encoded ranges) to
+    * stay crash-safe and is left documented, not implemented.
     *
-    *  1. A generation written at batch B reads only `batch_id < B`
-    *     minus itself — never B's own partition — so a replayed batch B
-    *     still probes a store without its own hashes.
-    *  2. Inputs are deleted only when a generation covering them was
-    *     created by an EARLIER batch: the stream processes batch C only
-    *     after committing C-1, so `-g` with g < C is durable. Until
-    *     then the store holds duplicates, which left-anti ignores.
-    *  3. Re-running batch B's compaction dynamic-overwrites `-B` from
-    *     the same inputs (deletable only at a later batch) — idempotent.
+    * Invariants that keep replays exact with zero coordination:
+    *
+    *  1. A generation written at batch B folds only base epochs
+    *     `[prevB, B)` — never B's own partition, never another
+    *     generation — so a replayed batch B still probes a store
+    *     without its own hashes and rewrites `-B` from the same
+    *     not-yet-deleted inputs (idempotent).
+    *  2. Base inputs are deleted only when a generation covering them
+    *     was created by an EARLIER batch: the stream processes batch C
+    *     only after committing C-1, so `-g` with g < C is durable.
+    *     Until then the store holds duplicates, which left-anti
+    *     ignores. Generations themselves are immutable and never
+    *     deleted.
     */
   private[graft] def compactStore(spark: SparkSession, storeDir: String,
       batchId: Long, compactEvery: Int, hashCol: String = "h"): Unit = {
     if (compactEvery <= 0) return
     val path = new org.apache.hadoop.fs.Path(storeDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def partIds(): Seq[Long] = Option(
-      fs.globStatus(new org.apache.hadoop.fs.Path(path, "batch_id=*")))
-      .map(_.toSeq).getOrElse(Seq.empty)
-      .flatMap(s => scala.util.Try(
-        s.getPath.getName.stripPrefix("batch_id=").toLong).toOption)
-    val parts = partIds()
-    // 1. drop partitions covered by a generation a committed batch wrote
+    val parts = storePartIds(spark, storeDir)
+    // 1. drop base epochs covered by a generation a committed batch wrote
     val cov = parts.filter(g => g < 0 && -g < batchId).map(-_)
       .foldLeft(0L)(math.max)
-    parts.filter(p => (p >= 0 && p < cov) || (p < 0 && -p < cov))
+    parts.filter(p => p >= 0 && p < cov)
       .foreach { p =>
         fs.delete(new org.apache.hadoop.fs.Path(path, s"batch_id=$p"), true)
       }
-    // 2. fold surviving history into a new generation when due
+    // 2. fold the pending base tail into a new generation when due —
+    // reads [cov, batchId) only, never the accumulated history
     val pending = parts.count(p => p >= cov && p < batchId)
     if (pending >= compactEvery && batchId > 0) {
+      val nHp = hashParts(spark)
       spark.read.parquet(storeDir)
-        .filter(col("batch_id") < batchId && col("batch_id") =!= -batchId)
+        .filter(col("batch_id") >= cov && col("batch_id") < batchId)
         .select(col(hashCol)).distinct()
         .withColumn("batch_id", lit(-batchId))
+        // recomputed, not read through: pmod(xxhash64(key), N) of the
+        // same key value is identical, and recomputing keeps the
+        // generation correct even across an N reconfiguration
+        .withColumn("hp", hpCol(col(hashCol), nHp))
+        .repartition(col("hp"))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id")
+        .partitionBy("batch_id", "hp")
         .parquet(storeDir)
     }
   }

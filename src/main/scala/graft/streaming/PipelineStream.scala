@@ -54,10 +54,12 @@ import graft.operators.TextQueries
   * shuffled-hash beyond), and both stores ride the same
   * generation-compaction scheme as IncrementalDedupStream
   * ([[IncrementalDedupStream.compactStore]]), so steady-state store
-  * reads stay one generation + a bounded epoch tail. The shard-token
-  * store appends ≤ `PipeShards` rows per epoch and is summed at read —
-  * a million epochs is 8M tiny rows, itself compactable by the same
-  * fold if ever measurable.
+  * reads stay a generation chain + a bounded epoch tail, with the
+  * probe filtering both the hash-prefix partitions (PartitionFilters)
+  * and the surviving rows (batch-keyed bloom at the scan). The
+  * shard-token store appends ≤ `PipeShards` rows per epoch and is
+  * sum-folded by [[compactSumStore]] — un-compacted, its every-epoch
+  * read was the probe's measured linear listing cost.
   */
 object PipelineStream {
 
@@ -102,16 +104,56 @@ object PipelineStream {
   private def bloomPruneStore(spark: SparkSession, batchKeys: DataFrame,
       keyCol: String, nItems: Long, store: DataFrame, storeCol: String,
       viewTag: String): DataFrame = {
-    val batchView = s"graft_pipe_${viewTag}_batch"
-    val storeView = s"graft_pipe_${viewTag}_store"
+    // per-call-unique view names (VERDICT r20 #9): fixed session-global
+    // names collide when two streams of the same shape share one
+    // SparkSession — a clobbered batch view would prune the store with
+    // the wrong batch's bloom (false negatives ⇒ missed duplicates)
+    val suffix = IncrementalDedupStream.viewSeq.incrementAndGet()
+    val batchView = s"graft_pipe_${viewTag}_batch_$suffix"
+    val storeView = s"graft_pipe_${viewTag}_store_$suffix"
     batchKeys.createOrReplaceTempView(batchView)
     store.createOrReplaceTempView(storeView)
-    spark.sql(
+    val pruned = spark.sql(
       s"""SELECT $storeCol FROM $storeView
          |WHERE graft_might_contain(
          |  (SELECT graft_bloom_agg(xxhash64($keyCol),
          |     ${math.max(64L, nItems)}L) FROM $batchView),
          |  xxhash64($storeCol))""".stripMargin)
+    // spark.sql analyzed eagerly — safe to drop before the probe runs
+    spark.catalog.dropTempView(batchView)
+    spark.catalog.dropTempView(storeView)
+    pruned
+  }
+
+  /** Sum-fold chain compaction for the per-shard token store — the
+    * [[IncrementalDedupStream.compactStore]] algebra (tiered
+    * generations `-B` covering base epochs `[prevB, B)`, inputs
+    * deleted one batch later, O(compactEvery) per fold) applied to a
+    * SUM instead of a SET: the generation row is the per-shard token
+    * total over its epoch range. Readers must be coverage-aware (see
+    * the baseTokens comment in [[processBatch]]) because sums, unlike
+    * the anti-join's set semantics, cannot tolerate the duplicate
+    * window between a generation and its not-yet-deleted inputs.
+    */
+  private[streaming] def compactSumStore(spark: SparkSession, dir: String,
+      batchId: Long, compactEvery: Int): Unit = {
+    if (compactEvery <= 0) return
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = IncrementalDedupStream.storePartIds(spark, dir)
+    val cov = parts.filter(g => g < 0 && -g < batchId).map(-_)
+      .foldLeft(0L)(math.max)
+    parts.filter(p => p >= 0 && p < cov).foreach { p =>
+      fs.delete(new org.apache.hadoop.fs.Path(path, s"batch_id=$p"), true)
+    }
+    val pending = parts.count(p => p >= cov && p < batchId)
+    if (pending >= compactEvery && batchId > 0) {
+      spark.read.parquet(dir)
+        .filter(col("batch_id") >= cov && col("batch_id") < batchId)
+        .groupBy(col("shard")).agg(sum(col("tok")).as("tok"))
+        .coalesce(1) // ≤ PipeShards rows
+        .write.mode("overwrite").parquet(s"$dir/batch_id=-$batchId")
+    }
   }
 
   /** One epoch of the composed pipeline. Public so the spec can drive
@@ -143,8 +185,17 @@ object PipelineStream {
           min(col("doc_id")).over(Window.partitionBy("text_md5")))
         .filter(col("doc_id") === col("mn")).drop("mn")
       val md5Dir = s"$storeDir/md5"
+      val nHp = IncrementalDedupStream.hashParts(spark)
+      // the batch's touched hash prefixes (bounded ≤ nHp values; the
+      // collect reads the persisted flagged relation) — a
+      // PartitionFilter on the store scan, pruning at file listing
+      val md5Prefixes =
+        if (!storeHasBatches(spark, md5Dir)) Seq.empty[Long]
+        else IncrementalDedupStream.touchedPrefixes(
+          flagged.filter(col("curated")).select(col("text_md5")),
+          "text_md5", nHp)
       val exactKept0 =
-        if (!storeHasBatches(spark, md5Dir)) canon
+        if (md5Prefixes.isEmpty) canon // no store, or no curated hashes
         else canon.join(
           // bloom over the batch's curated md5s (canon's md5 SET —
           // canonicalization only drops duplicate instances), probed
@@ -153,9 +204,14 @@ object PipelineStream {
           bloomPruneStore(spark,
             flagged.filter(col("curated")).select(col("text_md5")),
             "text_md5", nBatch,
-            spark.read.parquet(md5Dir).filter(col("batch_id") < batchId)
+            spark.read.parquet(md5Dir)
+              .filter(col("batch_id") < batchId &&
+                col("hp").isin(md5Prefixes: _*))
               .select(col("h")), "h", "md5"),
           col("text_md5") === col("h"), "left_anti")
+      if (md5Prefixes.nonEmpty)
+        IncrementalDedupStream.maybeExplain(
+          s"pipeline md5-store probe, batch $batchId", exactKept0)
       val exactKept = exactKept0.persist(StorageLevel.MEMORY_AND_DISK)
       exactKept.queryExecution.toRdd.count()
       // ---- passage relation of this epoch's exact survivors: feeds
@@ -174,11 +230,17 @@ object PipelineStream {
         // accumulated passage store every epoch (the O(corpus-history)
         // cost VERDICT r19 ranked #1); pruned, the distinct runs over
         // the batch-relevant sliver only.
+        val phPrefixes =
+          if (!storeHasBatches(spark, phDir)) Seq.empty[Long]
+          else IncrementalDedupStream.touchedPrefixes(
+            ph.select(col("ph")), "ph", nHp)
         val storePh =
-          if (!storeHasBatches(spark, phDir))
+          if (phPrefixes.isEmpty) // no store, or an empty passage batch
             spark.emptyDataFrame.select(lit(0L).as("sph")).limit(0)
           else bloomPruneStore(spark, ph.select(col("ph")), "ph", nPh,
-            spark.read.parquet(phDir).filter(col("batch_id") < batchId)
+            spark.read.parquet(phDir)
+              .filter(col("batch_id") < batchId &&
+                col("hp").isin(phPrefixes: _*))
               .select(col("ph").as("sph")), "sph", "ph")
             .distinct()
         val phMin = ph.groupBy("ph")
@@ -191,6 +253,9 @@ object PipelineStream {
             sum(when(col("sph").isNotNull ||
               col("first_doc") < col("doc_id"), 1L).otherwise(0L))
               .as("n_dup"))
+        if (phPrefixes.nonEmpty)
+          IncrementalDedupStream.maybeExplain(
+            s"pipeline ph-store probe (screen), batch $batchId", screen)
         val hits = ph
           .join(evalSet, col("ph") === col("eph"), "left")
           .groupBy("doc_id")
@@ -215,16 +280,35 @@ object PipelineStream {
           .withColumn("train",
             col("exact_kept") && !col("near_dup") && !col("contaminated") &&
               col("bucket") < 80)
-        // ---- packing: per-shard token fold carried across epochs
+        // ---- packing: per-shard token fold carried across epochs.
+        // The shard store is sum-folded into chain generations
+        // ([[compactSumStore]]) — un-compacted it accumulates one tiny
+        // partition per epoch FOREVER, and this read (every epoch) was
+        // the probe's measured linear-listing cost. Unlike the hash
+        // stores, sums cannot tolerate the duplicate window between a
+        // generation and its not-yet-deleted inputs, so the read is
+        // coverage-aware: all generations (a disjoint epoch chain) plus
+        // base epochs at or past the newest generation boundary —
+        // exactly one contribution per committed epoch, on every
+        // replay. The own-replay generation (-batchId, written by a
+        // crashed earlier attempt of this batch) folds [prev, batchId),
+        // and the base window [batchId, batchId) is then empty — the
+        // same totals the first attempt read.
         val shardDir = s"$storeDir/shard"
         val baseTokens =
           if (!storeHasBatches(spark, shardDir))
             spark.emptyDataFrame
               .select(lit(0L).as("shard"), lit(0L).as("base_tokens"))
               .limit(0)
-          else spark.read.parquet(shardDir)
-            .filter(col("batch_id") < batchId)
-            .groupBy(col("shard")).agg(sum(col("tok")).as("base_tokens"))
+          else {
+            val covS = IncrementalDedupStream.storePartIds(spark, shardDir)
+              .filter(g => g < 0 && -g <= batchId).map(-_)
+              .foldLeft(0L)(math.max)
+            spark.read.parquet(shardDir)
+              .filter(col("batch_id") < 0 ||
+                (col("batch_id") >= covS && col("batch_id") < batchId))
+              .groupBy(col("shard")).agg(sum(col("tok")).as("base_tokens"))
+          }
         val verdict = verdict0
           .join(baseTokens, Seq("shard"), "left")
           .withColumn("bin",
@@ -242,10 +326,22 @@ object PipelineStream {
             .parquet(s"$outDir/docs/batch_id=$batchId")
           // store epochs: md5 + passage hashes of this batch's exact
           // survivors, per-shard token sums of its train docs
+          // hp partition column (the probe side's PartitionFilters
+          // depend on this layout). md5: coalesce(1) — it reads the
+          // tiny persisted exactKept cache, so one writer task costs
+          // nothing and bounds the epoch at ≤ N files. ph: repartition
+          // by hp, NOT coalesce — a coalesce(1) here would collapse the
+          // upstream distinct's reduce side to one thread.
           exactKept.select(col("text_md5").as("h"))
-            .write.mode("overwrite").parquet(s"$md5Dir/batch_id=$batchId")
+            .withColumn("hp", IncrementalDedupStream.hpCol(col("h"), nHp))
+            .coalesce(1)
+            .write.mode("overwrite").partitionBy("hp")
+            .parquet(s"$md5Dir/batch_id=$batchId")
           ph.select(col("ph")).distinct()
-            .write.mode("overwrite").parquet(s"$phDir/batch_id=$batchId")
+            .withColumn("hp", IncrementalDedupStream.hpCol(col("ph"), nHp))
+            .repartition(col("hp"))
+            .write.mode("overwrite").partitionBy("hp")
+            .parquet(s"$phDir/batch_id=$batchId")
           verdict.filter(col("train"))
             .groupBy(col("shard")).agg(sum(col("n_tokens")).as("tok"))
             .write.mode("overwrite")
@@ -255,6 +351,7 @@ object PipelineStream {
           spark, md5Dir, batchId, compactEvery)
         IncrementalDedupStream.compactStore(
           spark, phDir, batchId, compactEvery, hashCol = "ph")
+        compactSumStore(spark, shardDir, batchId, compactEvery)
       } finally {
         ph.unpersist(blocking = true)
         exactKept.unpersist(blocking = true)

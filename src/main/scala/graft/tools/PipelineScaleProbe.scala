@@ -70,7 +70,10 @@ object PipelineScaleProbe {
     // reading warmup decay, not store growth). mid5 = epochs 5-9, the
     // first window past warmup, is the honest growth denominator;
     // last_over_first stays for continuity with the r19 recording.
-    val midFive = avg(durs.slice(5, 10))
+    // guard the mid window (ADVICE r20): under 10 epochs the slice is
+    // partial/empty and an averaged fragment would print last_over_mid
+    // 0.00, which reads as "no growth" rather than "insufficient data"
+    val midFive = if (durs.size >= 10) avg(durs.slice(5, 10)) else 0L
     val lastFive = avg(durs.takeRight(5))
     def countFiles(dir: String): Long = {
       val p = new org.apache.hadoop.fs.Path(dir)
@@ -101,16 +104,19 @@ object PipelineScaleProbe {
     val restartSecs = (System.nanoTime() - t1) / 1e9
 
     val verdicts = spark.read.parquet(s"$root/out/docs").count()
+    // incomplete windows emit null, never a misleading 0.00 ratio
+    def ratio(denom: Long): String =
+      if (denom > 0)
+        String.format(java.util.Locale.ROOT, "%.2f",
+          (lastFive.toDouble / denom).asInstanceOf[AnyRef])
+      else "null"
     println(String.format(java.util.Locale.ROOT,
-      """{"probe":"pipeline_scale","sf":"%s","docs":%d,"verdicts":%d,"secs":%.1f,"epochs":%d,"first5_ms":%d,"mid5_ms":%d,"last5_ms":%d,"last_over_first":%.2f,"last_over_mid":%.2f,"epoch_ms":[%s],"ph_store_files":%d,"ph_store_rows":%d,"restart_secs":%.1f}""",
+      """{"probe":"pipeline_scale","sf":"%s","docs":%d,"verdicts":%d,"secs":%.1f,"epochs":%d,"first5_ms":%d,"mid5_ms":%d,"last5_ms":%d,"last_over_first":%s,"last_over_mid":%s,"epoch_ms":[%s],"ph_store_files":%d,"ph_store_rows":%d,"restart_secs":%.1f}""",
       sfDir, nDocs.asInstanceOf[AnyRef], verdicts.asInstanceOf[AnyRef],
       secs.asInstanceOf[AnyRef], durs.size.asInstanceOf[AnyRef],
       firstFive.asInstanceOf[AnyRef], midFive.asInstanceOf[AnyRef],
       lastFive.asInstanceOf[AnyRef],
-      (if (firstFive > 0) lastFive.toDouble / firstFive else 0.0)
-        .asInstanceOf[AnyRef],
-      (if (midFive > 0) lastFive.toDouble / midFive else 0.0)
-        .asInstanceOf[AnyRef],
+      ratio(firstFive), ratio(midFive),
       durs.mkString(","),
       countFiles(s"$root/store/ph").asInstanceOf[AnyRef],
       phRows.asInstanceOf[AnyRef], restartSecs.asInstanceOf[AnyRef]))

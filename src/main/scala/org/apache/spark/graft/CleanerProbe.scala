@@ -1,6 +1,6 @@
 package org.apache.spark.graft
 
-import java.util.concurrent.atomic.{AtomicLong, AtomicReference}
+import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.spark.{CleanerListener, SparkContext}
 
@@ -41,14 +41,17 @@ object CleanerProbe {
         s"accum=${accum.get} checkpoint=${checkpoint.get}"
   }
 
-  /** The installed counters are keyed by the SparkContext they were
-    * attached to (ADVICE r19): a JVM-global cache would keep returning
-    * counters whose listener died with a stopped context (test suites,
-    * bench re-runs in one JVM), silently reading zero cleaner activity
-    * for the new context.
+  /** The installed counters are keyed per SparkContext (ADVICE r19 +
+    * r20): a WeakHashMap — not a single last-context slot — so (a)
+    * re-attaching to a previously seen context after a different one
+    * was installed returns its ORIGINAL counters instead of stacking a
+    * second listener on the same cleaner (there is no detach API, so a
+    * duplicate would double-count and reset the observed window), and
+    * (b) a stopped context isn't pinned by a strong reference — the
+    * weak key lets it be collected along with its counters.
     */
   private val installed =
-    new AtomicReference[(SparkContext, Counts)](null)
+    new java.util.WeakHashMap[SparkContext, Counts]()
 
   /** Attach (once per SparkContext) and return the shared counters;
     * None when the context runs without a cleaner
@@ -56,8 +59,8 @@ object CleanerProbe {
     * no async-cleanup race to observe either.
     */
   def attach(sc: SparkContext): Option[Counts] = synchronized {
-    val cur = installed.get
-    if (cur != null && (cur._1 eq sc)) return Some(cur._2)
+    val cur = installed.get(sc)
+    if (cur != null) return Some(cur)
     sc.cleaner.map { cleaner =>
       val c = new Counts
       cleaner.attachListener(new CleanerListener {
@@ -75,7 +78,7 @@ object CleanerProbe {
         override def checkpointCleaned(rddId: Long): Unit =
           hit(c.checkpoint)
       })
-      installed.set((sc, c))
+      installed.put(sc, c)
       c
     }
   }

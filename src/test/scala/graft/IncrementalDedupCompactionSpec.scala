@@ -8,9 +8,11 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.streaming.IncrementalDedupStream
 
 /** Store compaction must bound the partition count without ever
-  * changing a dedup decision: generations fold committed history into
-  * one `batch_id = -B` partition, inputs are deleted only by a later
-  * batch, and a replay of the compacting batch stays idempotent.
+  * changing a dedup decision: tiered generations fold the pending base
+  * epochs `[prevB, B)` into an immutable `batch_id = -B` partition
+  * (each fold O(compactEvery), never O(history)), inputs are deleted
+  * only by a later batch, and a replay of the compacting batch stays
+  * idempotent.
   */
 class IncrementalDedupCompactionSpec extends AnyFunSuite {
 
@@ -57,13 +59,23 @@ class IncrementalDedupCompactionSpec extends AnyFunSuite {
     val stored = spark.read.parquet(store).select("h").distinct()
     assert(stored.count() == 8)
 
-    // partition algebra: batch 3 compacted [0,3) into gen -3; batch 4
-    // deleted those inputs; batch 6 compacted {-3, 3, 4, 5} into -6,
-    // whose inputs survive until a later batch proves 6 committed
+    // partition algebra (tiered chain): batch 3 folded base epochs
+    // [0,3) into gen -3; batch 4 deleted those inputs; batch 6 folded
+    // the pending tail [3,6) into -6 (NOT the history — generations
+    // are immutable, each fold is O(compactEvery)), whose inputs
+    // survive until a later batch proves 6 committed
     val parts = partIds(store)
     assert(parts.contains(-6L), s"generation -6 missing: $parts")
     assert(!parts.exists(p => p >= 0 && p < 3), s"gen -3 inputs leaked: $parts")
     assert(parts == Seq(-6L, -3L, 3L, 4L, 5L, 6L), s"unexpected: $parts")
+    // the chain is disjoint: -6 holds only [3,6)'s first-seen hashes
+    val gen6 = spark.read.parquet(store)
+      .filter(col("batch_id") === -6).select("h")
+    val tail35 = spark.read.parquet(store)
+      .filter(col("batch_id").isin(3, 4, 5)).select("h")
+    assert(gen6.count() == 3 &&
+      gen6.exceptAll(tail35).count() == 0,
+      "gen -6 must fold exactly the pending tail [3,6)")
 
     // replay the compacting batch (crash between compaction and stream
     // commit): same survivors, same distinct store, gen -6 rewritten
@@ -77,11 +89,12 @@ class IncrementalDedupCompactionSpec extends AnyFunSuite {
     assert(spark.read.parquet(store).select("h").distinct().count() == 8)
     assert(partIds(store) == Seq(-6L, -3L, 3L, 4L, 5L, 6L))
 
-    // one more epoch retires gen -6's inputs; steady state = newest
-    // generation + epochs since
+    // one more epoch retires gen -6's BASE inputs; generations are
+    // immutable and stay — steady state = the generation chain +
+    // epochs since the newest boundary
     IncrementalDedupStream.processBatch(
       batch(Seq((70L, "novel-7"))), 7L, out, store, compactEvery = 3)
-    assert(partIds(store) == Seq(-6L, 6L, 7L))
+    assert(partIds(store) == Seq(-6L, -3L, 6L, 7L))
     assert(spark.read.parquet(store).select("h").distinct().count() == 9)
   }
 

@@ -51,11 +51,24 @@ class IncrementalDedupStreamSpec extends AnyFunSuite {
     assert(survivors(0) == Seq(1L, 3L))
     assert(survivors(1) == Seq(5L, 6L, 7L))
 
-    // the store holds hashes only — one per surviving non-NULL content
+    // the store holds hashes only — one per surviving non-NULL content —
+    // partitioned by (batch_id, hash prefix): hp is a partition COLUMN
+    // (directory level), so a probe's prefix filter prunes the listing
     val stored = spark.read.parquet(store)
-    assert(stored.columns.sorted.toSeq == Seq("batch_id", "h"))
+    assert(stored.columns.sorted.toSeq == Seq("batch_id", "h", "hp"))
     assert(stored.count() == 3) // alpha, beta, gamma
     assert(stored.filter(col("h").isNull).count() == 0)
+    val hpDirs = new java.io.File(store).listFiles()
+      .filter(_.getName.startsWith("batch_id=")).flatMap(_.listFiles())
+      .filter(_.getName.startsWith("hp="))
+    assert(hpDirs.nonEmpty, "store not laid out as batch_id=*/hp=*")
+    // every stored hp value is the write-side function of its hash —
+    // the probe recomputes the same function on the batch side, so a
+    // mismatch here would break pruning correctness (missed duplicates)
+    val nHp = IncrementalDedupStream.hashParts(spark)
+    assert(stored.filter(
+      col("hp") =!= pmod(xxhash64(col("h")), lit(nHp.toLong)))
+      .count() == 0)
 
     // replay epoch 1 directly: same survivors, store unchanged —
     // the epoch reads only batch_id < 1 and overwrites its own

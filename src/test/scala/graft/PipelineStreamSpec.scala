@@ -209,4 +209,65 @@ class PipelineStreamSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$store/md5").count() == md5N)
     assert(spark.read.parquet(s"$store/ph").count() == phN)
   }
+
+  test("shard-store sum compaction keeps the packing fold equal to one " +
+      "global window, including across a compacting-epoch replay") {
+    graft.plans.GraftExtensions.register(spark)
+    val root = Files.createTempDirectory("pipe-sumfold").toString
+    val out = s"$root/out"; val store = s"$root/store"
+
+    // curation-passing filler with a doc-unique token every 3rd
+    // position (the GenScale splice trick): every 8-token passage
+    // window contains a unique token, so no doc near-dups another and
+    // the whole accepted set reaches the packing stage
+    def text(i: Long): String = {
+      def tag(k: Long) = ('a' + (i % 26)).toChar.toString +
+        ('a' + ((i / 26 + k) % 26)).toChar + ('a' + (k % 26)).toChar
+      s"the ${tag(1)} road and the ${tag(2)} mill by the ${tag(3)} gate " +
+        s"near the ${tag(4)} stream in the ${tag(5)} light of ${tag(6)} day"
+    }
+    import scala.jdk.CollectionConverters._
+    def frame(rows: Seq[(Long, String)]) = spark.createDataFrame(
+      rows.map { case (id, t) => Row(id, t) }.asJava, schema)
+    val evalSet = frame(Seq((0L, "alpha beta gamma delta epsilon zeta " +
+      "eta theta iota kappa lambda mu")))
+    val eph = graft.operators.TextQueries
+      .passageHashes(evalSet, stride = 1)
+      .select(col("ph").as("eph")).distinct()
+
+    // 8 epochs × 4 docs, compactEvery = 3: two sum-folds (-3, -6) plus
+    // a base tail — the coverage-aware read must count every committed
+    // epoch exactly once
+    (0L to 7L).foreach { b =>
+      val docs = (0L until 4L).map(j => (b * 100 + j, text(b * 100 + j)))
+      PipelineStream.processBatch(frame(docs), b, eph, out, store,
+        compactEvery = 3)
+    }
+    // replay the last compacting epoch (6): gen -6 exists, its inputs
+    // not yet deleted — the coverage-aware read must not double-count
+    val b6 = (0L until 4L).map(j => (600L + j, text(600L + j)))
+    PipelineStream.processBatch(frame(b6), 6L, eph, out, store,
+      compactEvery = 3)
+
+    import org.apache.spark.sql.expressions.Window
+    val pd = spark.read.parquet(s"$out/docs")
+    val expected = pd.filter(col("train"))
+      .withColumn("expected_bin",
+        floor(coalesce(sum(col("n_tokens")).over(
+          Window.partitionBy("shard").orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+          / lit(graft.operators.TextQueries.PipePackTokens)).cast("long"))
+    assert(expected.count() > 0, "fixture produced no train docs")
+    assert(expected.filter(col("bin") =!= col("expected_bin")).count() == 0,
+      "sum-folded shard store diverged from the global packing fold")
+    // the shard store is actually folded: generations present, early
+    // base epochs retired
+    val shardParts = new java.io.File(s"$store/shard").listFiles()
+      .filter(_.getName.startsWith("batch_id="))
+      .map(_.getName.stripPrefix("batch_id=").toLong).toSeq.sorted
+    assert(shardParts.count(_ < 0) >= 2,
+      s"expected sum-fold generations, got $shardParts")
+    assert(!shardParts.exists(p => p >= 0 && p < 3),
+      s"gen -3 base inputs leaked: $shardParts")
+  }
 }
