@@ -768,14 +768,17 @@ object TextQueries {
         col("x.block") === col("y.block") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         col("x.n").as("na"), col("y.n").as("nb"))
-    cand
+    val verified = cand
       .join(dg.select(col("doc_id").as("ida"), col("ghs").as("ghs_a")),
         col("doc_a") === col("ida"))
       .join(dg.select(col("doc_id").as("idb"), col("ghs").as("ghs_b")),
         col("doc_b") === col("idb"))
       .select(col("doc_a"), col("doc_b"), col("na"), col("nb"),
-        size(array_intersect(col("ghs_a"), col("ghs_b"))).cast("bigint")
+        call_function("sorted_intersect_count",
+          col("ghs_a"), col("ghs_b"))
           .as("n_common"))
+    graft.Stage.maybeExplain("dedup_ngram_jaccard verify stage", verified)
+    verified
   }
 
   private def ngramPairsScore(pairs: DataFrame): DataFrame =
@@ -799,11 +802,18 @@ object TextQueries {
   /** Per-doc char-4-gram hash arrays + sizes — ONE md5 pass serving
     * both pipelines' exact-J4 verification.
     *
-    * collect_set, not collect_list: `array_intersect` dedupes, so the
-    * per-doc size `n` and the intersection must BOTH count DISTINCT
-    * hashes or a within-doc h60 collision (two distinct grams, one
-    * hash) would diverge jaccard between engines — the oracle's g4
-    * CTEs are SELECT DISTINCT to pin the same semantics.
+    * collect_set, not collect_list: the intersection count and the
+    * per-doc size `n` must BOTH count DISTINCT hashes or a within-doc
+    * h60 collision (two distinct grams, one hash) would diverge
+    * jaccard between engines — the oracle's g4 CTEs are SELECT
+    * DISTINCT to pin the same semantics. sort_array on top feeds the
+    * `sorted_intersect_count` merge scan (see
+    * [[graft.plans.SortedIntersectCount]]): the per-PAIR verify cost
+    * drops from a hash-set build + intersection-array materialization
+    * (`size(array_intersect(...))`) to a two-pointer count, for one
+    * per-DOC sort at staging — each doc participates in many pairs,
+    * so the sort amortizes. Counts are identical on sorted distinct
+    * arrays, so jaccard and the oracle comparison are unchanged.
     */
   private def doc4Arrays(s: SparkSession, d: String): DataFrame =
     documents(s, d)
@@ -812,7 +822,7 @@ object TextQueries {
           .as("g"))
       .select(col("doc_id"), col("len"), h60(col("g")).as("gh"))
       .groupBy("doc_id", "len")
-      .agg(collect_set(col("gh")).as("ghs"))
+      .agg(sort_array(collect_set(col("gh"))).as("ghs"))
       .withColumn("n", size(col("ghs")).cast("bigint"))
 
   /** The blocking-dedup docgr relation: per-doc gram arrays + the
@@ -1646,7 +1656,7 @@ object TextQueries {
       // distinct hashes (see doc4Arrays): n must agree with what
       // array_intersect counts, and with the oracle's DISTINCT g4 CTE
       .groupBy("doc_id")
-      .agg(collect_set(col("gh")).as("ghs"))
+      .agg(sort_array(collect_set(col("gh"))).as("ghs"))
       .withColumn("n", size(col("ghs")).cast("bigint"))
     val verified = graft.Stage.fanout(g4raw)(rareVerifyBuild(candAb))
     phase("verify")
@@ -2301,6 +2311,27 @@ object TextQueries {
   // staged/checkpoint-backed.
   // -------------------------------------------------------------------
   def dedupAgreement(s: SparkSession, d: String): DataFrame = {
+    // The three flag legs backed by eager staged pipelines
+    // (neardupPairsCore's fanout2, containmentCore's and
+    // passageDedupCore's fanout) otherwise materialize strictly one
+    // after another at construction time — overlap them (guide §2.6,
+    // the retrievalAgreement discipline): each is an independent
+    // persist→checkpoint chain whose stages the scheduler interleaves
+    // on idle cores. Under a small heap the co-resident staged mass
+    // inverts the trade (the retrieval composite's measured lesson) —
+    // same Stage.smallHeap gate, serial there.
+    graft.plans.GraftExtensions.register(s)
+    graft.Stage.ensureCheckpointDir(s)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val overlap = !graft.Stage.smallHeap(s)
+    def maybeAsync(body: => DataFrame): () => DataFrame =
+      if (overlap) { val f = Future(body); () => Await.result(f, Duration.Inf) }
+      else { val v = body; () => v }
+    val nearF = maybeAsync(neardupPairsCore(s, d))
+    val contF = maybeAsync(containmentCore(s, d))
+    val passF = maybeAsync(passageDedupCore(s, d))
     val exactDocs = documents(s, d)
       .select(col("doc_id"), md5(col("text")).as("h"))
       .withColumn("nh", count(lit(1)).over(Window.partitionBy("h")))
@@ -2312,13 +2343,13 @@ object TextQueries {
           .as("bh"))
       .withColumn("nb", count(lit(1)).over(Window.partitionBy("bh")))
       .filter(col("nb") > 1).select("doc_id")
-    val nearDocs = neardupPairsCore(s, d)
+    val nearDocs = nearF()
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
-    val contDocs = containmentCore(s, d)
+    val contDocs = contF()
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
-    val passDocs = passageDedupCore(s, d).filter(col("flagged"))
+    val passDocs = passF().filter(col("flagged"))
       .select("doc_id")
     val substrDocs = substringDedupCore(s, d)
       .filter(col("dup_windows") * 2 >= col("n_windows") &&
@@ -2618,7 +2649,7 @@ object TextQueries {
     // distinct hashes (see doc4Arrays): na/nb must agree with what
     // array_intersect counts, and with the oracle's DISTINCT grams CTE
     val docgr = grams.groupBy("doc_id")
-      .agg(collect_set(col("gh")).as("ghs"))
+      .agg(sort_array(collect_set(col("gh"))).as("ghs"))
       .withColumn("n", size(col("ghs")).cast("bigint"))
       .join(blocks, "doc_id")
       .withColumn("block", concat_ws("_", col("min_bh"),
@@ -2637,7 +2668,8 @@ object TextQueries {
         .join(dg.select(col("doc_id").as("idb"), col("ghs").as("ghs_b")),
           col("doc_b") === col("idb"))
         .select(col("doc_a"), col("doc_b"), col("na"), col("nb"),
-          size(array_intersect(col("ghs_a"), col("ghs_b"))).cast("bigint")
+          call_function("sorted_intersect_count",
+          col("ghs_a"), col("ghs_b"))
             .as("n_common"))
     }
     pairs
@@ -2762,7 +2794,7 @@ object TextQueries {
       // distinct hashes (see doc4Arrays): n must agree with what
       // array_intersect counts, and with the oracle's DISTINCT g4 CTE
       .groupBy("doc_id")
-      .agg(collect_set(col("gh")).as("ghs"))
+      .agg(sort_array(collect_set(col("gh"))).as("ghs"))
       .withColumn("n", size(col("ghs")).cast("bigint"))
     graft.Stage.fanout(g4raw)(rareVerifyBuild(cand))
   }
@@ -2801,19 +2833,23 @@ object TextQueries {
     * gram-array relation (doc_id, ghs, n) — the second fan-out body of
     * [[rareGramCore]], factored for reuse by retrievalAgreement.
     */
-  private def rareVerifyBuild(cand: DataFrame)(g4: DataFrame): DataFrame =
-    cand
+  private def rareVerifyBuild(cand: DataFrame)(g4: DataFrame): DataFrame = {
+    val verified = cand
       .join(g4.select(col("doc_id").as("ida"), col("ghs").as("ghs_a"),
         col("n").as("na")), col("doc_a") === col("ida"))
       .join(g4.select(col("doc_id").as("idb"), col("ghs").as("ghs_b"),
         col("n").as("nb")), col("doc_b") === col("idb"))
       .select(col("doc_a"), col("doc_b"), col("n_rare_shared"),
-        size(array_intersect(col("ghs_a"), col("ghs_b"))).cast("bigint")
+        call_function("sorted_intersect_count",
+          col("ghs_a"), col("ghs_b"))
           .as("n_common"), col("na"), col("nb"))
       .select(col("doc_a"), col("doc_b"), col("n_rare_shared"),
         (col("n_common").cast("double") /
           (col("na") + col("nb") - col("n_common"))).as("jaccard"))
       .filter(col("jaccard") >= 0.6)
+    graft.Stage.maybeExplain("dedup_rare_gram verify stage", verified)
+    verified
+  }
 
   val rareGramRetrievalSql: String = {
     val gh = h60Sql("g")

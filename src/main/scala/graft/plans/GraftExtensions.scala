@@ -102,7 +102,13 @@ object GraftExtensions {
     // (covariance pair sums at corpus scale)
     ("array_sum_agg_dec",
       new ExpressionInfo(classOf[ArraySumAggDec].getName, "array_sum_agg_dec"),
-      one("array_sum_agg_dec", e => ArraySumAggDec(e)))
+      one("array_sum_agg_dec", e => ArraySumAggDec(e))),
+    // merge-scan intersection count over sorted distinct BIGINT arrays —
+    // the near-dup verify hot path (replaces size(array_intersect))
+    ("sorted_intersect_count",
+      new ExpressionInfo(
+        classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
+      two("sorted_intersect_count", SortedIntersectCount(_, _)))
   )
 
   /** Idempotently register the functions on a live session. */

@@ -80,7 +80,7 @@ object IncNearDecadeProbe {
           .as("g"))
       .select(col("doc_id"), T.h60(col("g")).as("gh"))
       .groupBy("doc_id")
-      .agg(collect_set(col("gh")).as("ghs"))
+      .agg(sort_array(collect_set(col("gh"))).as("ghs"))
       .withColumn("n", size(col("ghs")).cast("bigint"))
     val scored = graft.Stage.fanout(g4) { g =>
       c64
@@ -89,7 +89,8 @@ object IncNearDecadeProbe {
         .join(g.select(col("doc_id").as("idb"), col("ghs").as("ghs_b"),
           col("n").as("nb")), col("corpus_doc") === col("idb"))
         .select(col("rnk"), col("n_rare_shared"),
-          size(array_intersect(col("ghs_a"), col("ghs_b"))).cast("bigint")
+          call_function("sorted_intersect_count",
+          col("ghs_a"), col("ghs_b"))
             .as("nc"), col("na"), col("nb"))
         .select(col("rnk"), col("n_rare_shared"),
           (col("nc").cast("double") / (col("na") + col("nb") - col("nc")))
