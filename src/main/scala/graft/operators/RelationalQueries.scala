@@ -1034,16 +1034,26 @@ object RelationalQueries {
   def tsShapeMatch(s: SparkSession, d: String): DataFrame = {
     val shaped = tsShaped(s, d)
     graft.Stage.fanout(shaped) { sh =>
-      val sizes = sh.groupBy("word").agg(count(lit(1)).as("bn"))
       // cap activation is observable, not silent (the TextQueries
       // cappedBlocks discipline): a dropped block means real users got
-      // no pairs and the alphabet/length knob needs retuning
-      val dropped = sizes.agg(coalesce(
-        sum(when(col("bn") > TsBlockCap, 1L).otherwise(0L)), lit(0L)))
-        .head().getLong(0)
-      if (dropped > 0) System.err.println(
-        s"[graft] rel_ts_shape_match: degenerate-block cap ($TsBlockCap) " +
-          s"dropped $dropped block(s)")
+      // no pairs and the alphabet/length knob needs retuning. The
+      // count rides the block-size aggregate as an Observation (the
+      // cappedBlocks shape) instead of the previous eager
+      // `sizes.agg(...).head()` — that head() was a whole extra
+      // driver-blocking job re-aggregating the staged relation before
+      // the pipeline proper could start.
+      val obs = new org.apache.spark.sql.Observation()
+      val sizes = sh.groupBy("word").agg(count(lit(1)).as("bn"))
+        .observe(obs,
+          coalesce(sum(when(col("bn") > TsBlockCap, 1L).otherwise(0L)),
+            lit(0L)).as("dropped_blocks"))
+      org.apache.spark.sql.graftbridge.DatasetBridge.onObserved(obs) { m =>
+        val dropped = m.get("dropped_blocks")
+          .collect { case l: Long => l }.getOrElse(0L)
+        if (dropped > 0) System.err.println(
+          s"[graft] rel_ts_shape_match: degenerate-block cap ($TsBlockCap) " +
+            s"dropped $dropped block(s)")
+      }
       val ok = sizes.filter(col("bn") <= TsBlockCap)
         .select(col("word").as("wok"))
       val blocked = sh.join(ok, col("word") === col("wok"))
